@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized with a count-style action (collect of the final,
+already-small result) — the driver's comparison does its own collect, this
+file measures end-to-end plan execution wall time per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spotify_etl_pipeline_spark.queries.catalog import queries  # noqa: E402
+from spotify_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the shuffly/heavy
+# ones that dominate at scale. Anything not listed still runs in the driver's
+# correctness pass; the bench tracks throughput-critical shapes.
+HEADLINE = [
+    "flagship_top_revenue",
+    "pricing_summary",
+    "star_join_top_items",
+    "latest_order_per_customer",
+    "order_priority_distribution",
+    "count_distinct_exact",
+    "approx_count_distinct",
+    "window_running_sum",
+    "cube_lineitem",
+    "json_props_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    all_queries = queries()
+    names = [n for n in HEADLINE if n in all_queries]
+    # warm the JVM + parquet footers once so per-query times measure the plan
+    all_queries[names[0]](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = all_queries[name](spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

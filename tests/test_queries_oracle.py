@@ -1,0 +1,68 @@
+"""Oracle-differential tests: every catalog query vs its DuckDB SQL.
+
+This mirrors the driver's t2 correctness gate (row count + schema +
+order-insensitive values) locally at sf0.001 so regressions surface before
+the driver runs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_etl_pipeline_spark.queries.catalog import CATALOG, queries
+
+from .oracle_compare import compare_results
+
+ALL = queries()  # triggers module loading / registration
+
+
+@pytest.mark.parametrize("name", sorted(n for n in ALL if CATALOG[n].oracle))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spec = CATALOG[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    problems = compare_results(spark_cols, spark_rows, duck_cols, duck_rows)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(n for n in ALL if not CATALOG[n].oracle))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    """Queries without an oracle must still execute and return rows."""
+    df = CATALOG[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_approx_count_distinct_accuracy(spark, duck, sf_dir):
+    """approx_count_distinct within 5% of the exact count (rsd=0.01)."""
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in ALL["approx_count_distinct"](spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / max(v, 1) < 0.05, (k, approx[k], v)
+
+
+def test_percentile_approx_accuracy(spark, duck, sf_dir):
+    """percentile_approx close to the exact continuous quantile."""
+    approx = {
+        r["l_returnflag"]: r["approx_median_qty"]
+        for r in ALL["percentile_approx"](spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(0.05 * abs(v), 1.0), (k, approx[k], v)
