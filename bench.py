@@ -36,6 +36,13 @@ HEADLINE = [
     "window_running_sum",
     "cube_lineitem",
     "json_props_extract",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_candidates",
+    "knn_brute_force",
+    "events_sessionize",
+    "events_sliding_counts",
+    "text_word_frequency",
+    "multimodal_features",
 ]
 
 

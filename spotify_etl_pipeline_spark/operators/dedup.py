@@ -1,0 +1,223 @@
+"""Deduplication operators (SURVEY.md X1/X2): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **Exact** is a hash aggregate on the dedup key — one shuffle, map-side
+  combine, linear.
+- **N-gram Jaccard** self-joins on *shingles* (not documents), so the shuffle
+  key is the shingle and only documents sharing a shingle ever meet. At
+  scale, pair explosion is bounded by dropping super-frequent shingles
+  (``max_shingle_df``) — the classic stop-shingle cut.
+- **MinHash+LSH** reduces candidate generation to an equi-join on
+  (band, bucket): signatures are built from a *deterministic* hash family
+  ((a_i·id + b_i) mod p over dense shingle ids), so the whole pipeline is
+  reproducible in any engine — unlike ml.feature.MinHashLSH whose random
+  coefficients defeat an external oracle. Banding keeps the join key space
+  tiny; candidates are then verified with exact Jaccard.
+- **SimHash** is a per-document fold (no shuffle): 16-bit signatures whose
+  Hamming distance approximates cosine-over-token-multisets.
+- **Embedding near-dup** is a cosine threshold join; brute force here
+  (crossJoin a<b) with the LSH/IVF blocking variant in
+  :mod:`.similarity` for the scale path.
+
+The dense shingle-id vocabulary (row_number over sorted distinct shingles) is
+itself a scalable pattern: at 100 TB you'd replace it with a 64-bit content
+hash (xxhash64) and skip the vocabulary join entirely — used here because the
+oracle must reproduce ids without sharing a hash implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import shingles
+
+# Deterministic MinHash family: sig_i(doc) = min over shingle ids s of
+# (A[i]*s + B[i]) mod P. Fixed small primes — shared verbatim with the SQL
+# oracle.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (387, 1159, 2741, 3079, 4723, 5519, 6301, 7919, 8597, 9241, 10459, 11257)
+MINHASH_B = (13, 2477, 3593, 4093, 5101, 6143, 7537, 8191, 9433, 10139, 11243, 12289)
+N_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
+ROWS_PER_BAND = len(MINHASH_A) // N_BANDS
+
+SIMHASH_BITS = 16
+
+
+def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Exact dedup: one survivor per key group (min doc_id wins —
+    deterministic, unlike dropDuplicates' arbitrary pick)."""
+    other = [c for c in df.columns if c not in keys]
+    agg = [F.min(c).alias(c) for c in other]
+    return df.groupBy(*keys).agg(*agg)
+
+
+def doc_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the unit of record for Jaccard,
+    MinHash and LSH."""
+    return (
+        df.select("doc_id", F.explode(shingles("split(text, ' ')", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, threshold: float = 0.8, max_shingle_df: int | None = None
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard similarity ≥ threshold.
+
+    Shuffle key = shingle; only co-shingled docs meet. ``max_shingle_df``
+    drops shingles appearing in more than that many docs (stop-shingle cut —
+    essential at scale, off by default so the oracle is exact).
+    """
+    sh = doc_shingles(df, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(keep), "shingle")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def shingle_vocabulary(sh: DataFrame) -> DataFrame:
+    """Dense deterministic ids: row_number over globally sorted distinct
+    shingles. (Scale path: replace with xxhash64(shingle) — no global sort;
+    kept sort-based so an external oracle derives identical ids.)"""
+    w = Window.orderBy("shingle")
+    return sh.select("shingle").distinct().withColumn("sid", F.row_number().over(w))
+
+
+def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
+    """Wide MinHash signatures: (doc_id, h0..h11).
+
+    One hash aggregate over (doc, shingle-id) rows with 12 min() columns —
+    single shuffle on doc_id, map-side partial mins; identical arithmetic is
+    reproducible in the SQL oracle.
+    """
+    sh = doc_shingles(df, n)
+    vocab = shingle_vocabulary(sh)
+    ids = sh.join(vocab, "shingle").select("doc_id", "sid")
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("sid") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+            f"h{i}"
+        )
+        for i in range(len(MINHASH_A))
+    ]
+    return ids.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, n: int = 3) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes of any band become candidates.
+
+    Per band, bucket key = concat of that band's minhashes; candidates come
+    from equi-joins on (band, bucket) — never a cross join. 12 hashes / 4
+    bands / 3 rows ≈ catches Jaccard ≳ 0.7 with high probability.
+    """
+    sig = minhash_signatures(df, n)
+    bands = []
+    for band in range(N_BANDS):
+        cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws("_", *cols).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """16-bit SimHash over the token multiset, as a single codegen'd fold.
+
+    Per token value v (same length/first/last formula as the fingerprint),
+    per bit j: +1 if bit j of (v*2654435761 mod 2^16... simplified: v's bits)
+    else -1; sign of the sum gives the signature bit.
+    """
+    tokval = (
+        "(length(t) * 31 + ascii(substring(t, 1, 1)) * 7 + ascii(substring(t, -1, 1)))"
+    )
+    # weight vector: for each bit, sum(+1/-1) over tokens
+    bit_sums = ", ".join(
+        f"aggregate(split(text, ' '), 0, (acc, t) -> acc + "
+        f"CASE WHEN shiftright({tokval} % 65536, {j}) % 2 = 1 THEN 1 ELSE -1 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN sums[{j}] > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        df.select("doc_id", F.expr(f"array({bit_sums})").alias("sums"))
+        .select("doc_id", F.expr(sig).alias("simhash"))
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+
+    Brute-force a<b join (exact, oracle-checkable). Dot products in double
+    precision via zip_with + aggregate — JVM-side, no UDF. Scale path:
+    :func:`..similarity.lsh_bucketed_ann` blocks by hyperplane signature
+    before the pairwise step.
+    """
+    e = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    n = e.select("vec_id", "v", norm.alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )

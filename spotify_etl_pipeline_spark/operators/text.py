@@ -1,0 +1,163 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md X4).
+
+All pure built-in column expressions (whole-stage codegen, no Python in the
+hot path): tokenization, shingling, language-ID scoring, quality scoring,
+BPE-ish token counting, and a rolling-hash document fingerprint.
+
+Scale notes: everything here is a narrow projection except the explicit
+``explode``-based frequency aggregations, which shuffle on the token/shingle
+key with map-side partial aggregation — the canonical word-count shape that
+scales linearly. The rolling hash folds per-row over the token array (no
+shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the heuristic language scorer.
+# Intersected with the fixture vocabulary on purpose — the operator shape
+# (profile match fraction → argmax) is what scales, not the word lists.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenizer (documents.text is single-space separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(tokens_expr: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> column.
+
+    ``tokens_expr`` must be a SQL expression yielding array<string>.
+    Built with transform-over-sequence so it stays JVM-side.
+    """
+    joined = ", '_', ".join(f"{tokens_expr}[i + {k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_expr}) >= {n} THEN "
+        f"transform(sequence(0, size({tokens_expr}) - {n}), i -> concat({joined})) "
+        f"ELSE array() END"
+    )
+
+
+def stopword_fraction(toks: Column, words: tuple[str, ...]) -> Column:
+    """Fraction of tokens that appear in ``words``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, avg length."""
+    toks = tokens("text")
+    return df.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def language_scores(df: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-profile match fraction per language,
+    argmax wins (ties break toward 'en' via >=)."""
+    toks = tokens("text")
+    en = F.round(stopword_fraction(toks, LANG_PROFILES["en"]), 4)
+    de = F.round(stopword_fraction(toks, LANG_PROFILES["de"]), 4)
+    out = df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_score"),
+        de.alias("de_score"),
+    )
+    return out.withColumn(
+        "predicted_lang",
+        F.when(F.col("en_score") >= F.col("de_score"), F.lit("en")).otherwise(F.lit("de")),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Composite document quality: length saturation + lexical diversity +
+    non-stopword density, each in [0,1], weighted 0.4/0.3/0.3."""
+    toks = tokens("text")
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    stop_frac = stopword_fraction(toks, LANG_PROFILES["en"])
+    score = (
+        0.4 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.3 * uniq_ratio
+        + 0.3 * (1 - stop_frac)
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("unique_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, max_piece: int = 4) -> DataFrame:
+    """Subword-unit count: each word contributes ceil(len/max_piece) pieces —
+    a deterministic BPE-style stand-in (SURVEY.md X4 'token counting')."""
+    toks = tokens("text")
+    pieces = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / F.lit(float(max_piece)))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        pieces.alias("n_pieces"),
+    )
+
+
+def _token_value(expr: str) -> str:
+    """SQL sub-expression: cheap deterministic per-token value shared with the
+    DuckDB oracle (length*31 + first-char*7 + last-char)."""
+    return (
+        f"(length({expr}) * 31 + ascii(substring({expr}, 1, 1)) * 7"
+        f" + ascii(substring({expr}, -1, 1)))"
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over the token stream (document fingerprint).
+
+    fp = fold(tokens, 0, (acc, t) -> (acc*131 + value(t)) mod 1e9+7) — an
+    order-sensitive content hash computable identically in any SQL engine
+    (the per-token value uses only length/first/last chars so the oracle can
+    reproduce it without a shared hash library).
+    """
+    fp = F.expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+        f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def word_frequency(df: DataFrame, top_k: int = 20) -> DataFrame:
+    """Global token frequency, deterministic top-k (count desc, token asc).
+
+    explode → groupBy(token) is the canonical shuffle-with-combiner shape;
+    TakeOrderedAndProject caps the result without a global sort.
+    """
+    return (
+        df.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -1,1 +1,196 @@
-"""Placeholder — populated in a later phase (see SURVEY.md §7)."""
+"""Dedup queries (SURVEY.md X1/X2) with DuckDB oracles.
+
+Spark implementations in :mod:`..operators.dedup`. The MinHash/LSH oracles
+rebuild the dense shingle-id vocabulary and hash family in SQL — the whole
+pipeline is deterministic by construction (fixed coefficients, sorted-vocab
+ids), which is what makes an external oracle possible at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..schemas import load_fixture
+from .catalog import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_fixture(spark, sf_dir, "documents")
+
+
+# Shared CTE: distinct (doc_id, shingle) for 3-gram shingles, DuckDB-side.
+_SHINGLES_CTE = """
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(
+          list_transform(range(greatest(len(string_split(text,' ')) - 2, 0)),
+            i -> string_split(text,' ')[i+1] || '_' ||
+                 string_split(text,' ')[i+2] || '_' ||
+                 string_split(text,' ')[i+3])
+        ) AS shingle
+        FROM documents
+      )
+    )
+"""
+
+_MINHASH_COLS = ", ".join(
+    f"MIN(({a} * sid + {b}) % {D.MINHASH_P}) AS h{i}"
+    for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+)
+
+_SIG_CTE = f"""
+    {_SHINGLES_CTE},
+    vocab AS (
+      SELECT shingle, ROW_NUMBER() OVER (ORDER BY shingle) AS sid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    ids AS (SELECT sh.doc_id, vocab.sid FROM sh JOIN vocab USING (shingle)),
+    sig AS (SELECT doc_id, {_MINHASH_COLS} FROM ids GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_exact_group",
+    oracle="""
+    SELECT lang, source, MIN(doc_id) AS survivor_id, COUNT(*) AS n_members
+    FROM documents
+    GROUP BY lang, source
+    """,
+    survey="X1,A5",
+    doc="Exact dedup: deterministic survivor (min id) per key group.",
+)
+def dedup_exact_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON inter.doc_a = ca.doc_id
+    JOIN cnt cb ON inter.doc_b = cb.doc_id
+    WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
+    """,
+    survey="X2",
+    doc="3-gram Jaccard near-dup pairs (threshold 0.8), shingle-blocked self-join.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"WITH {_SIG_CTE} SELECT * FROM sig",
+    survey="X2",
+    doc="12-function MinHash signatures over dense shingle ids — "
+    "deterministic hash family shared with the oracle.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_docs(spark, sf_dir), n=3)
+
+
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, "
+    + " || '_' || ".join(
+        f"CAST(h{band * D.ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(D.ROWS_PER_BAND)
+    )
+    + " AS bucket FROM sig"
+    for band in range(D.N_BANDS)
+)
+
+
+@register(
+    "dedup_lsh_candidates",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    banded AS ({_BAND_SELECTS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+    """,
+    survey="X2",
+    doc="MinHash-LSH banding (4 bands × 3 rows): candidate pairs via "
+    "equi-join on (band, bucket) — no cross join anywhere.",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir), n=3)
+
+
+_DUCK_TOKVAL = (
+    "(length(t) * 31 + ascii(substring(t, 1, 1)) * 7 + ascii(substring(t, -1, 1)))"
+)
+
+_DUCK_BITSUMS = ", ".join(
+    f"CAST(list_sum(list_transform(string_split(text, ' '), "
+    f"t -> CASE WHEN (({_DUCK_TOKVAL} % 65536) >> {j}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) AS BIGINT)"
+    for j in range(D.SIMHASH_BITS)
+)
+_DUCK_SIMHASH = " + ".join(
+    f"(CASE WHEN sums[{j + 1}] > 0 THEN CAST({1 << j} AS BIGINT) "
+    f"ELSE CAST(0 AS BIGINT) END)"
+    for j in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, [{_DUCK_BITSUMS}] AS sums FROM documents)
+    SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM s
+    """,
+    survey="X2",
+    doc="16-bit SimHash signatures — per-document fold, zero shuffle.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+          / (a.nrm * b.nrm) >= 0.45
+    """,
+    survey="X2,X3",
+    doc="Embedding-cosine near-dup pairs (threshold 0.45), double-precision "
+    "dot products via zip_with/aggregate.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(
+        load_fixture(spark, sf_dir, "embeddings"), threshold=0.45
+    )

@@ -1,1 +1,137 @@
-"""Placeholder — populated in a later phase (see SURVEY.md §7)."""
+"""Text-analysis queries over ``documents`` (SURVEY.md X4) with DuckDB
+oracles. The Spark implementations live in :mod:`..operators.text`; each
+oracle reproduces the arithmetic exactly (shared per-token value formula,
+shared rounding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import text as T
+from ..schemas import load_fixture
+from .catalog import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_fixture(spark, sf_dir, "documents")
+
+
+_EN = ", ".join(f"'{w}'" for w in T.LANG_PROFILES["en"])
+_DE = ", ".join(f"'{w}'" for w in T.LANG_PROFILES["de"])
+# DuckDB twin of operators.text._token_value
+_DUCK_TOKVAL = (
+    "(length(t) * 31 + ascii(substring(t, 1, 1)) * 7 + ascii(substring(t, -1, 1)))"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           ROUND((length(text) - len(string_split(text, ' ')) + 1)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+    survey="X4",
+    doc="Per-document token statistics (counts, distinct, avg length).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_word_frequency",
+    oracle="""
+    SELECT tok AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+    survey="X4",
+    doc="Global word frequency, deterministic top-20 (the word-count shape).",
+)
+def text_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.word_frequency(_docs(spark, sf_dir), top_k=20)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             ROUND(len(list_filter(string_split(text, ' '),
+                                   t -> list_contains([{_EN}], t)))
+                   / greatest(len(string_split(text, ' ')), 1), 4) AS en_score,
+             ROUND(len(list_filter(string_split(text, ' '),
+                                   t -> list_contains([{_DE}], t)))
+                   / greatest(len(string_split(text, ' ')), 1), 4) AS de_score
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, en_score, de_score,
+           CASE WHEN en_score >= de_score THEN 'en' ELSE 'de' END AS predicted_lang
+    FROM scored
+    """,
+    survey="X4",
+    doc="Heuristic language ID: stopword-profile match fractions + argmax.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(len(list_distinct(string_split(text, ' ')))
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS unique_ratio,
+           ROUND(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                        / greatest(len(string_split(text, ' ')), 1))
+               + 0.3 * (1 - len(list_filter(string_split(text, ' '),
+                                            t -> list_contains([{_EN}], t)))
+                            / greatest(len(string_split(text, ' ')), 1)), 4) AS quality
+    FROM documents
+    """,
+    survey="X4",
+    doc="Composite quality score: length saturation + diversity + non-stopword density.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces
+    FROM documents
+    """,
+    survey="X4",
+    doc="BPE-ish subword counting: ceil(len/4) pieces per word.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bpe_ish_token_count(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST({_DUCK_TOKVAL} AS BIGINT))),
+             (acc, x) -> (acc * {T.FP_BASE} + x) % {T.MOD}) AS fingerprint
+    FROM documents
+    """,
+    survey="X4",
+    doc="Rolling polynomial hash fingerprint over the token stream.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir))

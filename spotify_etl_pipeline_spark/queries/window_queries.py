@@ -1,1 +1,89 @@
-"""Placeholder — populated in a later phase (see SURVEY.md §7)."""
+"""Batch time-window queries over ``events`` (SURVEY.md X8, T2-T4).
+
+The streaming twins (watermarked, incremental) live in
+:mod:`..streaming.windows`; these batch forms are the oracle-checkable
+semantics. DuckDB sees the raw TIMESTAMP_NS column; ``CAST(ts AS
+TIMESTAMP)`` truncates to µs exactly like the Spark-side loader."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import time_windows as W
+from ..schemas import load_fixture
+from .catalog import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_fixture(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="X8,T2",
+    doc="Tumbling 1-hour windows: counts + sums per event type.",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling(_events(spark, sf_dir), "1 hour")
+
+
+@register(
+    "events_sliding_counts",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                      - k.k * INTERVAL 15 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+    GROUP BY 1
+    """,
+    survey="X8",
+    doc="Sliding windows (1h size / 15min slide): each event lands in 4 "
+    "overlapping windows.",
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding(_events(spark, sf_dir), "1 hour", "15 minutes")
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT)
+                          > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+    survey="X8,T3",
+    doc="Gaps-and-islands sessionization (30-min gap) — batch twin of "
+    "streaming session_window.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sessionize(_events(spark, sf_dir), gap_minutes=30)

@@ -1,0 +1,74 @@
+"""Approximate-operator quality gates: IVF recall, LSH candidate recall."""
+
+from __future__ import annotations
+
+from spotify_etl_pipeline_spark.queries.catalog import queries
+
+ALL = queries()
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """IVF with n_probe == n_clusters searches everything → must reproduce
+    the exact brute-force top-k (validates the routing/scoring machinery)."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.similarity import ivf_topk
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ALL["knn_brute_force"](spark, sf_dir).collect()
+    }
+    n_clusters = emb.select("label").distinct().count()
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, n_probe=n_clusters).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """The fixture embeddings are geometrically unclustered (labels are
+    random), so n_probe=3/10 can only reach ~30% of the corpus — recall
+    should sit near the searched fraction, not collapse below it."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL["knn_brute_force"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in ALL["knn_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall below searched fraction: {recall:.2f}"
+
+
+def test_lsh_candidates_cover_high_jaccard_pairs(spark, sf_dir):
+    """LSH banding must surface (nearly) every pair with Jaccard ≥ 0.9;
+    banding theory: P(candidate) = 1-(1-j^3)^4 ≈ 0.995 at j=0.9."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ALL["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r["jaccard"] >= 0.9
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in ALL["dedup_lsh_candidates"](spark, sf_dir).collect()
+    }
+    if true_pairs:
+        recall = len(true_pairs & cands) / len(true_pairs)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(true_pairs)} pairs"
+
+
+def test_simhash_close_for_near_dups(spark, sf_dir):
+    """Near-duplicate pairs (Jaccard ≥ 0.9) should have small SimHash
+    Hamming distance (≤ 6 of 16 bits on average)."""
+    sims = {r["doc_id"]: r["simhash"] for r in ALL["dedup_simhash"](spark, sf_dir).collect()}
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in ALL["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r["jaccard"] >= 0.9
+    ]
+    if pairs:
+        dists = [bin(sims[a] ^ sims[b]).count("1") for a, b in pairs]
+        assert sum(dists) / len(dists) <= 6, dists
