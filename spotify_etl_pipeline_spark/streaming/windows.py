@@ -1,0 +1,114 @@
+"""Watermarked streaming windows over the events stream (SURVEY.md X8/T3).
+
+Streaming twins of :mod:`..operators.time_windows` — same logical window
+shapes with ``withWatermark`` bounding state. The events fixture is a
+parquet file, so streams here read it through the file source (schema
+declared with ts as LONG nanos, converted to a µs timestamp — the streaming
+mirror of schemas.load_fixture).
+
+State-size notes (the thing that matters on an unbounded 100 TB/day
+stream): watermark delay bounds every window's state; session windows
+additionally bound per-key state by gap timeout; the dedup operator keeps
+only ids newer than the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, directory: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """File-source stream over the events table (the file source requires a
+    directory; ``glob`` narrows it to the events file within sf_dir)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_stream(events: DataFrame, size: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_stream(events: DataFrame, size: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Native streaming session windows — the stateful operator the batch
+    gaps-and-islands query emulates (same boundaries by construction)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state
+    (T3: late/duplicate-run tolerance)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drive a finite stream to completion into an in-memory table (tests)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
