@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the 100 TB contract (SURVEY.md §4).
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one that survives a 1000-executor cluster: projection/predicate pushdown at
+the scans, broadcast joins for dims, distributed top-k, and no accidental
+cartesian products anywhere in the catalog.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_etl_pipeline_spark.plans import (
+    executed_plan,
+    final_plan,
+    pushed_filter_lines,
+    scan_lines,
+)
+from spotify_etl_pipeline_spark.plans.inspect import (
+    codegen_stage_count,
+    read_schema_fields,
+)
+from spotify_etl_pipeline_spark.queries.catalog import queries
+
+# Pairwise vector scoring is intentionally a non-equi join (brute-force
+# baseline; IVF/LSH blocking is the scale path) — everything else must
+# never plan a cartesian/nested-loop join.
+PAIRWISE_OK = {"knn_brute_force", "knn_ivf", "dedup_embedding_cosine"}
+
+
+def test_flagship_broadcasts_dims_and_takeordered(spark, sf_dir):
+    df = queries()["flagship_top_revenue"](spark, sf_dir)
+    plan = final_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert codegen_stage_count(plan) >= 2, "scan→join→agg should codegen"
+
+
+def test_flagship_prunes_lineitem_scan(spark, sf_dir):
+    df = queries()["flagship_top_revenue"](spark, sf_dir)
+    (li_scan,) = scan_lines(executed_plan(df), "lineitem")
+    fields = read_schema_fields(li_scan)
+    assert set(fields) == {"l_orderkey", "l_extendedprice", "l_discount"}, fields
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = queries()["filter_pushdown_scan"](spark, sf_dir)
+    pushed = pushed_filter_lines(executed_plan(df))
+    assert pushed, "no PushedFilters on any scan"
+    assert any("IsNotNull" in p or "GreaterThan" in p or "EqualTo" in p for p in pushed)
+
+
+def test_pricing_summary_pushes_date_predicate(spark, sf_dir):
+    df = queries()["pricing_summary"](spark, sf_dir)
+    pushed = " ".join(pushed_filter_lines(executed_plan(df)))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_top_k_is_distributed_not_global_sort(spark, sf_dir):
+    plan = executed_plan(queries()["text_word_frequency"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("name", sorted(queries()))
+def test_no_accidental_cartesian(name, spark, sf_dir):
+    if name in PAIRWISE_OK:
+        pytest.skip("pairwise scoring join is intentional here")
+    plan = executed_plan(queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
