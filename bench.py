@@ -29,6 +29,8 @@ HEADLINE = [
     "flagship_top_revenue",
     "pricing_summary",
     "star_join_top_items",
+    "q5_local_supplier_volume",
+    "asof_last_purchase_before_click",
     "latest_order_per_customer",
     "order_priority_distribution",
     "count_distinct_exact",

@@ -1,0 +1,142 @@
+"""Multi-way star joins and the as-of join (SURVEY.md J1 extension tier).
+
+The reference's join surface is a two-dim star (README.md:240-242); these
+queries prove the same engine handles the shapes a warehouse actually runs:
+a six-table TPC-H Q5-style local-supplier-volume join, a Q8-style
+conditional market-share aggregate, and a point-in-time as-of join (an
+operator Spark lacks natively — see :mod:`..operators.asof`; oracle is
+DuckDB's built-in ``ASOF JOIN``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..schemas import load_fixture
+from .catalog import register
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    survey="J1",
+    doc="TPC-H Q5 shape: six-table star join, local-supplier predicate "
+    "(c_nationkey = s_nationkey), region filter, revenue per nation. "
+    "All dims broadcast; one shuffle for the final aggregate.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture(spark, sf_dir, "lineitem")
+    o = load_fixture(spark, sf_dir, "orders")
+    c = load_fixture(spark, sf_dir, "customer")
+    s = load_fixture(spark, sf_dir, "supplier")
+    n = load_fixture(spark, sf_dir, "nation")
+    r = load_fixture(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_brand_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(CASE WHEN p_brand = 'Brand#2'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    survey="J1,A4,F9",
+    doc="TPC-H Q8 shape: conditional (CASE) aggregate over a fact-dim join "
+    "computes one brand's revenue share per order year.",
+)
+def q8_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture(spark, sf_dir, "lineitem")
+    o = load_fixture(spark, sf_dir, "orders")
+    p = load_fixture(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_rev = F.when(F.col("p_brand") == "Brand#2", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(brand_rev) / F.sum(rev), 4).alias("mkt_share"))
+    )
+
+
+@register(
+    "asof_last_purchase_before_click",
+    oracle="""
+    SELECT a.event_id,
+           a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           ROUND(b.value, 4) AS purchase_value,
+           CAST(FLOOR(epoch_us(a.ts - b.ts) / 60000000) AS BIGINT) AS minutes_since
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    survey="J1,F6",
+    doc="As-of join: each click gets the latest purchase at-or-before it per "
+    "user — sort-based union+window operator (operators/asof.py), one "
+    "shuffle, O(n) vs the quadratic naive range join; oracle is DuckDB's "
+    "native ASOF JOIN.",
+)
+def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        right_values=["purchase_value", "ts"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        # integer-µs arithmetic: unix_timestamp would drop sub-second parts
+        # and drift one minute off the oracle's epoch_us computation
+        F.floor(
+            (F.unix_micros("click_ts") - F.unix_micros("ts")) / 60_000_000
+        ).alias("minutes_since"),
+    )

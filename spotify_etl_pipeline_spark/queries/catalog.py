@@ -59,6 +59,7 @@ def register(name: str, oracle: str | None, survey: str, doc: str = ""):
 def _load_all() -> None:
     """Import every module that registers queries (import side-effect)."""
     from . import (  # noqa: F401
+        advanced_joins,
         dedup_queries,
         multimodal_queries,
         reference,
