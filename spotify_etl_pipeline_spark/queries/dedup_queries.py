@@ -194,3 +194,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(
         load_fixture(spark, sf_dir, "embeddings"), threshold=0.45
     )
+
+
+_EDGE_SQL = f"""
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN cnt ca ON inter.doc_a = ca.doc_id
+      JOIN cnt cb ON inter.doc_b = cb.doc_id
+      WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    )
+"""
+
+
+@register(
+    "dedup_resolve_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_EDGE_SQL},
+    reach(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    survey="X1,X2",
+    doc="End-to-end dedup verdict: near-dup pairs (3-gram Jaccard ≥ 0.8) → "
+    "connected components via iterative min-label propagation "
+    "(operators/components.py) → cluster id + survivor flag for every "
+    "document. Oracle recomputes the fixpoint with a recursive CTE.",
+)
+def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import resolve_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return resolve_duplicates(docs.select("doc_id"), pairs, id_col="doc_id")

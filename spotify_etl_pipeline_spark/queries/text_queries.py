@@ -135,3 +135,44 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_docs(spark, sf_dir))
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.dfreq,
+           ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.dfreq), 4) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+    survey="X4",
+    doc="TF-IDF: per-(doc, token) term frequency × ln(N/doc-frequency). "
+    "Two hash aggregates + a vocab-sized join (AQE broadcasts it) + a "
+    "1-row broadcast for N — no global sort, no UDF.",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 4
+            ).alias("tfidf"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.8 extension; the PySpark arbitrary-state API).
+
+Built-in windowed aggregations cover time buckets; anything with bespoke
+per-key state machines (running totals with alert thresholds, fraud
+counters, feature freshness) needs the arbitrary-stateful operator. The
+example here keeps one running (count, sum) per user and emits the updated
+totals for every micro-batch the user appears in, evicting state for users
+idle past a processing-time timeout — the canonical bounded-state pattern
+for an unbounded keyspace (at 100 TB/day the timeout IS the memory bound).
+
+State is a tuple in a ``GroupState``; rows stream through Arrow batches.
+Batch-equivalence (availableNow over the fixture == groupBy on the same
+data) is asserted in tests — the operator is deliberately deterministic so
+that check is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = "n LONG, total DOUBLE"
+
+
+def _make_update_fn(idle_timeout_ms: int | None):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle key: evict state, emit nothing
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return update
+
+
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Per-user running (count, sum(value)) arbitrary-stateful operator.
+
+    ``idle_timeout_ms`` turns on processing-time state eviction — the
+    memory bound for an unbounded keyspace on a continuous stream. Leave it
+    off (default) for run-to-completion ``availableNow`` jobs: a pending
+    timeout keeps the query alive waiting to fire it, so bounded runs would
+    never terminate.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(idle_timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

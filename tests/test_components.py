@@ -1,0 +1,35 @@
+"""Unit tests for iterative connected components (operators/components.py)."""
+
+from __future__ import annotations
+
+from spotify_etl_pipeline_spark.operators.components import (
+    connected_components,
+    resolve_duplicates,
+)
+
+
+def test_chain_converges_to_min_label(spark):
+    # 1-2-3-4-5 chain (diameter 4, forces several propagation rounds)
+    # plus a separate 10-11 pair and isolated-by-absence node semantics.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_resolve_marks_survivors_and_singletons(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in resolve_duplicates(df, pairs, id_col="doc_id").collect()
+    }
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),  # singleton: own cluster, survives
+        5: (5, True),
+        6: (5, False),
+    }

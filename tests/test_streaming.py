@@ -92,3 +92,40 @@ def test_dedup_stream_passes_unique_events(spark, events_stream, sf_dir):
     n_stream = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").first()["n"]
     n_batch = load_fixture(spark, sf_dir, "events").count()
     assert n_stream == n_batch  # fixture has unique event ids
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, events_stream):
+    """applyInPandasWithState over a bounded availableNow stream: each
+    user's last update-mode emission must equal the batch groupBy totals."""
+    from pyspark.sql.window import Window
+
+    from spotify_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+    out = running_user_totals(events_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("stateful_totals")
+    # update mode emits one row per (micro-batch, active user); the final
+    # emission per user carries the running totals over everything seen
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    last = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    batch = (
+        load_fixture(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    diff = last.exceptAll(batch).count() + batch.exceptAll(last).count()
+    assert diff == 0
