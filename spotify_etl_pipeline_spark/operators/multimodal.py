@@ -84,3 +84,55 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id LONG, width INT, height INT, n_bytes INT"
+FRAME_SCHEMA = "doc_id LONG, frame_idx INT, frame_offset INT, frame_bytes BINARY"
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image-resize stage shape over mapInPandas.
+
+    A real deployment calls PIL inside the batch loop (see
+    :func:`decode_media` for why that is stubbed); the deterministic fake
+    'resizes' by truncating the payload to width*height bytes, which keeps
+    the Spark contract — per-batch Arrow transfer, bounded memory, schema
+    with target dimensions — fully exercised and testable.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": pdf["payload"]
+                    .map(lambda b: min(len(b), target))
+                    .astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Video frame-sampling stage shape: one input row fans out to ≤
+    ``max_frames`` output rows (1:N mapInPandas — the part that cannot be
+    a scalar UDF). The fake 'frame' is an 8-byte slice at each stride
+    offset; a real decoder emits keyframes at timestamp strides.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(len(payload), 1) // every_n_bytes + 1)):
+                    off = i * every_n_bytes
+                    rows.append((doc_id, i, off, bytes(payload[off : off + 8])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"]
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -30,3 +30,54 @@ from .catalog import register
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fixture(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS INTEGER) AS width,
+           CAST(64 AS INTEGER) AS height,
+           CAST(LEAST(length(text), 4096) AS INTEGER) AS n_bytes
+    FROM documents
+    """,
+    survey="X5",
+    doc="Image-resize stage shape (mapInPandas, Arrow-batched; deterministic "
+    "fake for the stubbed codec — see operators/multimodal.py).",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, resize_images
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return resize_images(attach_binary_payload(docs), width=64, height=64)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 64 AS INTEGER) AS frame_offset,
+           substring(d.text, CAST(i * 64 + 1 AS INTEGER), 8) AS frame_str
+    FROM documents d,
+         (SELECT unnest(range(4)) AS i) idx
+    WHERE i < LEAST(4, CAST(FLOOR(GREATEST(length(d.text), 1) / 64) AS INTEGER) + 1)
+    """,
+    survey="X5",
+    doc="Video frame-sampling shape: 1:N mapInPandas fan-out (<=4 frames per "
+    "payload at 64-byte strides); frames decoded to strings for the oracle "
+    "(payloads are ASCII so byte and char offsets agree).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs), every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.decode("frame_bytes", "utf-8").alias("frame_str"),
+    )

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the hand-built operators.
+
+Each property checks the scalable formulation against a brute-force
+reference on small random inputs — the operators' correctness must not
+depend on fixture quirks. Example counts are kept low: every example is a
+Spark job.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spotify_etl_pipeline_spark.operators.asof import asof_join
+from spotify_etl_pipeline_spark.operators.components import connected_components
+
+BASE = datetime(2024, 1, 1)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, minutes-offset) event lists; distinct offsets per side avoid
+# cross-engine tie ambiguity (tie determinism is pinned in test_asof.py).
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),
+    min_size=1, max_size=25, unique=True,
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 1000)),
+    min_size=1, max_size=25, unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(left=_left_rows, right=_right_rows)
+@settings(**_SETTINGS)
+def test_asof_equals_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + timedelta(minutes=m)) for i, (k, m) in enumerate(left)],
+        "id long, k long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), float(v)) for k, m, v in right],
+        "k long, rts timestamp, v double",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            right_values=["v"], how="left",
+        ).collect()
+    }
+    # brute force: latest right at-or-before, per key
+    expect = {}
+    for i, (k, m) in enumerate(left):
+        cands = [(rm, v) for rk, rm, v in right if rk == k and rm <= m]
+        expect[i] = float(max(cands)[1]) if cands else None
+    assert got == expect
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=30,
+)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_components_equal_union_find(spark, edges):
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(edf).collect()
+    }
+    # brute-force union-find
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
