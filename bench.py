@@ -53,8 +53,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     all_queries = queries()
     names = [n for n in HEADLINE if n in all_queries]
-    # warm the JVM + parquet footers once so per-query times measure the plan
+    # warm the JVM + parquet footers, and spin up the Python/Arrow workers
+    # (one-time ~2s daemon startup that would otherwise land on whichever
+    # mapInPandas query runs first), so per-query times measure steady state
     all_queries[names[0]](spark, sf_dir).collect()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
     for name in names:
