@@ -72,3 +72,16 @@ def test_simhash_close_for_near_dups(spark, sf_dir):
     if pairs:
         dists = [bin(sims[a] ^ sims[b]).count("1") for a, b in pairs]
         assert sum(dists) / len(dists) <= 6, dists
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark, sf_dir):
+    """The PPJoin-style prefix filter must be EXACT: identical pair set and
+    scores to the plain shingle-blocked join."""
+    from spotify_etl_pipeline_spark.operators import dedup as D
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    plain = D.ngram_jaccard_pairs(docs, n=3, threshold=0.7, prefix_filter=False)
+    pref = D.ngram_jaccard_pairs(docs, n=3, threshold=0.7, prefix_filter=True)
+    diff = plain.exceptAll(pref).count() + pref.exceptAll(plain).count()
+    assert diff == 0
