@@ -112,3 +112,49 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> No
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_join_stream(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join (SURVEY.md X8 extension):
+    purchases joined to the clicks that preceded them by ≤ ``max_gap`` for
+    the same user.
+
+    Both sides carry watermarks and the join has a two-sided time-range
+    predicate — exactly what Spark needs to bound join state: click state
+    can be dropped once the purchase-side watermark passes click_ts +
+    max_gap, so state is O(events within the gap window), not O(stream).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 2).alias("value"),
+    )

@@ -129,3 +129,44 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, events_stream):
     )
     diff = last.exceptAll(batch).count() + batch.exceptAll(last).count()
     assert diff == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
+    """Watermarked stream-stream click→purchase join over a bounded stream
+    must equal the same join expressed in batch."""
+    from spotify_etl_pipeline_spark.streaming.windows import (
+        click_purchase_join_stream,
+    )
+
+    run_to_memory(
+        click_purchase_join_stream(events_stream), "ssj_out", output_mode="append"
+    )
+    streamed = spark.table("ssj_out")
+    ev = load_fixture(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 2).alias("value"),
+    )
+    assert streamed.count() == batch.count() and streamed.count() > 0
+    diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert diff == 0
