@@ -87,3 +87,41 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+@register(
+    "events_daily_from_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="X8",
+    doc="Multi-resolution rollup (continuous-aggregate pattern): the daily "
+    "aggregate is computed FROM the hourly partials (sum-of-sums / "
+    "sum-of-counts), not from raw events — at 100 TB the hourly tier is "
+    "materialized once and every coarser resolution reuses it, so the "
+    "raw-event scan happens exactly once per ingest. Oracle aggregates "
+    "raw directly; equality holds because rounding is deferred to the "
+    "final tier.",
+)
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("w.start")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
+    )
