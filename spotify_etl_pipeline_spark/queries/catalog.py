@@ -65,6 +65,7 @@ def _load_all() -> None:
         reference,
         relational,
         similarity_queries,
+        sql_surface,
         text_queries,
         window_queries,
     )

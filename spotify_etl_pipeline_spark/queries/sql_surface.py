@@ -1,0 +1,245 @@
+"""Warehouse SQL surface: TPC-H-shaped queries exercising the SQL features
+the rest of the catalog doesn't — EXISTS semi-joins with inequality
+predicates, outer-join distributions, GROUP BY ... HAVING over subquery
+facts, scalar-subquery predicates, aliased-dim self-joins, and explicit
+window frame specifications. Several run through ``spark.sql`` over temp
+views to prove the SQL entry path end-to-end (same Catalyst plans as the
+DataFrame API — SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_fixture
+from .catalog import register
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    load_fixture(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    survey="J2,A4",
+    doc="TPC-H Q4 shape: EXISTS with an inequality correlation (shipped "
+    ">60 days after ordering) → LeftSemi join, then count per priority.",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    survey="J1",
+    doc="TPC-H Q7 shape: the nation dim joined TWICE under different "
+    "aliases (supplier side vs customer side) with a disjunctive pair "
+    "filter — run through spark.sql to exercise the SQL entry path.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier", "customer", "nation"):
+        _view(spark, sf_dir, t)
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    survey="J1,A4",
+    doc="TPC-H Q13 shape: LEFT OUTER join preserving order-less customers "
+    "(COUNT(col) ignores their nulls) + a second aggregation over the "
+    "first's result — the orders-per-customer histogram.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_fixture(spark, sf_dir, "customer")
+    o = load_fixture(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders  ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    survey="J1,A4,W2",
+    doc="TPC-H Q18 shape: IN-subquery with GROUP BY ... HAVING (orders "
+    "whose total quantity tops 250) re-joined to customer and lineitem — "
+    "run through spark.sql.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        _view(spark, sf_dir, t)
+    return spark.sql(
+        """
+        SELECT c_name, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               SUM(l_quantity) AS sum_qty
+        FROM customer
+        JOIN orders  ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+    survey="J2,A4",
+    doc="TPC-H Q22 shape: scalar-subquery threshold (above-average positive "
+    "balance) + NOT EXISTS anti-join (never placed an urgent order), "
+    "grouped per nation.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_fixture(spark, sf_dir, "customer")
+    o = load_fixture(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER w3, 2) AS moving_sum3,
+           ROUND(MAX(o_totalprice) OVER cum, 2) AS cum_max,
+           NTILE(4) OVER full_w AS quartile,
+           ROUND(PERCENT_RANK() OVER full_w, 4) AS pct_rank
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW
+      w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      full_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey="W1,W2",
+    doc="Explicit frame specifications: 3-row moving sum, cumulative "
+    "max, NTILE quartiles, PERCENT_RANK — one exchange on the partition "
+    "key serves all four window functions.",
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w3 = (
+        Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    )
+    cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    full_w = Window.partitionBy("o_custkey").orderBy(*order)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w3), 2).alias("moving_sum3"),
+        F.round(F.max("o_totalprice").over(cum), 2).alias("cum_max"),
+        F.ntile(4).over(full_w).alias("quartile"),
+        F.round(F.percent_rank().over(full_w), 4).alias("pct_rank"),
+    )

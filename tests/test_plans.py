@@ -28,7 +28,7 @@ from spotify_etl_pipeline_spark.queries.catalog import queries
 # construction — everything else must never plan a cartesian/nested-loop
 # join.
 PAIRWISE_OK = {"knn_brute_force", "knn_ivf", "dedup_embedding_cosine"}
-SCALAR_ATTACH_OK = {"text_tfidf"}
+SCALAR_ATTACH_OK = {"text_tfidf", "q22_idle_rich_customers"}
 
 
 def test_flagship_broadcasts_dims_and_takeordered(spark, sf_dir):
