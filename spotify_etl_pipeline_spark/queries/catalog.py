@@ -62,6 +62,7 @@ def _load_all() -> None:
         advanced_joins,
         dedup_queries,
         multimodal_queries,
+        pipeline_ops,
         reference,
         relational,
         similarity_queries,

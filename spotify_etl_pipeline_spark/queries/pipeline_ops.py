@@ -1,0 +1,126 @@
+"""Training-data pipeline utilities (driver-mandate extension tier):
+deterministic dataset splitting, histogram binning, and per-group anomaly
+scoring. All pure built-ins, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import FP_BASE, MOD, _token_value
+from ..schemas import load_fixture
+from .catalog import register
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   t -> CAST({_token_value('t')} AS BIGINT))),
+               (acc, v) -> (acc * {FP_BASE} + v) % {MOD}) AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM fp
+    GROUP BY 1, 2
+    """,
+    survey="X4,X1",
+    doc="Deterministic train/valid/test split (80/10/10) keyed on the "
+    "CONTENT fingerprint, not the doc id — re-ingested or re-ordered "
+    "corpora land every document in the same split, and near-identical "
+    "snapshots cannot leak a doc across splits. The rolling-hash formula "
+    "is shared with the oracle (operators/text.py fingerprint).",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+        f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
+    )
+    bucket = fp % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    survey="X6,A4",
+    doc="Fixed-width histogram via FLOOR-bucketing — the single-pass "
+    "distributed histogram shape (one hash aggregate, no sort).",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "events_zscore_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 2) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS((e.value - s.mu) / s.sigma) > 3
+    """,
+    survey="A4,W1",
+    doc="Per-group z-score outliers (|z| > 3): one aggregate for the "
+    "per-type moments, broadcast back over the stream — the shape scales "
+    "as a map-side join since the stats side is group-count-sized.",
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 2).alias("zscore"),
+        )
+    )
