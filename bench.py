@@ -38,6 +38,9 @@ HEADLINE = [
     "window_running_sum",
     "cube_lineitem",
     "json_props_extract",
+    "q18_large_volume_orders",
+    "text_tfidf",
+    "dataset_split",
     "dedup_ngram_jaccard",
     "dedup_lsh_candidates",
     "knn_brute_force",

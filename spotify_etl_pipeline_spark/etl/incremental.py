@@ -47,3 +47,74 @@ def upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def scd2_apply(
+    existing: DataFrame,
+    increment: DataFrame,
+    pk: str,
+    attrs: list[str],
+    effective_col: str = "effective_from",
+    end_col: str = "effective_to",
+    current_col: str = "is_current",
+    version_col: str = "extracted_at",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: keep history instead of overwriting.
+
+    ``existing`` is an SCD2 table (one current row per key, closed rows
+    carry ``effective_to``); ``increment`` is a fresh snapshot with
+    ``version_col`` as its as-of timestamp. Changed or new keys get a new
+    current row effective from the increment's version; the superseded
+    current row is closed at that same instant. Unchanged keys pass
+    through untouched — change detection compares the tracked ``attrs``
+    null-safely.
+
+    Scale: one shuffle on the key (the union + window), same exchange the
+    plain upsert costs; history rows never move. This is the MERGE-free
+    formulation of the Delta/Iceberg SCD2 recipe (reference README.md:51
+    tracks only latest state; this keeps the full lineage the warehouse
+    layer would want).
+    """
+    cur = existing.filter(F.col(current_col))
+    hist = existing.filter(~F.col(current_col))
+
+    inc = increment.select(
+        pk,
+        *attrs,
+        F.col(version_col).alias(effective_col),
+    )
+    changed_or_new = inc.alias("n").join(
+        cur.alias("c"), on=pk, how="left_outer"
+    ).filter(
+        F.col(f"c.{pk}").isNull()
+        | ~F.struct(*[F.col(f"n.{a}") for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"c.{a}") for a in attrs])
+        )
+    )
+    new_rows = changed_or_new.select(
+        pk,
+        *[F.col(f"n.{a}").alias(a) for a in attrs],
+        F.col(f"n.{effective_col}").alias(effective_col),
+        F.lit(None).cast("timestamp").alias(end_col),
+        F.lit(True).alias(current_col),
+    )
+    closing_keys = changed_or_new.filter(F.col(f"c.{pk}").isNotNull()).select(
+        F.col(pk), F.col(f"n.{effective_col}").alias("_close_at")
+    )
+    closed = (
+        cur.join(closing_keys, pk, "left")
+        .withColumn(
+            current_col,
+            F.when(F.col("_close_at").isNotNull(), F.lit(False)).otherwise(
+                F.col(current_col)
+            ),
+        )
+        .withColumn(
+            end_col,
+            F.when(F.col("_close_at").isNotNull(), F.col("_close_at")).otherwise(
+                F.col(end_col)
+            ),
+        )
+        .drop("_close_at")
+    )
+    return hist.unionByName(closed).unionByName(new_rows.select(hist.columns))

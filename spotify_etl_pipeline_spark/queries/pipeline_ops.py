@@ -124,3 +124,37 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 2).alias("zscore"),
         )
     )
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS column_name, COUNT(doc_id) AS n_nonnull,
+           COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(source), COUNT(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars) FROM documents
+    """,
+    survey="A1,X6",
+    doc="Schema-wide data profile in ONE scan: count + countDistinct per "
+    "column computed in a single aggregate (Catalyst expands to one "
+    "Expand+HashAggregate pass), then unpivoted with stack() — the "
+    "corpus-audit shape that at 100 TB must not rescan per column.",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(c).alias(f"{c}__n"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__d"))
+    wide = docs.agg(*aggs)
+    stack = ", ".join(f"'{c}', {c}__n, {c}__d" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nonnull, n_distinct)"
+        )
+    )

@@ -174,3 +174,39 @@ def test_write_gold_with_csv_parity(spark, gold, tmp_path):
         f"{root}/transformed_data/song_data"
     )
     assert csv.count() == 4 and "song_id" in csv.columns
+
+
+def test_scd2_tracks_history(spark):
+    """Type-2 SCD: changed attrs close the old row and open a new current
+    one; unchanged keys pass through; new keys just appear."""
+    from datetime import datetime
+
+    from spotify_etl_pipeline_spark.etl.incremental import scd2_apply
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    existing = spark.createDataFrame(
+        [
+            ("a1", "Old Label", t0, None, True),
+            ("a2", "Same Label", t0, None, True),
+        ],
+        "album_id string, label string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    snapshot = spark.createDataFrame(
+        [
+            ("a1", "New Label", t1),   # changed → close + reopen
+            ("a2", "Same Label", t1),  # unchanged → untouched
+            ("a3", "Brand New", t1),   # new key → insert
+        ],
+        "album_id string, label string, extracted_at timestamp",
+    )
+    out = scd2_apply(existing, snapshot, pk="album_id", attrs=["label"])
+    rows = {
+        (r["album_id"], r["label"], r["is_current"]): r for r in out.collect()
+    }
+    assert len(rows) == 4
+    closed = rows[("a1", "Old Label", False)]
+    assert closed["effective_to"] == t1
+    assert rows[("a1", "New Label", True)]["effective_from"] == t1
+    assert rows[("a2", "Same Label", True)]["effective_from"] == t0
+    assert rows[("a3", "Brand New", True)]["effective_from"] == t1
