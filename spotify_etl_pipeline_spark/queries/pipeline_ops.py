@@ -158,3 +158,41 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack}) AS (column_name, n_nonnull, n_distinct)"
         )
     )
+
+
+@register(
+    "orders_priority_pivot",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+               AS not_specified,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+    FROM orders
+    GROUP BY 1
+    """,
+    survey="A4,X7",
+    doc="Wide-format pivot: groupBy(year).pivot(priority).count() with the "
+    "value list given explicitly — with it, Catalyst plans ONE aggregate "
+    "pass; without it, Spark must first run a distinct scan to discover "
+    "the pivot values (never omit the list at 100 TB).",
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders")
+    names = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .pivot("o_orderpriority", list(names))
+        .count()
+    )
+    return wide.select(
+        "o_year", *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(n) for v, n in names.items()]
+    )
