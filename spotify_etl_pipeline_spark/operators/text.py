@@ -89,22 +89,29 @@ def language_scores(df: DataFrame) -> DataFrame:
 
 def quality_score(df: DataFrame) -> DataFrame:
     """Composite document quality: length saturation + lexical diversity +
-    non-stopword density, each in [0,1], weighted 0.4/0.3/0.3."""
-    toks = tokens("text")
-    n = F.size(toks)
-    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
-    stop_frac = stopword_fraction(toks, LANG_PROFILES["en"])
-    score = (
-        0.4 * F.least(n / F.lit(100.0), F.lit(1.0))
-        + 0.3 * uniq_ratio
-        + 0.3 * (1 - stop_frac)
-    )
-    return df.select(
+    non-stopword density, weighted 0.4/0.3/0.3, on a 0–10000 milli scale.
+
+    Deliberately INTEGER arithmetic end to end (counts, ``div``): a float
+    formulation rounded to 4dp can land on a half-ulp boundary where two
+    engines' round() disagree — observed at sf0.1 before this was
+    integerized. Exact integers compare exactly, at every scale.
+    """
+    stop_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    # 0.4*min(n/100,1)*10000 = 40*min(n,100); 0.3*(x/n)*10000 = (3000*x) div n
+    return df.selectExpr(
         "doc_id",
         "lang",
-        n.alias("n_tokens"),
-        F.round(uniq_ratio, 4).alias("unique_ratio"),
-        F.round(score, 4).alias("quality"),
+        "size(split(text, ' ')) AS n_tokens",
+        "size(array_distinct(split(text, ' '))) AS n_unique",
+        f"""
+        CAST(40 * least(greatest(size(split(text, ' ')), 1), 100)
+             + (3000 * size(array_distinct(split(text, ' '))))
+               div greatest(size(split(text, ' ')), 1)
+             + 3000
+             - (3000 * size(filter(split(text, ' '), t -> t IN ({stop_list}))))
+               div greatest(size(split(text, ' ')), 1)
+        AS BIGINT) AS quality_milli
+        """,
     )
 
 

@@ -196,3 +196,33 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "o_year", *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(n) for v, n in names.items()]
     )
+
+
+@register(
+    "sample_stratified_systematic",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn % 10 = 1
+    """,
+    survey="X1,A5",
+    doc="Deterministic stratified 10% sample: every 10th document per "
+    "language stratum in doc_id order. Systematic sampling instead of "
+    "Bernoulli sampleBy because RNG draws cannot be reproduced by an "
+    "external oracle and make pipeline reruns non-idempotent — for "
+    "training-data work the sample must be a pure function of the corpus.",
+)
+def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "lang")
+    )

@@ -86,18 +86,22 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, lang,
            len(string_split(text, ' ')) AS n_tokens,
-           ROUND(len(list_distinct(string_split(text, ' ')))
-                 / greatest(len(string_split(text, ' ')), 1), 4) AS unique_ratio,
-           ROUND(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
-               + 0.3 * (len(list_distinct(string_split(text, ' ')))
-                        / greatest(len(string_split(text, ' ')), 1))
-               + 0.3 * (1 - len(list_filter(string_split(text, ' '),
-                                            t -> list_contains([{_EN}], t)))
-                            / greatest(len(string_split(text, ' ')), 1)), 4) AS quality
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           CAST(40 * least(greatest(len(string_split(text, ' ')), 1), 100)
+              + (3000 * len(list_distinct(string_split(text, ' '))))
+                // greatest(len(string_split(text, ' ')), 1)
+              + 3000
+              - (3000 * len(list_filter(string_split(text, ' '),
+                                        t -> list_contains([{_EN}], t))))
+                // greatest(len(string_split(text, ' ')), 1)
+           AS BIGINT) AS quality_milli
     FROM documents
     """,
     survey="X4",
-    doc="Composite quality score: length saturation + diversity + non-stopword density.",
+    doc="Composite quality score (length saturation + diversity + "
+    "non-stopword density) on a 0-10000 integer milli scale — pure integer "
+    "arithmetic because a float score rounded to 4dp hit a half-ulp "
+    "boundary at sf0.1 where the two engines' round() disagreed.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(_docs(spark, sf_dir))
