@@ -60,6 +60,7 @@ def _load_all() -> None:
     """Import every module that registers queries (import side-effect)."""
     from . import (  # noqa: F401
         advanced_joins,
+        corpus,
         dedup_queries,
         multimodal_queries,
         pipeline_ops,
