@@ -1,0 +1,65 @@
+"""Table maintenance: small-file compaction and range-clustered layout.
+
+The two background chores every 100 TB parquet lake needs:
+
+- **compact** — streaming/incremental ingest produces files sized by
+  trigger cadence, not by optimal scan granularity; thousands of KB-files
+  make listing + footer reads dominate scan time. Compaction rewrites a
+  table at a target file size (row-count estimated from the existing
+  files' average row width).
+- **write_range_clustered** — repartitionByRange + sortWithinPartitions on
+  a filter column gives each output file a tight, near-disjoint min/max
+  range for that column, so parquet row-group statistics let scans skip
+  whole files (poor man's Z-order for one dimension — the layout half of
+  predicate pushdown: the filter reaches the scan either way, but only a
+  clustered layout makes the scan skip).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int | None = None,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite ``path`` into ``out_path`` with ~target-sized files.
+
+    Returns the number of output files. Row target derives from the
+    source's average bytes/row when not given explicitly. Writes to a NEW
+    path (swap via rename/pointer outside) — never overwrite in place
+    without a transactional table format.
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    if n_rows == 0:
+        df.repartition(1).write.mode("overwrite").parquet(out_path)
+        return 1
+    if target_rows_per_file is None:
+        src_bytes = sum(
+            f.stat().st_size
+            for f in __import__("pathlib").Path(path).rglob("*.parquet")
+        )
+        bytes_per_row = max(src_bytes / n_rows, 1.0)
+        target_rows_per_file = max(int(target_file_mb * 1024 * 1024 / bytes_per_row), 1)
+    n_files = max(math.ceil(n_rows / target_rows_per_file), 1)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def write_range_clustered(
+    df: DataFrame, out_path: str, cluster_col: str, n_files: int
+) -> None:
+    """Range-partitioned, sorted-within-file layout on ``cluster_col``."""
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
