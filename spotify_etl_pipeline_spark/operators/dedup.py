@@ -61,11 +61,18 @@ def doc_shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
     The token array is materialized as a column *before* shingling: the
     shingle expression indexes it O(n·positions) times, and re-running
-    ``split`` per reference is a 6× slowdown measured at sf0.1."""
-    return (
-        df.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.explode(shingles("toks", n)).alias("shingle"))
-        .distinct()
+    ``split`` per reference is a 6× slowdown measured at sf0.1.
+
+    Set semantics come from ``array_distinct`` on the per-document shingle
+    array — a narrow, in-row dedup — NOT a cluster-wide ``.distinct()``:
+    duplicates of a shingle only ever occur within one document, so a
+    whole-table exchange to dedup them is a wasted shuffle of every
+    posting."""
+    return df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("toks", n))).alias("shingle"),
     )
 
 
