@@ -1,0 +1,87 @@
+"""Streaming near-dup index maintenance: the LSH index as a live artifact.
+
+Composes the file-source incremental pipeline (pipeline.py) with the
+vocabulary-free incremental LSH (operators/dedup.py): each arriving batch
+of documents computes ONLY its own signatures, joins its buckets against
+the stored index for cross-batch candidates, finds within-batch
+candidates, then appends its signatures to the index — per-batch cost
+O(batch), never O(corpus). Checkpointing makes the whole thing
+exactly-once: a replayed file neither duplicates signatures nor emits its
+pairs twice.
+
+Over a finite input with ``Trigger.AvailableNow`` the union of all emitted
+pairs equals a full-corpus LSH recompute (asserted in tests) — every pair
+is discovered by whichever of its two documents arrives second.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.dedup import MINHASH_A, lsh_candidates_incremental
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_SIG_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"h{i}", T.LongType()) for i in range(len(MINHASH_A))]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )
+
+
+def _existing_sigs(spark: SparkSession, index_path: str) -> DataFrame:
+    if os.path.isdir(index_path) and any(
+        f.endswith(".parquet") for f in os.listdir(index_path)
+    ):
+        return spark.read.parquet(index_path)
+    return spark.createDataFrame([], _SIG_SCHEMA)
+
+
+def run_dedup_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    n: int = 3,
+) -> None:
+    """Drive the incremental index to completion over current files."""
+
+    def step(batch: DataFrame, _epoch: int) -> None:
+        sess = batch.sparkSession
+        new_sigs, pairs = lsh_candidates_incremental(
+            _existing_sigs(sess, index_path), batch, n
+        )
+        # materialize pairs BEFORE appending signatures: the join must see
+        # the index as-of the start of the batch, not its own additions
+        pairs.write.mode("append").parquet(pairs_path)
+        new_sigs.write.mode("append").parquet(index_path)
+
+    q = (
+        read_documents_stream(spark, docs_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

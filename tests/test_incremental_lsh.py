@@ -64,3 +64,60 @@ def test_incremental_pairs_equal_full_recompute_on_new_docs(spark, sf_dir):
     assert got == expected
     # appending new_sigs keeps the index complete for the next batch
     assert old_sigs.unionByName(new_sigs).count() == docs.count()
+
+
+def test_streaming_index_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Two document files arriving as separate micro-batches: the emitted
+    pair union must equal a full-corpus LSH recompute, and the index must
+    end complete. Re-running the stream must be a no-op (exactly-once)."""
+    from spotify_etl_pipeline_spark.streaming.dedup_index import (
+        run_dedup_index_stream,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(docs_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        docs_dir
+    )
+    index = str(tmp_path / "sig_index")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    run_dedup_index_stream(spark, docs_dir, index, pairs, ckpt)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs).collect()
+    }
+    # full recompute with the same hash family — via the incremental path
+    # seeded with an empty index is already covered; compare against the
+    # vocab-free full pipeline by rebuilding buckets over everything
+    from spotify_etl_pipeline_spark.operators.dedup import (
+        _band_buckets,
+        minhash_signatures_hashed,
+    )
+
+    fb = _band_buckets(minhash_signatures_hashed(docs))
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            fb.alias("a")
+            .join(
+                fb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    assert got == expected
+    assert spark.read.parquet(index).count() == docs.count()
+
+    # replay: checkpoint remembers both files — nothing new happens
+    run_dedup_index_stream(spark, docs_dir, index, pairs, ckpt)
+    assert spark.read.parquet(index).count() == docs.count()
