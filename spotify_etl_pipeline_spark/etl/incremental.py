@@ -78,10 +78,18 @@ def scd2_apply(
     cur = existing.filter(F.col(current_col))
     hist = existing.filter(~F.col(current_col))
 
-    inc = increment.select(
-        pk,
-        *attrs,
-        F.col(version_col).alias(effective_col),
+    # collapse the increment to one row per key (latest snapshot wins):
+    # applying two snapshots of the same key in one batch would otherwise
+    # open two "current" rows
+    w = Window.partitionBy(pk).orderBy(F.desc(version_col))
+    inc = (
+        increment.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            pk,
+            *attrs,
+            F.col(version_col).alias(effective_col),
+        )
     )
     changed_or_new = inc.alias("n").join(
         cur.alias("c"), on=pk, how="left_outer"

@@ -18,6 +18,7 @@ The two background chores every 100 TB parquet lake needs:
 from __future__ import annotations
 
 import math
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,8 +44,7 @@ def compact(
         return 1
     if target_rows_per_file is None:
         src_bytes = sum(
-            f.stat().st_size
-            for f in __import__("pathlib").Path(path).rglob("*.parquet")
+            f.stat().st_size for f in Path(path).rglob("*.parquet")
         )
         bytes_per_row = max(src_bytes / n_rows, 1.0)
         target_rows_per_file = max(int(target_file_mb * 1024 * 1024 / bytes_per_row), 1)

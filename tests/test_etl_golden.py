@@ -210,3 +210,32 @@ def test_scd2_tracks_history(spark):
     assert rows[("a1", "New Label", True)]["effective_from"] == t1
     assert rows[("a2", "Same Label", True)]["effective_from"] == t0
     assert rows[("a3", "Brand New", True)]["effective_from"] == t1
+
+
+def test_scd2_collapses_multi_snapshot_increment(spark):
+    """Two snapshots of the same key in one batch: only the latest applies,
+    and exactly one current row results."""
+    from datetime import datetime
+
+    from spotify_etl_pipeline_spark.etl.incremental import scd2_apply
+
+    t0, t1, t2 = (
+        datetime(2024, 1, 1),
+        datetime(2024, 2, 1),
+        datetime(2024, 3, 1),
+    )
+    existing = spark.createDataFrame(
+        [("a1", "V0", t0, None, True)],
+        "album_id string, label string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    batch = spark.createDataFrame(
+        [("a1", "V1", t1), ("a1", "V2", t2)],
+        "album_id string, label string, extracted_at timestamp",
+    )
+    out = scd2_apply(existing, batch, pk="album_id", attrs=["label"]).collect()
+    current = [r for r in out if r["is_current"]]
+    assert len(current) == 1 and current[0]["label"] == "V2"
+    assert current[0]["effective_from"] == t2
+    closed = [r for r in out if not r["is_current"]]
+    assert len(closed) == 1 and closed[0]["effective_to"] == t2
