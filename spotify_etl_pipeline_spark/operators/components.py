@@ -42,6 +42,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         # neighbor's current component, min-ed per node
         msgs = (
@@ -65,6 +66,13 @@ def connected_components(
         comp = new.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # a silently-unconverged labeling would merge/split clusters wrongly;
+        # deep graphs need more rounds (or the large-star/small-star variant)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return comp
 
 

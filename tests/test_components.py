@@ -33,3 +33,18 @@ def test_resolve_marks_survivors_and_singletons(spark):
         5: (5, True),
         6: (5, False),
     }
+
+
+def test_nonconvergence_raises(spark):
+    """A chain deeper than max_iter must raise, never return a silently
+    wrong labeling."""
+    import pytest
+
+    deep_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(deep_chain, max_iter=2)
+    # and with enough rounds the same graph resolves fine
+    comp = {r["node"]: r["component"] for r in connected_components(deep_chain).collect()}
+    assert set(comp.values()) == {0}
