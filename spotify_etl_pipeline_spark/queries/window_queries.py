@@ -125,3 +125,75 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 2) AS total
+      FROM events
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.event_type,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(hourly.n, 0) AS n,
+           COALESCE(hourly.total,
+                    LAST_VALUE(hourly.total IGNORE NULLS) OVER (
+                      PARTITION BY g.event_type ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )) AS total_locf
+    FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type
+                                AND g.h = hourly.h
+    """,
+    survey="X8,F4",
+    doc="Hypertable-style gap filling: a dense per-type hourly grid built "
+    "with sequence() (per-group bounds — no global scalar), zero-filled "
+    "counts, and last-observation-carried-forward totals via an "
+    "ignore-nulls window. Hourly totals are rounded BEFORE the carry so "
+    "both engines forward identical values.",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce(
+                "total", F.last("total", ignorenulls=True).over(w)
+            ).alias("total_locf"),
+        )
+    )
