@@ -140,3 +140,64 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
             (F.unix_micros("click_ts") - F.unix_micros("ts")) / 60_000_000
         ).alias("minutes_since"),
     )
+
+
+@register(
+    "events_range_pair_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           CAST(FLOOR(ABS(epoch_us(a.ts - b.ts)) / 1000000) AS BIGINT) AS gap_sec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND ABS(epoch_us(a.ts - b.ts)) <= 300 * 1000000
+    """,
+    survey="J1,X8",
+    doc="Range join via time-bucket blocking: pairs of same-user events "
+    "within 5 minutes. One side lands in its own 5-minute bucket, the "
+    "other explodes into {b-1, b, b+1}; the join is then a pure equi-join "
+    "on (user, bucket) + an exact residual filter — an inequality join "
+    "that would otherwise degenerate to a per-user nested loop becomes "
+    "shuffle-bounded. Oracle runs the plain inequality join.",
+)
+def events_range_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    window_us = 300 * 1_000_000
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    a = ev.withColumn("bucket", F.floor(F.col("us") / window_us))
+    b = (
+        ev.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("us") / window_us) - 1,
+                    F.floor(F.col("us") / window_us),
+                    F.floor(F.col("us") / window_us) + 1,
+                )
+            ),
+        )
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("us").alias("us_b"),
+            "bucket",
+        )
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == F.col("user_b"))
+            & (a.bucket == b.bucket)
+            & (a.event_id < F.col("id_b"))
+            & (F.abs(a.us - F.col("us_b")) <= window_us),
+        )
+        .select(
+            F.col("event_id").alias("id_a"),
+            "id_b",
+            "user_id",
+            F.floor(F.abs(F.col("us") - F.col("us_b")) / 1_000_000).alias("gap_sec"),
+        )
+        .distinct()
+    )
