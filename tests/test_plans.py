@@ -27,7 +27,12 @@ from spotify_etl_pipeline_spark.queries.catalog import queries
 # aggregate scalar (corpus size N in tf-idf) is a broadcast crossJoin by
 # construction — everything else must never plan a cartesian/nested-loop
 # join.
-PAIRWISE_OK = {"knn_brute_force", "knn_ivf", "dedup_embedding_cosine"}
+PAIRWISE_OK = {
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_quantized_topk",
+    "dedup_embedding_cosine",
+}
 SCALAR_ATTACH_OK = {"text_tfidf", "q22_idle_rich_customers"}
 
 
