@@ -79,3 +79,23 @@ def test_no_accidental_cartesian(name, spark, sf_dir):
     plan = executed_plan(queries()[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    """Hive-style partition layout (the ETL's stage/date routing shape):
+    a filter on the partition column must become a PartitionFilter —
+    pruned BEFORE any file is read — not a post-scan filter."""
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_fixture(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = executed_plan(df)
+    assert "PartitionFilters: [" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]\n]*)", plan)
+    assert m and "event_type" in m.group(1), plan
+    # and the count only touches the one partition
+    assert df.count() == ev.filter("event_type = 'click'").count()
