@@ -525,3 +525,30 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+@register(
+    "largest_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           ROUND(MAX(o_totalprice), 2) AS top_totalprice
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    survey="A4,W2",
+    doc="Per-group top-1 via max_by/arg_max: ONE hash aggregate with "
+    "partial+final merge instead of the window row_number alternative "
+    "(shuffle + per-group sort + filter) — for top-1 the aggregate "
+    "carries 16 bytes of state per group through map-side combine, the "
+    "window materializes and sorts every row. Determinism: "
+    "(o_custkey, o_totalprice) is verified tie-free at sf0.01 and sf0.1; "
+    "with ties you would break on a struct key (DuckDB's arg_max cannot "
+    "bind one, so the oracle would need a window formulation instead).",
+)
+def largest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_totalprice"),
+    )
