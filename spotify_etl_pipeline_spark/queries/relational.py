@@ -552,3 +552,35 @@ def largest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
         F.round(F.max("o_totalprice"), 2).alias("top_totalprice"),
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT metric, ROUND(SUM(val), 2) AS total, COUNT(*) AS n
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+    )
+    GROUP BY metric
+    """,
+    survey="O2,A4",
+    doc="Wide→long melt via the native unpivot operator (Expand node: one "
+    "scan emits all metric rows — the UNION ALL oracle formulation would "
+    "scan the fact table once per metric), then an aggregate per metric.",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="raw_metric",
+        valueColumnName="val",
+    )
+    metric = F.expr("substring(raw_metric, 3)")  # strip the 'l_' prefix
+    return (
+        long.select(metric.alias("metric"), "val")
+        .groupBy("metric")
+        .agg(F.round(F.sum("val"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+    )

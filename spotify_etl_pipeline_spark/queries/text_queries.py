@@ -180,3 +180,31 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+    survey="X4",
+    doc="Canonical pre-tokenization cleanup: lowercase → strip "
+    "non-alphanumerics → collapse runs of spaces → trim. Pure codegen "
+    "string expressions (regexp_replace is JVM-side); the normalize step "
+    "every corpus pipeline runs before shingling/tokenizing.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return _docs(spark, sf_dir).select("doc_id", clean.alias("clean_text"))
