@@ -30,3 +30,20 @@ def read_run_log(spark: SparkSession, root: str) -> DataFrame:
 
 def read_error_log(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.schema(PIPELINE_ERRORS_SCHEMA).parquet(f"{root}/_pipeline_errors")
+
+
+def observed(df, name: str = "metrics"):
+    """Attach an in-flight metric observation to a DataFrame.
+
+    Spark's ``Observation`` evaluates aggregate expressions DURING the
+    action that consumes the DataFrame — row counts and sums come back to
+    the driver with the job, no second scan (reference's CloudWatch
+    per-run metrics, lambda/extraction/README.md:156-164, done
+    Spark-natively). Returns ``(df, observation)``; read
+    ``observation.get`` after an action runs.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs

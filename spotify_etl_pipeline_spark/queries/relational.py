@@ -584,3 +584,49 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("metric")
         .agg(F.round(F.sum("val"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "nullsafe_join_priority_match",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN NULL
+                  ELSE o_orderpriority END AS pri,
+             COUNT(*) AS n_even
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN NULL
+                  ELSE o_orderpriority END AS pri,
+             COUNT(*) AS n_odd
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) % 2 = 1 GROUP BY 1
+    )
+    SELECT a.pri, a.n_even, b.n_odd
+    FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
+    """,
+    survey="J1,P4",
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): unspecified "
+    "priority maps to NULL and still matches across the two year-parity "
+    "subsets — a plain = join would silently drop the NULL group, the "
+    "classic dimension-with-unknown-member bug.",
+)
+def nullsafe_join_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pri = F.when(
+        F.col("o_orderpriority") == "4-NOT SPECIFIED", F.lit(None)
+    ).otherwise(F.col("o_orderpriority"))
+    a = (
+        o.filter(F.year("o_orderdate") % 2 == 0)
+        .groupBy(pri.alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n_even"))
+        .alias("a")
+    )
+    b = (
+        o.filter(F.year("o_orderdate") % 2 == 1)
+        .groupBy(pri.alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+        .alias("b")
+    )
+    return a.join(b, F.col("a.pri").eqNullSafe(F.col("b.pri"))).select(
+        F.col("a.pri").alias("pri"), "n_even", "n_odd"
+    )

@@ -239,3 +239,15 @@ def test_scd2_collapses_multi_snapshot_increment(spark):
     assert current[0]["effective_from"] == t2
     closed = [r for r in out if not r["is_current"]]
     assert len(closed) == 1 and closed[0]["effective_to"] == t2
+
+
+def test_observation_captures_metrics_in_flight(spark, sf_dir):
+    """Observation metrics ride along with the consuming action — a
+    monitoring scan costs zero extra jobs."""
+    from spotify_etl_pipeline_spark.etl.logs import observed
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    o = load_fixture(spark, sf_dir, "orders").filter("o_totalprice > 100000")
+    df, obs = observed(o, "run_metrics")
+    written = df.count()  # the action that also evaluates the observation
+    assert obs.get["n_rows"] == written > 0
