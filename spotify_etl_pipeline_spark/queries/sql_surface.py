@@ -243,3 +243,52 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(full_w).alias("quartile"),
         F.round(F.percent_rank().over(full_w), 4).alias("pct_rank"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_30d_total,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS trailing_30d_orders
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS epoch_day
+      FROM orders
+    )
+    WHERE o_custkey < 200
+    """,
+    survey="W1",
+    doc="Value-based RANGE frame (vs the positional ROWS frames in "
+    "window_frames): trailing 30-DAY totals per customer — the frame "
+    "bound is a distance in the ORDER BY value, so unlike rowsBetween "
+    "the window correctly spans gaps and ties in order dates. Ordered by "
+    "integer epoch-day so both engines bound the range identically.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = (
+        load_fixture(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .withColumn(
+            "epoch_day", F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_total"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
