@@ -8,6 +8,7 @@ and explicit skew salting."""
 from .asof import asof_join  # noqa: F401
 from .components import connected_components, resolve_duplicates  # noqa: F401
 from .dedup import (  # noqa: F401
+    embedding_neardup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
     lsh_candidates_incremental,

@@ -47,11 +47,19 @@ ROWS_PER_BAND = len(MINHASH_A) // N_BANDS
 SIMHASH_BITS = 16
 
 
-def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
-    """Exact dedup: one survivor per key group (min doc_id wins —
-    deterministic, unlike dropDuplicates' arbitrary pick)."""
-    other = [c for c in df.columns if c not in keys]
-    agg = [F.min(c).alias(c) for c in other]
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor ROW per key group — the row whose
+    ``order_col`` is smallest (deterministic, unlike dropDuplicates'
+    arbitrary pick).
+
+    ``min_by`` pulls every output column from that same winning row; a
+    per-column ``min()`` would synthesize rows mixing values from
+    different records (and skip NULLs per column), which is not a dedup.
+    """
+    other = [c for c in df.columns if c not in keys and c != order_col]
+    agg = [F.min(order_col).alias(order_col)] + [
+        F.min_by(c, F.col(order_col)).alias(c) for c in other
+    ]
     return df.groupBy(*keys).agg(*agg)
 
 
@@ -411,8 +419,12 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.45) -> DataFrame
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # zero-norm guard (see similarity._as_double): null norm → null cosine
+    # → the threshold filter drops the pair instead of ANSI DIVIDE_BY_ZERO
+    # (or, ANSI off, NaN >= threshold being TRUE and pairing the zero
+    # vector with everything)
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    n = e.select("vec_id", "v", norm.alias("nrm"))
+    n = e.select("vec_id", "v", F.when(norm > 0, norm).alias("nrm"))
     a = n.alias("a")
     b = n.alias("b")
     dot = F.aggregate(

@@ -43,7 +43,9 @@ def assign_clusters(
     )
 
 
-def _update_centroids(assigned: DataFrame, vec_col: str) -> list[list[float]]:
+def _update_centroids(assigned: DataFrame, vec_col: str) -> dict[int, list[float]]:
+    """{cluster_id: new centroid} for every non-empty cluster — keyed so
+    the driver loop needs no second job to learn which clusters survived."""
     per_dim = (
         assigned.select(
             "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
@@ -57,7 +59,7 @@ def _update_centroids(assigned: DataFrame, vec_col: str) -> list[list[float]]:
         .select("cluster", F.transform("pairs", lambda p: p["mu"]).alias("centroid"))
         .collect()
     )
-    return [r["centroid"] for r in sorted(rows, key=lambda r: r["cluster"])]
+    return {r["cluster"]: list(r["centroid"]) for r in rows}
 
 
 def kmeans_fit(
@@ -78,21 +80,15 @@ def kmeans_fit(
         .select(vec_col)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"k={k} exceeds the number of input vectors ({len(init)})"
+        )
     centroids = [list(map(float, r[vec_col])) for r in init]
     for _ in range(max_iter):
         assigned = assign_clusters(vectors, centroids, vec_col)
-        new = _update_centroids(assigned, vec_col)
-        by_cluster = {i: c for i, c in enumerate(centroids)}
-        got = {
-            r: c
-            for r, c in zip(
-                sorted(
-                    {row["cluster"] for row in assigned.select("cluster").distinct().collect()}
-                ),
-                new,
-            )
-        }
-        merged = [got.get(i, by_cluster[i]) for i in range(k)]
+        got = _update_centroids(assigned, vec_col)
+        merged = [got.get(i, centroids[i]) for i in range(k)]
         shift = max(
             sum((a - b) ** 2 for a, b in zip(old, nw))
             for old, nw in zip(centroids, merged)

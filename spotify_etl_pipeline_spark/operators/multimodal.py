@@ -128,7 +128,12 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for i in range(min(max_frames, max(len(payload), 1) // every_n_bytes + 1)):
+                # ceil(len/stride): exact multiples must NOT emit a phantom
+                # empty frame at offset == len; empty payloads get one frame
+                n_frames = min(
+                    max_frames, max(-(-len(payload) // every_n_bytes), 1)
+                )
+                for i in range(n_frames):
                     off = i * every_n_bytes
                     rows.append((doc_id, i, off, bytes(payload[off : off + 8])))
             yield pd.DataFrame(

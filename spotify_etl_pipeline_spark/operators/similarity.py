@@ -26,11 +26,16 @@ from pyspark.sql.window import Window
 
 
 def _as_double(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    # zero-norm guard: a 0-vector's cosine is undefined; 0/0 throws
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode (and yields NaN,
+    # which Spark sorts ABOVE every real value in DESC order, with ANSI
+    # off) — nulling the norm makes the cosine null, which comparisons
+    # and filters drop and DESC ordering sorts last.
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     return df.select(
         F.col(id_col),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).select(id_col, "v", norm.alias("nrm"))
+    ).select(id_col, "v", F.when(norm > 0, norm).alias("nrm"))
 
 
 def _cosine(a_v, b_v, a_n, b_n):
@@ -55,6 +60,7 @@ def brute_force_topk(
             F.col("c.vec_id").alias("neighbor_id"),
             cos.alias("cos"),
         )
+        .filter(F.col("cos").isNotNull())  # zero-norm pairs have no cosine
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -131,6 +137,7 @@ def ivf_topk(
         candidates.join(qd, candidates.query_id == F.col("q2.vec_id"))
         .join(cd, candidates.cand_id == F.col("c.vec_id"))
         .select("query_id", F.col("cand_id").alias("neighbor_id"), cos.alias("cos"))
+        .filter(F.col("cos").isNotNull())  # zero-norm pairs have no cosine
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -62,7 +62,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join a skewed big side to a small side on ``key``, spreading each hot
-    key across ``n_salt`` tasks by replicating the small side per salt."""
+    key across ``n_salt`` tasks by replicating the small side per salt.
+
+    Only inner/left are supported: replication would emit every unmatched
+    small-side row once per salt under right/full outer semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(outer-preserving the replicated side would duplicate rows)"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt")
     small_rep = small.select("*", salts)
     b = with_salt(big, unique_col, n_salt)

@@ -61,7 +61,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(d.text, CAST(i * 64 + 1 AS INTEGER), 8) AS frame_str
     FROM documents d,
          (SELECT unnest(range(4)) AS i) idx
-    WHERE i < LEAST(4, CAST(FLOOR(GREATEST(length(d.text), 1) / 64) AS INTEGER) + 1)
+    WHERE i < LEAST(4, GREATEST(CAST(CEIL(length(d.text) / 64.0) AS INTEGER), 1))
     """,
     survey="X5",
     doc="Video frame-sampling shape: 1:N mapInPandas fan-out (<=4 frames per "

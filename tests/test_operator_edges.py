@@ -1,0 +1,78 @@
+"""Edge-case regressions from operator review: zero-norm vectors, row-level
+dedup survivors, salted-join/how validation, kmeans k>n, frame boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_pipeline_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+)
+from spotify_etl_pipeline_spark.operators.kmeans import kmeans_fit
+from spotify_etl_pipeline_spark.operators.multimodal import sample_frames
+from spotify_etl_pipeline_spark.operators.similarity import brute_force_topk
+from spotify_etl_pipeline_spark.operators.skew import salted_join
+
+
+def test_zero_norm_vector_neither_crashes_nor_ranks(spark):
+    """A zero embedding must not throw ANSI DIVIDE_BY_ZERO and must never
+    appear as a neighbor or near-dup (its cosine is undefined)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    topk = brute_force_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert {r["neighbor_id"] for r in topk} == {1, 3}  # 2 excluded, no crash
+    pairs = embedding_neardup_pairs(emb, threshold=0.1).collect()
+    assert all(2 not in (r["vec_a"], r["vec_b"]) for r in pairs)
+
+
+def test_exact_dedup_survivor_is_a_real_row(spark):
+    """All output columns must come from the SAME (min-order) row, never a
+    per-column min mixture."""
+    df = spark.createDataFrame(
+        [
+            ("k", 3, "web", 10),
+            ("k", 5, "book", 1),  # smaller 'n' but larger doc_id — must lose
+        ],
+        "key string, doc_id long, source string, n long",
+    )
+    (row,) = exact_dedup(df, keys=["key"]).collect()
+    assert (row["doc_id"], row["source"], row["n"]) == (3, "web", 10)
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    li = spark.range(5).withColumnRenamed("id", "k")
+    sm = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(li, sm, key="k", unique_col="k", how="full")
+
+
+def test_kmeans_k_exceeding_n_raises(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="exceeds the number of input vectors"):
+        kmeans_fit(vecs, k=5)
+
+
+def test_sample_frames_no_phantom_frame_on_exact_multiple(spark):
+    docs = spark.createDataFrame(
+        [(1, b"x" * 64), (2, b"y" * 63), (3, b"")],
+        "doc_id long, payload binary",
+    ).withColumn("meta", F.struct(F.lit("text/plain").alias("media_type")))
+    frames = sample_frames(docs, every_n_bytes=64, max_frames=4)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # 64 bytes = exactly 1 stride → 1 frame (no empty frame at offset 64);
+    # empty payload still yields its single (empty) frame
+    assert counts == {1: 1, 2: 1, 3: 1}
