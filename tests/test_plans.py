@@ -99,3 +99,35 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     assert m and "event_type" in m.group(1), plan
     # and the count only touches the one partition
     assert df.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_persist_reuses_in_memory_scan(spark, sf_dir):
+    """A persisted intermediate must serve later queries from
+    InMemoryTableScan instead of recomputing its lineage — the reuse
+    pattern iterative workloads (components, kmeans) depend on."""
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    li = load_fixture(spark, sf_dir, "lineitem").groupBy("l_returnflag").count()
+    li.persist()
+    try:
+        li.count()  # materialize
+        plan = executed_plan(li.filter("count > 0"))
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        li.unpersist()
+
+
+def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
+    """Selecting one subfield of a struct column must prune the parquet
+    ReadSchema to just that leaf (SURVEY.md §4: the reference's manual
+    nested field= projection, done by Catalyst automatically)."""
+    from spotify_etl_pipeline_spark.plans.inspect import read_schema_fields
+
+    out = str(tmp_path / "nested")
+    spark.sql(
+        "SELECT id, named_struct('a', id * 2, 'b', CAST(id AS STRING), "
+        "'c', id % 7) AS payload FROM range(1000)"
+    ).write.parquet(out)
+    df = spark.read.parquet(out).select("payload.b")
+    (scan,) = scan_lines(executed_plan(df))
+    assert "payload:struct<b:string>" in scan.replace(" ", ""), scan
