@@ -208,3 +208,50 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _docs(spark, sf_dir).select("doc_id", clean.alias("clean_text"))
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw,
+               '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+             '[+][0-9]+-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM salted
+    """,
+    survey="X4",
+    doc="PII scrubbing (corpus-prep staple): email and phone patterns "
+    "replaced with placeholder tokens, pure codegen regexp_replace. The "
+    "PII is synthesized in-query from doc attributes so the redaction "
+    "paths are actually exercised on the synthetic corpus; patterns use "
+    "explicit [0-9] classes to stay regex-dialect-neutral for the oracle.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    salted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("raw"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col("raw"), "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+", "<EMAIL>"
+        ),
+        r"[+][0-9]+-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return salted.select("doc_id", redacted.alias("redacted"))
