@@ -5,23 +5,36 @@ lambda_function.py:245-263, execution logs :279-290, failed payloads
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from ..schemas import PIPELINE_ERRORS_SCHEMA, PIPELINE_RUNS_SCHEMA
 
 
+def _coerce(value, field: T.StructField):
+    """The extractor stamps timestamps as ISO-8601 strings (wire format,
+    sources/ingest.py run_log/err dicts); parse them here so its rows load
+    without callers needing an undocumented conversion."""
+    if isinstance(value, str) and isinstance(field.dataType, T.TimestampType):
+        return datetime.fromisoformat(value)
+    return value
+
+
+def _append(spark: SparkSession, path: str, rows: list[dict], schema) -> None:
+    data = [
+        tuple(_coerce(r.get(f.name), f) for f in schema.fields) for r in rows
+    ]
+    spark.createDataFrame(data, schema).write.mode("append").parquet(path)
+
+
 def append_run_log(spark: SparkSession, root: str, rows: list[dict]) -> None:
-    spark.createDataFrame(
-        [tuple(r.get(f.name) for f in PIPELINE_RUNS_SCHEMA.fields) for r in rows],
-        PIPELINE_RUNS_SCHEMA,
-    ).write.mode("append").parquet(f"{root}/_pipeline_runs")
+    _append(spark, f"{root}/_pipeline_runs", rows, PIPELINE_RUNS_SCHEMA)
 
 
 def append_error_log(spark: SparkSession, root: str, rows: list[dict]) -> None:
-    spark.createDataFrame(
-        [tuple(r.get(f.name) for f in PIPELINE_ERRORS_SCHEMA.fields) for r in rows],
-        PIPELINE_ERRORS_SCHEMA,
-    ).write.mode("append").parquet(f"{root}/_pipeline_errors")
+    _append(spark, f"{root}/_pipeline_errors", rows, PIPELINE_ERRORS_SCHEMA)
 
 
 def read_run_log(spark: SparkSession, root: str) -> DataFrame:

@@ -43,8 +43,16 @@ def exploded_tracks(bronze: DataFrame) -> DataFrame:
 
 def _latest_wins(df: DataFrame, pk: str) -> DataFrame:
     """Dedup keeping the most recently extracted row per key (A5/T3 —
-    reference README.md:49 'Deduplication' + :51 incremental semantics)."""
-    w = Window.partitionBy(pk).orderBy(F.desc("extracted_at"))
+    reference README.md:49 'Deduplication' + :51 incremental semantics).
+
+    Ties on extracted_at (two extractors snapshotting the same instant)
+    break on the full remaining-column struct so repeated runs over the
+    same bronze input always keep the same row — golden hashes must not
+    flap (SURVEY.md §5.4)."""
+    others = [c for c in df.columns if c != pk]
+    w = Window.partitionBy(pk).orderBy(
+        F.desc("extracted_at"), F.desc(F.struct(*others))
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -98,8 +106,12 @@ def normalize_documents(bronze: DataFrame) -> dict[str, DataFrame]:
             F.col("track.external_urls.spotify").alias("song_url"),
             F.col("track.album.id").alias("album_id"),
             # flattened per-track doc keeps the primary artist
-            # (reference lambda/extraction/README.md:234-255)
-            F.element_at(F.col("track.artists"), 1)["id"].alias("artist_id"),
+            # (reference lambda/extraction/README.md:234-255); try_element_at:
+            # local/unavailable tracks have artists=[] and ANSI element_at
+            # would abort the whole job on them
+            F.try_element_at(F.col("track.artists"), F.lit(1))["id"].alias(
+                "artist_id"
+            ),
             "added_at",
             "extracted_at",
         ).filter(F.col("song_id").isNotNull()),

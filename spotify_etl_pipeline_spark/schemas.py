@@ -236,7 +236,10 @@ def load_fixture(spark, sf_dir: str, name: str):
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                # integer div, NOT floor(x/1000.0): epoch-nanos exceed 2^53,
+                # so the double quotient is inexact and floors to the wrong
+                # microsecond for ~1 in 8 values
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -88,8 +88,12 @@ class PlaylistExtractor:
 
     def extract(self, playlist_link: str) -> ExtractionResult:
         ts = self.now()
-        playlist_id = extract_playlist_id(playlist_link)
+        playlist_id = "unknown"
         try:
+            # inside the try: an invalid URL must reach the error-log and
+            # dead-letter sinks like every other failure (reference
+            # :245-263, :312-321), not bypass them
+            playlist_id = extract_playlist_id(playlist_link)
             info = self.fetcher(
                 "playlist", {"playlist_id": playlist_id, "fields": PLAYLIST_FIELDS}
             )

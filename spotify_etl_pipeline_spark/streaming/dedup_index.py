@@ -22,16 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..operators.dedup import MINHASH_A, lsh_candidates_incremental
-
-DOCUMENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+from ..schemas import DOCUMENTS_SCHEMA
 
 _SIG_SCHEMA = T.StructType(
     [T.StructField("doc_id", T.LongType())]
@@ -49,11 +40,18 @@ def read_documents_stream(
     )
 
 
-def _existing_sigs(spark: SparkSession, index_path: str) -> DataFrame:
+def _existing_sigs(
+    spark: SparkSession, index_path: str, exclude_epoch: int | None = None
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
     if os.path.isdir(index_path) and any(
-        f.endswith(".parquet") for f in os.listdir(index_path)
+        d.startswith("epoch=") for d in os.listdir(index_path)
     ):
-        return spark.read.parquet(index_path)
+        df = spark.read.parquet(index_path)
+        if exclude_epoch is not None:
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df.drop("epoch")
     return spark.createDataFrame([], _SIG_SCHEMA)
 
 
@@ -67,15 +65,18 @@ def run_dedup_index_stream(
 ) -> None:
     """Drive the incremental index to completion over current files."""
 
-    def step(batch: DataFrame, _epoch: int) -> None:
+    def step(batch: DataFrame, epoch: int) -> None:
+        # foreachBatch is at-least-once: writes are keyed by epoch and
+        # overwritten in place, so a replayed batch re-produces its own
+        # partition instead of appending duplicate signatures/pairs.
+        # Replays also re-join against an index that may already contain
+        # this epoch's signatures — _existing_sigs drops them first so the
+        # join sees the index as-of batch start.
         sess = batch.sparkSession
-        new_sigs, pairs = lsh_candidates_incremental(
-            _existing_sigs(sess, index_path), batch, n
-        )
-        # materialize pairs BEFORE appending signatures: the join must see
-        # the index as-of the start of the batch, not its own additions
-        pairs.write.mode("append").parquet(pairs_path)
-        new_sigs.write.mode("append").parquet(index_path)
+        existing = _existing_sigs(sess, index_path, exclude_epoch=epoch)
+        new_sigs, pairs = lsh_candidates_incremental(existing, batch, n)
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/epoch={epoch}")
+        new_sigs.write.mode("overwrite").parquet(f"{index_path}/epoch={epoch}")
 
     q = (
         read_documents_stream(spark, docs_dir)

@@ -16,6 +16,7 @@ flips a pointer file (at 100 TB you'd swap this sink for Delta/Iceberg MERGE
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,6 +50,14 @@ def read_silver(spark: SparkSession, root: str, table: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(root, table, snap))
 
 
+def _pointer_epoch(root: str, table: str) -> int | None:
+    ptr = _pointer_path(root, table)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        return int(fh.read().strip().removeprefix("snap_"))
+
+
 def _write_snapshot(df: DataFrame, root: str, table: str, epoch_id: int) -> None:
     snap = f"snap_{epoch_id:020d}"
     df.write.mode("overwrite").parquet(os.path.join(root, table, snap))
@@ -56,14 +65,34 @@ def _write_snapshot(df: DataFrame, root: str, table: str, epoch_id: int) -> None
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(snap)
     os.replace(tmp, _pointer_path(root, table))  # atomic pointer flip
+    _gc_snapshots(root, table, keep=2)
+
+
+def _gc_snapshots(root: str, table: str, keep: int) -> None:
+    """Delete superseded snapshots (keep the newest ``keep`` for in-flight
+    readers) — without this, disk grows as epochs × full-table size."""
+    tdir = os.path.join(root, table)
+    snaps = sorted(d for d in os.listdir(tdir) if d.startswith("snap_"))
+    for old in snaps[:-keep]:
+        shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
 
 
 def bronze_to_silver_batch(
     spark: SparkSession, batch: DataFrame, silver_root: str, epoch_id: int
 ) -> None:
-    """One micro-batch: normalize the new documents, merge into silver."""
+    """One micro-batch: normalize the new documents, merge into silver.
+
+    foreachBatch is at-least-once: after a crash between the pointer flip
+    and the checkpoint commit, the SAME epoch replays — and would read the
+    snapshot it is about to overwrite. Tables whose pointer already records
+    this (or a later) epoch are therefore skipped: the pointer flip is the
+    per-table commit marker that makes the replay a no-op.
+    """
     tables = normalize_documents(batch)
     for name in SILVER_TABLES:
+        applied = _pointer_epoch(silver_root, name)
+        if applied is not None and applied >= epoch_id:
+            continue  # this epoch already committed for this table
         increment = tables[name]
         existing = read_silver(spark, silver_root, name)
         merged = (
