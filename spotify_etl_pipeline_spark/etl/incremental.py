@@ -40,7 +40,12 @@ def upsert(
         "_src", F.lit(1)
     )
     tagged_old = existing.withColumn("_src", F.lit(0))
-    w = Window.partitionBy(pk).orderBy(F.desc(version_col), F.desc("_src"))
+    # full-struct tiebreak: two same-version rows on the same side must
+    # resolve identically on every run (deterministic golden hashes)
+    others = [c for c in existing.columns if c != pk]
+    w = Window.partitionBy(pk).orderBy(
+        F.desc(version_col), F.desc("_src"), F.desc(F.struct(*others))
+    )
     return (
         tagged_old.unionByName(tagged_new)
         .withColumn("_rn", F.row_number().over(w))
@@ -80,8 +85,11 @@ def scd2_apply(
 
     # collapse the increment to one row per key (latest snapshot wins):
     # applying two snapshots of the same key in one batch would otherwise
-    # open two "current" rows
-    w = Window.partitionBy(pk).orderBy(F.desc(version_col))
+    # open two "current" rows; struct tiebreak keeps equal-version
+    # collapses deterministic
+    w = Window.partitionBy(pk).orderBy(
+        F.desc(version_col), F.desc(F.struct(*attrs))
+    )
     inc = (
         increment.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
