@@ -224,7 +224,13 @@ def shingle_vocabulary(sh: DataFrame) -> DataFrame:
     shingles. (Scale path: replace with xxhash64(shingle) — no global sort;
     kept sort-based so an external oracle derives identical ids.)"""
     w = Window.orderBy("shingle")
-    return sh.select("shingle").distinct().withColumn("sid", F.row_number().over(w))
+    # sid as LONG: row_number is 32-bit and A[i]*sid overflows int (ANSI
+    # ARITHMETIC_OVERFLOW abort) once the vocabulary passes ~190K shingles
+    return (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(w).cast("long"))
+    )
 
 
 def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
@@ -384,9 +390,9 @@ def simhash(df: DataFrame) -> DataFrame:
     per bit j: +1 if bit j of (v*2654435761 mod 2^16... simplified: v's bits)
     else -1; sign of the sum gives the signature bit.
     """
-    tokval = (
-        "(length(t) * 31 + ascii(substring(t, 1, 1)) * 7 + ascii(substring(t, -1, 1)))"
-    )
+    from .text import _token_value
+
+    tokval = _token_value("t")
     # Materialize per-token values once; the 16 bit-sum folds then only
     # shift/test integers instead of re-splitting and re-hashing the text
     # per bit (16× less string work).

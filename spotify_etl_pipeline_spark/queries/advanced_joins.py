@@ -102,8 +102,10 @@ def q8_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
            ROUND(b.value, 4) AS purchase_value,
            CAST(FLOOR(epoch_us(a.ts - b.ts) / 60000000) AS BIGINT) AS minutes_since
-    FROM (SELECT * FROM events WHERE event_type = 'click') a
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') a
+    ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase') b
       ON a.user_id = b.user_id AND a.ts >= b.ts
     """,
     survey="J1,F6",
@@ -118,7 +120,7 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
         "event_id", "user_id", F.col("ts").alias("click_ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("purchase_value")
+        "user_id", "ts", F.col("value").alias("purchase_value"), "event_id"
     )
     joined = asof_join(
         clicks,
@@ -127,6 +129,7 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
         left_ts="click_ts",
         right_ts="ts",
         right_values=["purchase_value", "ts"],
+        tiebreak="event_id",  # same-instant purchases resolve deterministically
         how="inner",
     )
     return joined.select(
@@ -147,8 +150,8 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            CAST(FLOOR(ABS(epoch_us(a.ts - b.ts)) / 1000000) AS BIGINT) AS gap_sec
-    FROM events a
-    JOIN events b
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) a
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) b
       ON a.user_id = b.user_id
      AND a.event_id < b.event_id
      AND ABS(epoch_us(a.ts - b.ts)) <= 300 * 1000000
@@ -199,5 +202,7 @@ def events_range_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.floor(F.abs(F.col("us") - F.col("us_b")) / 1_000_000).alias("gap_sec"),
         )
-        .distinct()
+        # no .distinct(): |us diff| <= window forces |bucket diff| <= 1, so
+        # each qualifying pair matches exactly ONE of b's three exploded
+        # bucket rows — dedup here would just add a full extra shuffle
     )

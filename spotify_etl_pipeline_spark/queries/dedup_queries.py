@@ -176,7 +176,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (
       SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             NULLIF(sqrt(list_sum(list_transform(v, x -> x * x))), 0) AS nrm
       FROM e
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -99,9 +99,9 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type,
            ROUND(e.value, 4) AS value,
-           ROUND((e.value - s.mu) / s.sigma, 2) AS zscore
+           ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 2) AS zscore
     FROM events e JOIN stats s USING (event_type)
-    WHERE ABS((e.value - s.mu) / s.sigma) > 3
+    WHERE ABS((e.value - s.mu) / NULLIF(s.sigma, 0)) > 3
     """,
     survey="A4,W1",
     doc="Per-group z-score outliers (|z| > 3): one aggregate for the "
@@ -111,7 +111,12 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_fixture(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+        F.avg("value").alias("mu"),
+        # constant-valued group => sigma 0: nulled so the z-score is null
+        # (filtered out) instead of an ANSI DIVIDE_BY_ZERO abort
+        F.when(
+            F.stddev_samp("value") > 0, F.stddev_samp("value")
+        ).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (

@@ -29,7 +29,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     n AS (
-      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      SELECT vec_id, v,
+             NULLIF(sqrt(list_sum(list_transform(v, x -> x * x))), 0) AS nrm
       FROM e
     ),
     scored AS (
@@ -38,6 +39,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (q.nrm * c.nrm) AS cos
       FROM n q JOIN n c ON q.vec_id != c.vec_id
       WHERE q.vec_id < {N_QUERIES}
+        AND q.nrm IS NOT NULL AND c.nrm IS NOT NULL
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cos,
@@ -84,7 +86,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT vec_id, v,
-             list_max(list_transform(v, x -> ABS(x))) AS max_abs
+             NULLIF(list_max(list_transform(v, x -> ABS(x))), 0) AS max_abs
       FROM e
     )
     SELECT vec_id,
@@ -108,9 +110,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fixture(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    s = e.withColumn(
-        "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
-    )
+    mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    # zero vector => null scale => null codes, matching the oracle's NULLIF
+    # instead of an ANSI DIVIDE_BY_ZERO abort
+    s = e.withColumn("max_abs", F.when(mx > 0, mx))
     return s.select(
         "vec_id",
         F.transform(
@@ -129,7 +132,8 @@ _Q_CODES_CTE = """
       FROM embeddings
     ),
     s AS (
-      SELECT vec_id, v, list_max(list_transform(v, x -> ABS(x))) AS max_abs
+      SELECT vec_id, v,
+             NULLIF(list_max(list_transform(v, x -> ABS(x))), 0) AS max_abs
       FROM e
     ),
     q AS (

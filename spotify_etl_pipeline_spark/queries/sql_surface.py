@@ -16,8 +16,15 @@ from ..schemas import load_fixture
 from .catalog import register
 
 
-def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
-    load_fixture(spark, sf_dir, name).createOrReplaceTempView(name)
+def _view(spark: SparkSession, sf_dir: str, name: str, suffix: str) -> str:
+    """Register a fixture as a per-query temp view.
+
+    Names carry a query suffix: temp views are session-global, so two
+    catalog queries running concurrently on one session with different
+    sf_dirs would otherwise swap each other's tables mid-plan."""
+    view = f"{name}_{suffix}"
+    load_fixture(spark, sf_dir, name).createOrReplaceTempView(view)
+    return view
 
 
 @register(
@@ -71,20 +78,20 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter — run through spark.sql to exercise the SQL entry path.",
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("lineitem", "orders", "supplier", "customer", "nation"):
-        _view(spark, sf_dir, t)
+    v = {t: _view(spark, sf_dir, t, "q7")
+         for t in ("lineitem", "orders", "supplier", "customer", "nation")}
     return spark.sql(
-        """
+        f"""
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        FROM {v['lineitem']}
+        JOIN {v['orders']}   ON l_orderkey = o_orderkey
+        JOIN {v['supplier']} ON l_suppkey = s_suppkey
+        JOIN {v['customer']} ON o_custkey = c_custkey
+        JOIN {v['nation']} n1 ON s_nationkey = n1.n_nationkey
+        JOIN {v['nation']} n2 ON c_nationkey = n2.n_nationkey
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY 1, 2, 3
@@ -141,19 +148,19 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "run through spark.sql.",
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("customer", "orders", "lineitem"):
-        _view(spark, sf_dir, t)
+    v = {t: _view(spark, sf_dir, t, "q18")
+         for t in ("customer", "orders", "lineitem")}
     return spark.sql(
-        """
+        f"""
         SELECT c_name, o_orderkey,
                date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
                ROUND(o_totalprice, 2) AS o_totalprice,
                SUM(l_quantity) AS sum_qty
-        FROM customer
-        JOIN orders  ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
+        FROM {v['customer']}
+        JOIN {v['orders']}  ON c_custkey = o_custkey
+        JOIN {v['lineitem']} ON o_orderkey = l_orderkey
         WHERE o_orderkey IN (
-          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          SELECT l_orderkey FROM {v['lineitem']} GROUP BY l_orderkey
           HAVING SUM(l_quantity) > 250
         )
         GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
