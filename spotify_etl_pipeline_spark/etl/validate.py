@@ -2,9 +2,10 @@
 referential integrity) + dead-letter routing (lambda_function.py:312-321).
 
 Each check is a declarative DataFrame op returning violation rows; callers
-route them to the failed zone (S12) and proceed with the clean subset. At
-scale the anti-joins broadcast the dim side; the null checks are free
-predicates on the normalize pass.
+route them to the failed zone (S12) and proceed with the clean subset. The
+RI anti-joins carry no broadcast hint: dims can scale with the warehouse,
+so AQE broadcasts the distinct-PK side only when it is actually small.
+The null checks are free predicates on the normalize pass.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ def referential_violations(
     """Fact rows whose FK resolves to no dim PK — left_anti on the dim
     (reference README.md:49 'referential integrity'; SURVEY.md J2)."""
     return fact.filter(F.col(fk).isNotNull()).join(
-        F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()), fk, "left_anti"
+        dim.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
     )
 
 

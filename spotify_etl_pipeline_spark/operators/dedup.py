@@ -125,13 +125,18 @@ def ngram_jaccard_pairs(
         return _jaccard_prefix_filtered(df, n, threshold, max_shingle_df)
     sh = doc_shingles(df, n)
     if max_shingle_df is not None:
-        keep = (
+        # Anti-join against the STOP set (df > cut), not an inner join against
+        # the kept vocabulary: under a Zipf shingle distribution the stop set
+        # is tiny while the kept set IS the vocabulary and grows with the
+        # corpus — broadcasting it would OOM at warehouse scale. No hint:
+        # AQE broadcasts the stop side when small, shuffles when not.
+        stop = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(keep), "shingle")
+        sh = sh.join(stop, "shingle", "left_anti")
     # Collect co-shingled doc ids per shingle and expand pairs in-place
     # (no self-join: a join would recompute the shingle pipeline per side,
     # and the in-group expansion is bounded by the stop-shingle cut). The
@@ -178,13 +183,18 @@ def _jaccard_prefix_filtered(
     """
     sh = doc_shingles(df, n)
     if max_shingle_df is not None:
-        keep = (
+        # Anti-join against the STOP set (df > cut), not an inner join against
+        # the kept vocabulary: under a Zipf shingle distribution the stop set
+        # is tiny while the kept set IS the vocabulary and grows with the
+        # corpus — broadcasting it would OOM at warehouse scale. No hint:
+        # AQE broadcasts the stop side when small, shuffles when not.
+        stop = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(keep), "shingle")
+        sh = sh.join(stop, "shingle", "left_anti")
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     w = Window.partitionBy("doc_id").orderBy("sdf", "shingle")
     ranked = (

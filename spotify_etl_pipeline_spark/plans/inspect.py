@@ -65,6 +65,19 @@ def codegen_stage_count(plan: str) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    Counts ``ResolvedHint`` nodes (what ``F.broadcast(df)`` / ``/*+
+    BROADCAST */`` become) — NOT runtime broadcast joins. A hint forces the
+    strategy regardless of size, so queries over tables that grow with
+    scale factor must show 0 here and leave the choice to
+    autoBroadcastJoinThreshold + AQE; only fixed-cardinality dims
+    (nation=25, region=5 rows) may carry one.
+    """
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
 def read_schema_fields(scan_line: str) -> list[str]:
     """Column names out of a scan line's ``ReadSchema: struct<...>`` clause."""
     m = re.search(r"ReadSchema: struct<([^>]*)>", scan_line)

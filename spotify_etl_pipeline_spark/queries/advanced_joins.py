@@ -36,7 +36,9 @@ from .catalog import register
     survey="J1",
     doc="TPC-H Q5 shape: six-table star join, local-supplier predicate "
     "(c_nationkey = s_nationkey), region filter, revenue per nation. "
-    "All dims broadcast; one shuffle for the final aggregate.",
+    "Only fixed-cardinality nation/region carry broadcast hints; "
+    "customer/supplier scale with SF so AQE + autoBroadcastJoinThreshold "
+    "decide their strategy. One shuffle for the final aggregate.",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_fixture(spark, sf_dir, "lineitem")
@@ -47,9 +49,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_fixture(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -88,7 +90,7 @@ def q8_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_rev = F.when(F.col("p_brand") == "Brand#2", rev).otherwise(F.lit(0.0))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.round(F.sum(brand_rev) / F.sum(rev), 4).alias("mkt_share"))
     )

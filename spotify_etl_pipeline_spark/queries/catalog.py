@@ -57,19 +57,27 @@ def register(name: str, oracle: str | None, survey: str, doc: str = ""):
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (import side-effect)."""
+    """Import every module that registers queries (import side-effect).
+
+    Import order IS registration order (``CATALOG`` is insertion-ordered),
+    and external correctness sweeps consume the catalog front-to-back — so
+    modules whose queries most need an independent row+schema+hash check go
+    first.  Round 2 rotation: similarity / sql_surface / text / window
+    queries (plus ``relational``'s two tail entries) had only local-oracle
+    coverage in round 1, so they lead; the round-1-verified modules follow.
+    """
     from . import (  # noqa: F401
-        advanced_joins,
-        corpus,
-        dedup_queries,
-        multimodal_queries,
-        pipeline_ops,
-        reference,
-        relational,
         similarity_queries,
         sql_surface,
         text_queries,
         window_queries,
+        relational,
+        corpus,
+        advanced_joins,
+        dedup_queries,
+        multimodal_queries,
+        pipeline_ops,
+        reference,
     )
 
 

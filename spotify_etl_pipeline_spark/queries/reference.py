@@ -8,8 +8,11 @@ onto the driver's TPC-H-ish fixtures (the Spotify-domain versions run in the
 golden ETL tests over the star schema — see tests/test_etl_golden.py).
 
 Scale notes (100 TB design):
-- The star joins broadcast the dim side explicitly; at cluster scale AQE
-  would pick this anyway, the hint makes it deterministic.
+- The star joins carry NO explicit broadcast hints on customer/part/supplier:
+  those tables grow linearly with scale factor, so a forced hint would OOM
+  executors at warehouse SF. The session's autoBroadcastJoinThreshold + AQE
+  pick broadcast at small SF and sort-merge at large SF automatically; only
+  fixed-cardinality dims (nation=25, region=5 rows) ever get explicit hints.
 - Top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject —
   per-partition heaps + driver merge, no global sort/exchange.
 - The ungrouped aggregates are partial+final HashAggregates — a few bytes per
@@ -61,7 +64,7 @@ def flagship_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(revenue.alias("_rev"), F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.desc("_rev"), F.asc("c_custkey"))
@@ -201,8 +204,8 @@ def star_join_top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .limit(10)
         .select(

@@ -81,6 +81,30 @@ def test_no_accidental_cartesian(name, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
 
 
+@pytest.mark.parametrize(
+    ("name", "allowed_hints"),
+    [
+        ("flagship_top_revenue", 0),  # customer scales with SF — no hint
+        ("star_join_top_items", 0),  # part/supplier scale with SF — no hint
+        ("q8_brand_market_share", 0),  # part scales with SF — no hint
+        ("q5_local_supplier_volume", 2),  # nation(25) + region(5) only
+    ],
+)
+def test_no_broadcast_hints_on_scaling_tables(spark, sf_dir, name, allowed_hints):
+    """Explicit broadcast hints are allowed ONLY on fixed-cardinality dims.
+
+    customer/part/supplier grow linearly with scale factor; a forced hint
+    bypasses autoBroadcastJoinThreshold and AQE, OOMing executors at
+    warehouse SF. AQE still picks BroadcastHashJoin for them at small SF
+    (asserted by test_flagship_broadcasts_dims_and_takeordered) — the point
+    here is that it stays a *choice*, not a mandate.
+    """
+    from spotify_etl_pipeline_spark.plans.inspect import broadcast_hint_count
+
+    df = queries()[name](spark, sf_dir)
+    assert broadcast_hint_count(df) == allowed_hints
+
+
 def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     """Hive-style partition layout (the ETL's stage/date routing shape):
     a filter on the partition column must become a PartitionFilter —
