@@ -11,20 +11,22 @@ Design for 100 TB:
   (``max_shingle_df``) — the classic stop-shingle cut.
 - **MinHash+LSH** reduces candidate generation to an equi-join on
   (band, bucket): signatures are built from a *deterministic* hash family
-  ((a_i·id + b_i) mod p over dense shingle ids), so the whole pipeline is
-  reproducible in any engine — unlike ml.feature.MinHashLSH whose random
-  coefficients defeat an external oracle. Banding keeps the join key space
-  tiny; candidates are then verified with exact Jaccard.
+  ((a_i·id + b_i) mod p over content-hashed shingle ids), so the whole
+  pipeline is reproducible in any engine — unlike ml.feature.MinHashLSH
+  whose random coefficients defeat an external oracle. Banding keeps the
+  join key space tiny; candidates are then verified with exact Jaccard.
 - **SimHash** is a per-document fold (no shuffle): 16-bit signatures whose
   Hamming distance approximates cosine-over-token-multisets.
 - **Embedding near-dup** is a cosine threshold join; brute force here
   (crossJoin a<b) with the LSH/IVF blocking variant in
   :mod:`.similarity` for the scale path.
 
-The dense shingle-id vocabulary (row_number over sorted distinct shingles) is
-itself a scalable pattern: at 100 TB you'd replace it with a 64-bit content
-hash (xxhash64) and skip the vocabulary join entirely — used here because the
-oracle must reproduce ids without sharing a hash implementation.
+Shingle ids are CONTENT hashes, never a numbered vocabulary: a sorted-vocab
+``row_number`` would funnel the whole distinct-shingle set through one
+partition and renumber everything on every corpus change. The default id is
+an md5-prefix bigint (:func:`shingle_sid`) so an external SQL oracle derives
+identical ids; :func:`minhash_signatures_hashed` swaps in ``xxhash64`` where
+raw hashing speed matters more than oracle parity.
 """
 
 from __future__ import annotations
@@ -229,17 +231,20 @@ def _jaccard_prefix_filtered(
     )
 
 
-def shingle_vocabulary(sh: DataFrame) -> DataFrame:
-    """Dense deterministic ids: row_number over globally sorted distinct
-    shingles. (Scale path: replace with xxhash64(shingle) — no global sort;
-    kept sort-based so an external oracle derives identical ids.)"""
-    w = Window.orderBy("shingle")
-    # sid as LONG: row_number is 32-bit and A[i]*sid overflows int (ANSI
-    # ARITHMETIC_OVERFLOW abort) once the vocabulary passes ~190K shingles
-    return (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(w).cast("long"))
+def shingle_sid(shingle_col: str | F.Column) -> F.Column:
+    """Content-derived shingle id in ``[0, MINHASH_P)`` — vocabulary-free
+    AND cross-engine reproducible.
+
+    ``conv(substring(md5(s), 1, 15), 16, 10)`` is the first 60 bits of the
+    md5 digest as a non-negative bigint; DuckDB reproduces it bit-for-bit
+    with ``('0x' || substring(md5(s), 1, 15))::BIGINT``. A document's id
+    set depends only on its own text — no global vocabulary pass, no
+    single-partition sort, and signatures are stable as the corpus grows
+    (the property incremental LSH maintenance needs).
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long"),
+        F.lit(MINHASH_P),
     )
 
 
@@ -247,12 +252,14 @@ def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
     """Wide MinHash signatures: (doc_id, h0..h11).
 
     One hash aggregate over (doc, shingle-id) rows with 12 min() columns —
-    single shuffle on doc_id, map-side partial mins; identical arithmetic is
-    reproducible in the SQL oracle.
+    single shuffle on doc_id, map-side partial mins. Shingle ids come from
+    :func:`shingle_sid` (content hash): identical arithmetic is reproducible
+    in the SQL oracle, and — unlike a sorted-vocabulary numbering — there is
+    no global sort anywhere in the plan and ids never renumber when the
+    corpus changes.
     """
     sh = doc_shingles(df, n)
-    vocab = shingle_vocabulary(sh)
-    ids = sh.join(vocab, "shingle").select("doc_id", "sid")
+    ids = sh.select("doc_id", shingle_sid("shingle").alias("sid"))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("sid") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
             f"h{i}"
@@ -307,15 +314,12 @@ def lsh_candidate_pairs(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures_hashed(df: DataFrame, n: int = 3) -> DataFrame:
-    """Vocabulary-free MinHash signatures over ``xxhash64(shingle)`` ids —
-    the production/scale variant of :func:`minhash_signatures`.
-
-    The sorted-vocab path exists only so an external SQL oracle can
-    reproduce ids; it needs a global sort AND re-numbers every shingle
-    when the corpus changes, so signatures are not stable under growth.
-    Hashed ids need no vocabulary pass, and a document's signature depends
-    only on its own text — the property that makes the LSH index
-    INCREMENTALLY maintainable (tests assert it).
+    """MinHash signatures over ``xxhash64(shingle)`` ids — same plan shape
+    as :func:`minhash_signatures` (both are vocabulary-free), trading the
+    md5 id's cross-engine reproducibility for a cheaper single-pass JVM
+    hash. A document's signature depends only on its own text — the
+    property that makes the LSH index INCREMENTALLY maintainable (tests
+    assert it).
     """
     sh = doc_shingles(df, n)
     ids = sh.select(

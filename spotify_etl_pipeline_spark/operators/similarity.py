@@ -1,17 +1,22 @@
 """Similarity search over embedding columns (SURVEY.md X3).
 
-Two tiers:
+Three tiers:
 
 - :func:`brute_force_topk` — exact cosine top-k: query×corpus join, dot
   products in double precision via ``zip_with``/``aggregate`` (JVM-side, no
   UDF), per-query top-k via a rank window. Exact and oracle-checkable; cost
-  O(|Q|·|C|·d) — the baseline and the verifier for the approximate tier.
+  O(|Q|·|C|·d) — the baseline and the verifier for the approximate tiers.
 - :func:`ivf_topk` — IVF-style blocking: assign every vector to its nearest
   centroid (here the data's ``label`` cluster centroids, computed with one
   groupBy — at scale you'd run k-means the same shape), then search only
   within the query's ``n_probe`` nearest clusters. Shuffle is an equi-join
   on centroid id, cutting the pairwise work by ~n_clusters/n_probe. Recall
   vs brute force is asserted in tests (approximate ⇒ rows-only oracle).
+- :func:`lsh_bucketed_ann` — random-hyperplane LSH for *threshold pairs*
+  (the blocked scale path of ``dedup.embedding_neardup_pairs``): sign-bit
+  signatures from a deterministic coefficient family, candidates from a
+  (band, bucket) equi-join, exact cosine verify. No centroids needed, so it
+  works on unclustered corpora.
 
 Papers: inverted-file ANN (IVF) per Jégou et al.; LSH banding per the
 classic MinHash scheme — public-domain algorithms, implemented here from
@@ -23,6 +28,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Deterministic random-hyperplane family for LSH-bucketed ANN: plane p's
+# coefficient at (1-based) dimension i is ((A[p]*i + B[p]) % M)/M - 0.5 —
+# a fixed LCG-style pseudo-random value in [-0.5, 0.5) that any engine can
+# rederive exactly (no RNG state to ship to an oracle). 16 planes = 4 bands
+# × 4 bits by default.
+LSH_ANN_M = 997
+LSH_ANN_A = (389, 1163, 2749, 3083, 4729, 5521, 6311, 7927, 8599, 9257, 10463, 11261, 12277, 13313, 14423, 15559)
+LSH_ANN_B = (17, 2503, 3607, 4099, 5107, 6151, 7541, 8209, 9439, 10141, 11251, 12301, 13331, 14431, 15569, 16657)
 
 
 def _as_double(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -70,6 +84,99 @@ def brute_force_topk(
     )
 
 
+def _hyperplane_bit(v_col: str, plane: int) -> F.Column:
+    """Sign bit of <v, w_plane> with the deterministic coefficient family.
+
+    The dot product is a single codegen'd fold over the vector — the plane's
+    coefficient is *computed* from the (1-based) element index, never
+    materialized as a table, so signatures cost O(planes·d) arithmetic per
+    row and zero joins/shuffles.
+    """
+    a, b, m = LSH_ANN_A[plane], LSH_ANN_B[plane], LSH_ANN_M
+    proj = F.transform(
+        v_col,
+        lambda x, i: x * (((F.lit(a) * (i + 1) + F.lit(b)) % m) / F.lit(float(m)) - 0.5),
+    )
+    dot = F.aggregate(proj, F.lit(0.0), lambda acc, x: acc + x)
+    return (dot > 0).cast("long")
+
+
+def lsh_bucketed_ann(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Blocked embedding near-dup pairs: random-hyperplane LSH buckets →
+    equi-join candidates → exact cosine verify.
+
+    The scale path for :func:`..dedup.embedding_neardup_pairs`: instead of
+    the all-pairs a<b join, vectors only meet inside an LSH bucket. Per
+    band, the bucket key packs that band's sign bits into an int; candidate
+    pairs are expanded *inside* the (band, bucket) aggregation (same
+    no-self-join shape as MinHash-LSH banding — the signature pipeline runs
+    once), then verified with an exact double-precision cosine so every
+    emitted pair is truly ≥ threshold. Approximate only in RECALL: a pair
+    colliding in no band is never scored. With 4 bands × 4 bits, pairs at
+    cosine ≥ 0.8 are caught with ≥ 95% probability; recall vs the exact
+    operator is floor-asserted in tests/test_similarity.py.
+
+    Output schema matches ``embedding_neardup_pairs``:
+    (vec_a, vec_b, cosine).
+    """
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    rows_per_band = n_planes // n_bands
+    d = _as_double(vectors, id_col)
+    bits = d.select(
+        id_col,
+        "v",
+        "nrm",
+        *[_hyperplane_bit("v", p).alias(f"bit{p}") for p in range(n_planes)],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                sum(
+                    (
+                        F.col(f"bit{band * rows_per_band + r}") * (1 << r)
+                        for r in range(rows_per_band)
+                    ),
+                    start=F.lit(0),
+                ).alias("bucket"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    banded = bits.select(id_col, F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    from .dedup import _pair_expr
+
+    cand = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(F.expr(_pair_expr("ids", "x AS vec_a, y AS vec_b"))).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    a = d.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = d.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
 def cluster_centroids(corpus: DataFrame, cluster_col: str = "label") -> DataFrame:
     """Per-cluster mean vector via posexplode + groupBy(cluster, dim) —
     the distributed centroid computation (same shape as a k-means step)."""
@@ -91,16 +198,19 @@ def cluster_centroids(corpus: DataFrame, cluster_col: str = "label") -> DataFram
     )
 
 
-def ivf_topk(
+def ivf_probe_routing(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     n_probe: int = 2,
     cluster_col: str = "label",
 ) -> DataFrame:
-    """IVF ANN: search only the ``n_probe`` clusters whose centroids are
-    nearest (cosine) to the query. Returns the same schema as
-    :func:`brute_force_topk`; recall < 1 by construction."""
+    """(query_id, cluster) rows: the ``n_probe`` clusters whose centroids
+    are nearest (cosine) to each query — the routing stage shared by every
+    IVF-blocked search (float :func:`ivf_topk`, int8-quantized variants).
+
+    The centroid table is k rows, so the query×centroid crossJoin is a
+    broadcast of a tiny build side by construction — never an all-pairs
+    shuffle."""
     cents = cluster_centroids(corpus, cluster_col)
     q = _as_double(queries).alias("q")
     ce = cents.alias("ce")
@@ -109,7 +219,7 @@ def ivf_topk(
     )
     qc_cos = _cosine(F.col("q.v"), F.col("ce.centroid"), F.col("q.nrm"), cnorm)
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cluster"))
-    probes = (
+    return (
         q.crossJoin(F.broadcast(ce))
         .select(
             F.col("q.vec_id").alias("query_id"),
@@ -120,6 +230,19 @@ def ivf_topk(
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "cluster")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: search only the ``n_probe`` clusters whose centroids are
+    nearest (cosine) to the query. Returns the same schema as
+    :func:`brute_force_topk`; recall < 1 by construction."""
+    probes = ivf_probe_routing(corpus, queries, n_probe, cluster_col)
     c = (
         corpus.select(F.col("vec_id"), F.col(cluster_col).alias("cluster"), "embedding")
         .alias("corp")

@@ -1,9 +1,10 @@
 """Dedup queries (SURVEY.md X1/X2) with DuckDB oracles.
 
 Spark implementations in :mod:`..operators.dedup`. The MinHash/LSH oracles
-rebuild the dense shingle-id vocabulary and hash family in SQL — the whole
-pipeline is deterministic by construction (fixed coefficients, sorted-vocab
-ids), which is what makes an external oracle possible at all.
+rebuild the content-hashed shingle ids (md5-prefix bigint — bit-identical in
+DuckDB) and the fixed hash family in SQL — the whole pipeline is
+deterministic by construction, which is what makes an external oracle
+possible at all without any global vocabulary sort on the Spark side.
 """
 
 from __future__ import annotations
@@ -41,11 +42,11 @@ _MINHASH_COLS = ", ".join(
 
 _SIG_CTE = f"""
     {_SHINGLES_CTE},
-    vocab AS (
-      SELECT shingle, ROW_NUMBER() OVER (ORDER BY shingle) AS sid
-      FROM (SELECT DISTINCT shingle FROM sh)
+    ids AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {D.MINHASH_P} AS sid
+      FROM sh
     ),
-    ids AS (SELECT sh.doc_id, vocab.sid FROM sh JOIN vocab USING (shingle)),
     sig AS (SELECT doc_id, {_MINHASH_COLS} FROM ids GROUP BY doc_id)
 """
 
@@ -101,8 +102,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_signatures",
     oracle=f"WITH {_SIG_CTE} SELECT * FROM sig",
     survey="X2",
-    doc="12-function MinHash signatures over dense shingle ids — "
-    "deterministic hash family shared with the oracle.",
+    doc="12-function MinHash signatures over content-hashed shingle ids — "
+    "deterministic hash family shared with the oracle; no vocabulary pass, "
+    "no global sort.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(_docs(spark, sf_dir), n=3)

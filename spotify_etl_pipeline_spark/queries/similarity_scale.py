@@ -1,0 +1,139 @@
+"""Scale-path similarity queries (SURVEY.md X2/X3): blocked variants of the
+exact baselines in :mod:`.similarity_queries` and :mod:`.dedup_queries`.
+
+- ``embedding_lsh_neardup`` — :func:`..operators.similarity.lsh_bucketed_ann`:
+  the blocked counterpart of ``dedup_embedding_cosine`` (same output schema,
+  same exact-cosine verify) that replaces the all-pairs a<b join with a
+  (band, bucket) equi-join over deterministic random-hyperplane signatures.
+  Because the hyperplane family is closed-form arithmetic, the WHOLE
+  pipeline — sign bits, buckets, candidates, verify — has an exact DuckDB
+  oracle: the approximation is *shared* with the oracle, so the row set
+  still value-hash-matches.
+- ``knn_quantized_ivf`` — int8 dot-product ranking INSIDE IVF-probed
+  clusters only: composes ``embedding_quantize_int8`` with
+  :func:`..operators.similarity.ivf_probe_routing` so the memory-bound int8
+  scan touches ~n_probe/n_clusters of the corpus instead of all of it.
+  Probe choice rides on float centroid means (engine-order-dependent), so
+  this one is rows-only; recall vs the exact quantized baseline is
+  floor-asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import similarity as S
+from ..schemas import load_fixture
+from .catalog import register
+from .similarity_queries import embedding_quantize_int8
+
+LSH_THRESHOLD = 0.45
+N_PLANES = 16
+N_BANDS = 4
+_ROWS = N_PLANES // N_BANDS
+
+# DuckDB twin of operators.similarity._hyperplane_bit: list_transform's
+# lambda index i is 1-based, matching the Spark side's (i + 1).
+_BIT_EXPRS = ", ".join(
+    f"CASE WHEN list_sum(list_transform(v, (x, i) -> "
+    f"x * ((({S.LSH_ANN_A[p]} * i + {S.LSH_ANN_B[p]}) % {S.LSH_ANN_M}) "
+    f"/ {S.LSH_ANN_M}.0 - 0.5))) > 0 THEN 1 ELSE 0 END AS bit{p}"
+    for p in range(N_PLANES)
+)
+
+_BANDED = " UNION ALL ".join(
+    f"SELECT vec_id, {band} AS band, "
+    + " + ".join(f"bit{band * _ROWS + r} * {1 << r}" for r in range(_ROWS))
+    + " AS bucket FROM bits"
+    for band in range(N_BANDS)
+)
+
+
+@register(
+    "embedding_lsh_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             NULLIF(sqrt(list_sum(list_transform(v, x -> x * x))), 0) AS nrm
+      FROM e
+    ),
+    bits AS (SELECT vec_id, v, nrm, {_BIT_EXPRS} FROM n),
+    banded AS ({_BANDED}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(list_sum(list_transform(list_zip(na.v, nb.v), p -> p[1] * p[2]))
+                 / (na.nrm * nb.nrm), 4) AS cosine
+    FROM cand
+    JOIN n na ON cand.vec_a = na.vec_id
+    JOIN n nb ON cand.vec_b = nb.vec_id
+    WHERE list_sum(list_transform(list_zip(na.v, nb.v), p -> p[1] * p[2]))
+          / (na.nrm * nb.nrm) >= {LSH_THRESHOLD}
+    """,
+    survey="X2,X3",
+    doc="Blocked embedding near-dup: random-hyperplane LSH buckets "
+    "(4 bands x 4 bits, deterministic coefficient family) -> candidate "
+    "equi-join -> exact cosine verify. Scale path of "
+    "dedup_embedding_cosine: vectors only meet inside a bucket, never "
+    "all-pairs. Oracle rederives the same hyperplanes, so even the "
+    "approximation is value-hash-checked.",
+)
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_bucketed_ann(
+        load_fixture(spark, sf_dir, "embeddings"),
+        threshold=LSH_THRESHOLD,
+        n_planes=N_PLANES,
+        n_bands=N_BANDS,
+    )
+
+
+@register(
+    "knn_quantized_ivf",
+    oracle=None,  # probe routing depends on float centroid means (engine
+    # summation order) → rows-only; recall floor vs the exact quantized
+    # baseline asserted in tests/test_similarity.py.
+    survey="X3",
+    doc="Int8 top-k INSIDE IVF-probed clusters (n_probe=3 of 10): the "
+    "quantized index is scanned only where the centroid routing points, "
+    "so the memory-bound-scan claim holds at corpus scale — integer dot "
+    "products, 1/4 the bytes, ~n_clusters/n_probe less of them.",
+)
+def knn_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    probes = S.ivf_probe_routing(emb, queries, n_probe=3)
+    codes = embedding_quantize_int8(spark, sf_dir).select("vec_id", "codes")
+    member = emb.select("vec_id", F.col("label").alias("cluster"))
+    candidates = (
+        probes.join(member, "cluster")
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    qc = codes.select(F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes"))
+    cc = codes.select(F.col("vec_id").alias("cand_id"), F.col("codes").alias("ccodes"))
+    dot = F.aggregate(
+        F.zip_with("qcodes", "ccodes", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        candidates.join(qc, "query_id")
+        .join(cc, "cand_id")
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), dot.alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
