@@ -32,11 +32,14 @@ from pyspark.sql.window import Window
 # Deterministic random-hyperplane family for LSH-bucketed ANN: plane p's
 # coefficient at (1-based) dimension i is ((A[p]*i + B[p]) % M)/M - 0.5 —
 # a fixed LCG-style pseudo-random value in [-0.5, 0.5) that any engine can
-# rederive exactly (no RNG state to ship to an oracle). 16 planes = 4 bands
-# × 4 bits by default.
+# rederive exactly (no RNG state to ship to an oracle). 30 planes = 10
+# bands × 3 bits by default: the shallow-band shape a LOW similarity
+# threshold needs (p_band(s=0.45) ≈ 0.27, catch ≈ 1-(1-0.27)^10 ≈ 0.96;
+# measured recall 1.0 / 0.97 at sf0.01 / sf0.1). Deeper bands (4+ bits)
+# block harder but drop recall below 0.5 at this threshold.
 LSH_ANN_M = 997
-LSH_ANN_A = (389, 1163, 2749, 3083, 4729, 5521, 6311, 7927, 8599, 9257, 10463, 11261, 12277, 13313, 14423, 15559)
-LSH_ANN_B = (17, 2503, 3607, 4099, 5107, 6151, 7541, 8209, 9439, 10141, 11251, 12301, 13331, 14431, 15569, 16657)
+LSH_ANN_A = (317, 367, 409, 449, 491, 547, 593, 631, 673, 727, 769, 823, 863, 919, 971, 1019, 1061, 1103, 1163, 1217, 1277, 1303, 1373, 1433, 1481, 1523, 1571, 1613, 1667, 1723)
+LSH_ANN_B = (337, 401, 463, 547, 613, 677, 757, 829, 911, 991, 1061, 1129, 1223, 1297, 1399, 1471, 1549, 1613, 1699, 1787, 1877, 1979, 2053, 2131, 2237, 2309, 2383, 2467, 2579, 2671)
 
 
 def _as_double(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -104,8 +107,8 @@ def _hyperplane_bit(v_col: str, plane: int) -> F.Column:
 def lsh_bucketed_ann(
     vectors: DataFrame,
     threshold: float = 0.45,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 30,
+    n_bands: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Blocked embedding near-dup pairs: random-hyperplane LSH buckets →
@@ -118,9 +121,10 @@ def lsh_bucketed_ann(
     no-self-join shape as MinHash-LSH banding — the signature pipeline runs
     once), then verified with an exact double-precision cosine so every
     emitted pair is truly ≥ threshold. Approximate only in RECALL: a pair
-    colliding in no band is never scored. With 4 bands × 4 bits, pairs at
-    cosine ≥ 0.8 are caught with ≥ 95% probability; recall vs the exact
-    operator is floor-asserted in tests/test_similarity.py.
+    colliding in no band is never scored. The default 10 bands × 3 bits is
+    tuned for the low 0.45 threshold (measured recall 1.0 / 0.97 at
+    sf0.01 / sf0.1); recall vs the exact operator is floor-asserted in
+    tests/test_similarity.py.
 
     Output schema matches ``embedding_neardup_pairs``:
     (vec_a, vec_b, cosine).

@@ -78,6 +78,7 @@ def _load_all() -> None:
         multimodal_queries,
         pipeline_ops,
         reference,
+        similarity_scale,
     )
 
 

@@ -30,8 +30,8 @@ from .catalog import register
 from .similarity_queries import embedding_quantize_int8
 
 LSH_THRESHOLD = 0.45
-N_PLANES = 16
-N_BANDS = 4
+N_PLANES = 30
+N_BANDS = 10
 _ROWS = N_PLANES // N_BANDS
 
 # DuckDB twin of operators.similarity._hyperplane_bit: list_transform's
@@ -82,7 +82,7 @@ _BANDED = " UNION ALL ".join(
     """,
     survey="X2,X3",
     doc="Blocked embedding near-dup: random-hyperplane LSH buckets "
-    "(4 bands x 4 bits, deterministic coefficient family) -> candidate "
+    "(10 bands x 3 bits, deterministic coefficient family) -> candidate "
     "equi-join -> exact cosine verify. Scale path of "
     "dedup_embedding_cosine: vectors only meet inside a bucket, never "
     "all-pairs. Oracle rederives the same hyperplanes, so even the "

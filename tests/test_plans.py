@@ -31,6 +31,7 @@ PAIRWISE_OK = {
     "knn_brute_force",
     "knn_ivf",
     "knn_quantized_topk",
+    "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
     "dedup_embedding_cosine",
 }
 SCALAR_ATTACH_OK = {"text_tfidf", "q22_idle_rich_customers"}

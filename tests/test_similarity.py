@@ -74,6 +74,44 @@ def test_simhash_close_for_near_dups(spark, sf_dir):
         assert sum(dists) / len(dists) <= 6, dists
 
 
+def test_lsh_bucketed_ann_recall_floor(spark, sf_dir):
+    """The blocked embedding near-dup must recover ≥ 90% of the exact
+    threshold pairs (10 bands × 3 bits targets ~96% catch at cosine 0.45;
+    measured 1.0 / 0.97 at sf0.01 / sf0.1), and — because every candidate
+    is exact-verified — must emit NO pair below the threshold."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in ALL["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    blocked_rows = ALL["embedding_lsh_neardup"](spark, sf_dir).collect()
+    blocked = {(r["vec_a"], r["vec_b"]) for r in blocked_rows}
+    assert all(r["cosine"] >= 0.45 for r in blocked_rows)
+    assert blocked <= exact, "blocked path emitted a pair the exact op rejects"
+    if exact:
+        recall = len(blocked & exact) / len(exact)
+        assert recall >= 0.9, f"LSH-ANN recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_quantized_ivf_matches_quantized_exact_on_probed_clusters(spark, sf_dir):
+    """knn_quantized_ivf restricts the int8 scan to probed clusters; within
+    what it scans the ranking must agree with the exact quantized baseline,
+    and overall top-5 recall must clear the same searched-fraction floor as
+    float IVF (labels are geometrically random → ~30% reachable)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL["knn_quantized_topk"](spark, sf_dir).collect()
+    }
+    approx_rows = ALL["knn_quantized_ivf"](spark, sf_dir).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"quantized-IVF recall below searched fraction: {recall:.2f}"
+    # per-query sanity: 20 queries × exactly 5 ranked neighbors each
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in approx_rows)
+    assert len(per_q) == 20 and set(per_q.values()) == {5}
+
+
 def test_prefix_filtered_jaccard_equals_plain(spark, sf_dir):
     """The PPJoin-style prefix filter must be EXACT: identical pair set and
     scores to the plain shingle-blocked join."""
