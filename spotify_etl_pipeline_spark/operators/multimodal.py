@@ -2,9 +2,10 @@
 
 Media (image/audio/video) are opaque ``binary`` columns travelling next to
 typed metadata structs. The Spark-side machinery — schema, partition-safe
-Arrow batching, ``mapInPandas`` UDF signatures — is real and tested; the
-actual codec step is stubbed (image/audio libs are not in this container)
-behind ``decode_stub`` with a deterministic fake so oracle checks stay exact.
+Arrow batching, ``mapInPandas`` UDF signatures — is real and tested. The
+codec step uses PIL when importable and otherwise falls back to a
+deterministic byte-level fake (image/audio libs are not in this container),
+so oracle checks stay exact in either environment.
 
 Scale notes: media bytes stay in executor-side Arrow batches end-to-end —
 never collected, never exploded per-pixel. ``mapInPandas`` streams batches,
@@ -44,14 +45,36 @@ def attach_binary_payload(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes) -> object:
-    """Codec boundary — REAL decode goes here (PIL/libav/ffmpeg).
+def _try_import_pil():
+    """Runtime probe for a real image codec. Resolved once per Python
+    worker (module import), not per row."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    Deliberately stubbed: the execution container ships no media libraries.
-    The Spark plumbing around this call (Arrow batching, schema, partition
-    parallelism) is production-shaped and tested with the deterministic fake
-    below.
+        return Image
+    except ImportError:
+        return None
+
+
+PIL_IMAGE = _try_import_pil()
+
+
+def decode_media(payload: bytes) -> object:
+    """Codec boundary: real decode when a codec is installed, declared
+    failure when not.
+
+    When PIL is importable the payload is opened as an image and returned
+    decoded; otherwise this raises — the execution container ships no media
+    libraries, and the mapInPandas stages fall back to the deterministic
+    byte-level fake so the Spark plumbing (Arrow batching, schema, partition
+    parallelism) stays production-shaped, tested, and oracle-exact. Both
+    modes are covered by tests/test_datasource.py (fake mode in this
+    container; the PIL branch via a monkeypatched stand-in codec).
     """
+    if PIL_IMAGE is not None:
+        import io
+
+        return PIL_IMAGE.open(io.BytesIO(payload))
     raise NotImplementedError(
         "media decode requires PIL/av — not available in this container; "
         "extract_features uses a deterministic byte-level fake instead"
@@ -90,27 +113,43 @@ RESIZE_SCHEMA = "doc_id LONG, width INT, height INT, n_bytes INT"
 FRAME_SCHEMA = "doc_id LONG, frame_idx INT, frame_offset INT, frame_bytes BINARY"
 
 
-def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Image-resize stage shape over mapInPandas.
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, codec=None
+) -> DataFrame:
+    """Image-resize stage over mapInPandas — real codec when one exists.
 
-    A real deployment calls PIL inside the batch loop (see
-    :func:`decode_media` for why that is stubbed); the deterministic fake
-    'resizes' by truncating the payload to width*height bytes, which keeps
-    the Spark contract — per-batch Arrow transfer, bounded memory, schema
-    with target dimensions — fully exercised and testable.
+    ``codec`` is any PIL.Image-shaped module (``open(BytesIO) →`` object
+    with ``resize((w, h)) → .tobytes()``); it defaults to PIL when
+    importable, else the deterministic fake 'resizes' by truncating the
+    payload to width*height bytes. The codec rides into the Python workers
+    as part of the pickled closure — a module-global would be re-imported
+    worker-side and silently ignore an injected codec. Either mode keeps
+    the Spark contract identical: per-batch Arrow transfer, bounded memory,
+    schema with target dimensions. Both branches are tested
+    (tests/test_datasource.py; the codec branch via an injected fake).
     """
+    if codec is None:
+        codec = PIL_IMAGE
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         target = width * height
         for pdf in it:
+            if codec is not None:
+                n_bytes = pdf["payload"].map(
+                    lambda b: len(
+                        codec.open(io.BytesIO(b)).resize((width, height)).tobytes()
+                    )
+                )
+            else:
+                n_bytes = pdf["payload"].map(lambda b: min(len(b), target))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "n_bytes": pdf["payload"]
-                    .map(lambda b: min(len(b), target))
-                    .astype("int32"),
+                    "n_bytes": n_bytes.astype("int32"),
                 }
             )
 

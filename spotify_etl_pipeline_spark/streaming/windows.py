@@ -34,8 +34,18 @@ def read_events_stream(
     spark: SparkSession, directory: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """File-source stream over the events table (the file source requires a
-    directory; ``glob`` narrows it to the events file within sf_dir)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    directory; ``glob`` narrows it to the events file within sf_dir).
+
+    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session
+    (a :func:`..session.get_spark` default). Deliberately NOT set here:
+    flipping a session-global conf inside a reader helper would silently
+    change how every later parquet read interprets nanos columns.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        raise RuntimeError(
+            "read_events_stream needs spark.sql.legacy.parquet.nanosAsLong=true "
+            "declared on the session (use session.get_spark, which defaults it)"
+        )
     raw = (
         spark.readStream.schema(EVENTS_NANOS_SCHEMA)
         .option("pathGlobFilter", glob)
