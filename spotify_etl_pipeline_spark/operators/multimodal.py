@@ -68,8 +68,8 @@ def decode_media(payload: bytes) -> object:
     libraries, and the mapInPandas stages fall back to the deterministic
     byte-level fake so the Spark plumbing (Arrow batching, schema, partition
     parallelism) stays production-shaped, tested, and oracle-exact. Both
-    modes are covered by tests/test_datasource.py (fake mode in this
-    container; the PIL branch via a monkeypatched stand-in codec).
+    modes are covered by tests/test_multimodal_codec.py (fake mode in this
+    container; the codec branch via an injected stand-in).
     """
     if PIL_IMAGE is not None:
         import io
@@ -118,15 +118,22 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize stage over mapInPandas — real codec when one exists.
 
-    ``codec`` is any PIL.Image-shaped module (``open(BytesIO) →`` object
-    with ``resize((w, h)) → .tobytes()``); it defaults to PIL when
-    importable, else the deterministic fake 'resizes' by truncating the
-    payload to width*height bytes. The codec rides into the Python workers
-    as part of the pickled closure — a module-global would be re-imported
-    worker-side and silently ignore an injected codec. Either mode keeps
-    the Spark contract identical: per-batch Arrow transfer, bounded memory,
-    schema with target dimensions. Both branches are tested
-    (tests/test_datasource.py; the codec branch via an injected fake).
+    ``codec`` selects the decode behavior:
+
+    - ``None`` (default): PIL when importable, else the deterministic fake
+      that 'resizes' by truncating the payload to width*height bytes;
+    - ``False``: force the fake — what the oracle-checked catalog query
+      pins, since its payloads are utf-8 text (never decodable images) and
+      its DuckDB oracle hard-codes the truncation semantics;
+    - any PIL.Image-shaped module (``open(BytesIO) →`` object with
+      ``resize((w, h))``): used as the decoder.
+
+    The codec rides into the Python workers as part of the pickled
+    closure — a module-global would be re-imported worker-side and
+    silently ignore an injected codec. Either mode keeps the Spark
+    contract identical: per-batch Arrow transfer, bounded memory, schema
+    with target dimensions. Both branches are tested in
+    tests/test_multimodal_codec.py (the codec branch via an injected fake).
     """
     if codec is None:
         codec = PIL_IMAGE
@@ -135,13 +142,19 @@ def resize_images(
         import io
 
         target = width * height
+
+        def decoded_size(b: bytes) -> int:
+            img = codec.open(io.BytesIO(b)).resize((width, height))
+            # dims × bands, not len(tobytes()): materializing the full
+            # pixel buffer per row just to measure it is an avoidable
+            # allocation on the hot path
+            if hasattr(img, "getbands"):
+                return width * height * len(img.getbands())
+            return len(img.tobytes())
+
         for pdf in it:
-            if codec is not None:
-                n_bytes = pdf["payload"].map(
-                    lambda b: len(
-                        codec.open(io.BytesIO(b)).resize((width, height)).tobytes()
-                    )
-                )
+            if codec:
+                n_bytes = pdf["payload"].map(decoded_size)
             else:
                 n_bytes = pdf["payload"].map(lambda b: min(len(b), target))
             yield pd.DataFrame(

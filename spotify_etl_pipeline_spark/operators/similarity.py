@@ -181,6 +181,31 @@ def lsh_bucketed_ann(
     )
 
 
+def int8_topk(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Rank (query, neighbor) pairs by INTEGER dot product of their int8
+    code vectors and keep the top-k per query.
+
+    ``pairs`` carries (query_id, neighbor_id, qcodes, ccodes); how the pair
+    set was generated — brute force or IVF probe routing — is the caller's
+    plan. Shared here: the long-seeded zip_with/aggregate dot (codes are
+    int8-ranged but held as longs, so no overflow) and the deterministic
+    (dot desc, neighbor asc) tie-break. Zero floating point anywhere, so
+    the ranking is bit-exact across engines.
+    """
+    dot = F.aggregate(
+        F.zip_with("qcodes", "ccodes", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("query_id", "neighbor_id", dot.alias("dot"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def cluster_centroids(corpus: DataFrame, cluster_col: str = "label") -> DataFrame:
     """Per-cluster mean vector via posexplode + groupBy(cluster, dim) —
     the distributed centroid computation (same shape as a k-means step)."""

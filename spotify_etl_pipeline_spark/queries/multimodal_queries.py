@@ -49,7 +49,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_binary_payload, resize_images
 
     docs = load_fixture(spark, sf_dir, "documents")
-    return resize_images(attach_binary_payload(docs), width=64, height=64)
+    # codec=False pins the deterministic fake: the payloads are utf-8 text
+    # (never decodable images) and the oracle above hard-codes the
+    # truncation semantics — auto-detecting an installed PIL would crash
+    # the workers AND diverge from the oracle.
+    return resize_images(attach_binary_payload(docs), width=64, height=64, codec=False)
 
 
 @register(

@@ -174,24 +174,16 @@ _Q_CODES_CTE = """
 )
 def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+
+    from ..operators.similarity import int8_topk
 
     codes = embedding_quantize_int8(spark, sf_dir).select("vec_id", "codes")
     q = codes.filter(F.col("vec_id") < 20).alias("q")
     c = codes.alias("c")
-    dot = F.aggregate(
-        F.zip_with(F.col("q.codes"), F.col("c.codes"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+    pairs = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("neighbor_id"),
-        dot.alias("dot"),
+        F.col("q.codes").alias("qcodes"),
+        F.col("c.codes").alias("ccodes"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", "dot")
-    )
+    return int8_topk(pairs, k=5)

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators import similarity as S
 from ..schemas import load_fixture
@@ -121,19 +120,9 @@ def knn_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qc = codes.select(F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes"))
     cc = codes.select(F.col("vec_id").alias("cand_id"), F.col("codes").alias("ccodes"))
-    dot = F.aggregate(
-        F.zip_with("qcodes", "ccodes", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
+    pairs = (
         candidates.join(qc, "query_id")
         .join(cc, "cand_id")
-        .select("query_id", F.col("cand_id").alias("neighbor_id"), dot.alias("dot"))
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "qcodes", "ccodes")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", "dot")
-    )
+    return S.int8_topk(pairs, k=5)

@@ -228,6 +228,14 @@ def load_fixture(spark, sf_dir: str, name: str):
     ``CAST(ts AS TIMESTAMP)`` truncation so both engines see identical
     values. The conversion is a narrow, codegen'd projection — no shuffle,
     scales linearly.
+
+    On the conf mutation: this is the ONE sanctioned place it happens.
+    ``load_fixture`` is the driver-contract entry point and must work on a
+    bare session the engine did not build; the value set here equals the
+    :func:`..session.get_spark` default, so engine-built sessions see no
+    change. Internal helpers (e.g. ``streaming.windows.read_events_stream``)
+    instead *require* the conf and raise — they are only reachable from
+    sessions we configure.
     """
     from pyspark.sql import functions as F
 

@@ -54,7 +54,11 @@ def test_decode_media_raises_without_codec():
 
 
 def test_resize_fallback_truncates_payload(spark, sf_dir):
-    rows = resize_images(_payloads(spark, sf_dir), width=8, height=8).collect()
+    """codec=False forces the fake regardless of an installed PIL — the
+    mode the oracle-checked catalog query pins."""
+    rows = resize_images(
+        _payloads(spark, sf_dir), width=8, height=8, codec=False
+    ).collect()
     assert rows and all(r.width == 8 and r.height == 8 for r in rows)
     assert all(0 <= r.n_bytes <= 64 for r in rows)
 
