@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_lsh_candidates",
     "knn_brute_force",
+    "embedding_lsh_neardup",
+    "knn_quantized_ivf",
     "events_sessionize",
     "events_sliding_counts",
     "text_word_frequency",

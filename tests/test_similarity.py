@@ -92,6 +92,23 @@ def test_lsh_bucketed_ann_recall_floor(spark, sf_dir):
         assert recall >= 0.9, f"LSH-ANN recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_lsh_deep_bands_block_hard(spark, sf_dir):
+    """At production near-dup thresholds the banding must actually BLOCK:
+    8 bands × 8 bits must generate well under half the brute-force pair
+    count (measured ~27× reduction at sf0.1; the shallow default trades
+    this away for recall at the fixture's low 0.45 threshold)."""
+    from spotify_etl_pipeline_spark.operators.similarity import lsh_ann_candidates
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    n = emb.count()
+    brute_pairs = n * (n - 1) // 2
+    cand = lsh_ann_candidates(emb, n_planes=64, n_bands=8).count()
+    assert cand < brute_pairs * 0.5, (
+        f"deep banding generated {cand} of {brute_pairs} brute-force pairs"
+    )
+
+
 def test_quantized_ivf_matches_quantized_exact_on_probed_clusters(spark, sf_dir):
     """knn_quantized_ivf restricts the int8 scan to probed clusters; within
     what it scans the ranking must agree with the exact quantized baseline,
