@@ -1,0 +1,79 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination and deterministic source-mixture resampling.
+
+Both are standard LLM-corpus stages (n-gram decontamination per the
+GPT-3/C4 papers' public methodology; mixture reweighting per every
+multi-source pretraining recipe) expressed as pure DataFrame ops.
+
+Design for 100 TB:
+
+- **Decontamination** joins corpus shingles against BENCHMARK shingles.
+  The benchmark side is small by nature (eval suites, not corpora), so
+  after `.distinct()` it broadcasts — the corpus side never shuffles: the
+  join is a broadcast-hash probe inside the corpus scan, and only matching
+  (doc, shingle) rows reach the one aggregation shuffle on doc_id.
+- **Mixture sampling** is a per-row predicate on a content fingerprint —
+  zero shuffles, zero RNG state: the keep-decision is a pure function of
+  document text, so re-ingests, retries, and reordering cannot change the
+  sample (the same property dataset_split relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import doc_shingles
+from .text import FP_BASE, MOD, _token_value
+
+
+def benchmark_ngram_hits(
+    docs: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """(doc_id, n_hits): corpus documents sharing ≥1 n-gram with any
+    benchmark document, with the count of distinct shared shingles.
+
+    The decontamination primitive: callers anti-join the flagged ids (or
+    threshold on ``n_hits``) before training. ``benchmark`` only needs a
+    ``text`` column (plus ``doc_id``, unused for matching); its distinct
+    shingle set is the broadcast side.
+    """
+    bench_shingles = doc_shingles(benchmark, n).select("shingle").distinct()
+    return (
+        doc_shingles(docs, n)
+        .join(bench_shingles, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def content_fingerprint() -> Column:
+    """Rolling-hash content fingerprint over the ``text`` column — the
+    same formula as dataset_split's (operators/text.py constants), shared
+    verbatim with the SQL oracle."""
+    return F.expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+        f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
+    )
+
+
+def mixture_sample(
+    docs: DataFrame, fractions: dict[str, float], granularity: int = 10_000
+) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture fractions.
+
+    A document survives iff ``fingerprint % granularity <
+    fractions[source] * granularity`` — a pure content predicate, so the
+    realized sample is stable under re-ingestion and independent of
+    partitioning. Sources absent from ``fractions`` are kept whole.
+    Within a source the fingerprint buckets are ~uniform, so realized
+    rates converge to the targets at corpus scale (±binomial noise at
+    fixture scale — tests assert bounds, not exact counts).
+    """
+    bucket = content_fingerprint() % granularity
+    threshold = F.lit(granularity)  # sources not listed: keep whole
+    for src, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col("source") == src, F.lit(int(frac * granularity))
+        ).otherwise(threshold)
+    return docs.filter(bucket < threshold)

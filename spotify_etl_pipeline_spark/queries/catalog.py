@@ -79,6 +79,7 @@ def _load_all() -> None:
         pipeline_ops,
         reference,
         similarity_scale,
+        curation_ops,
     )
 
 

@@ -1,0 +1,64 @@
+"""Curation-operator properties: decontamination must catch copies, and
+mixture sampling must be a pure content function with rates near targets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_etl_pipeline_spark.operators.curation import (
+    benchmark_ngram_hits,
+    mixture_sample,
+)
+from spotify_etl_pipeline_spark.schemas import load_fixture
+
+
+def test_decontamination_flags_exact_and_partial_copies(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # exact copy → every 5-gram shared
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # shares one 5-gram window
+            (11, "she saw the quick brown fox jumps nearby yesterday evening"),
+            # clean
+            (12, "completely unrelated words about spark dataframes and parquet"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r.doc_id: r.n_hits for r in benchmark_ngram_hits(corpus, bench, n=5).collect()}
+    assert hits[10] == 6  # 10 tokens → 6 five-grams, all shared
+    assert hits[11] == 1  # exactly the "the quick brown fox jumps" window
+    assert 12 not in hits
+
+
+def test_mixture_sample_is_deterministic_and_near_target(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    fractions = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+    kept_a = mixture_sample(docs, fractions).select("doc_id")
+    kept_b = mixture_sample(docs, fractions).select("doc_id")
+    assert kept_a.exceptAll(kept_b).count() == 0
+    assert kept_b.exceptAll(kept_a).count() == 0
+    # full-keep sources survive whole; quarter-keep sources shrink
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.source: r.n
+        for r in mixture_sample(docs, fractions)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    full = [s for s, f in fractions.items() if f == 1.0 and s in totals]
+    assert full and all(kept.get(s, 0) == totals[s] for s in full)
+    quarter = [s for s, f in fractions.items() if f == 0.25 and s in totals]
+    assert quarter and sum(kept.get(s, 0) for s in quarter) < sum(totals[s] for s in quarter)
+
+
+def test_mixture_sample_unlisted_sources_kept_whole(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, {"src0": 0.0})
+    assert kept.filter(F.col("source") == "src0").count() == 0
+    others = docs.filter(F.col("source") != "src0")
+    assert kept.count() == others.count()
