@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import doc_shingles
-from .text import FP_BASE, MOD, _token_value
+from .text import fingerprint_expr
 
 
 def benchmark_ngram_hits(
@@ -35,13 +35,19 @@ def benchmark_ngram_hits(
 
     The decontamination primitive: callers anti-join the flagged ids (or
     threshold on ``n_hits``) before training. ``benchmark`` only needs a
-    ``text`` column (plus ``doc_id``, unused for matching); its distinct
-    shingle set is the broadcast side.
+    ``text`` column (plus ``doc_id``, unused for matching).
+
+    The benchmark shingle set carries an explicit broadcast hint — unlike
+    the fact-table dims this is justified: a benchmark is an EVAL SUITE,
+    bounded by nature (MBs of text), not a table that grows with corpus
+    scale. The hint guards against AQE mis-sizing the post-distinct
+    aggregate and demoting to a sort-merge join that would shuffle every
+    corpus (doc, shingle) posting. Plan-asserted in tests/test_plans.py.
     """
     bench_shingles = doc_shingles(benchmark, n).select("shingle").distinct()
     return (
         doc_shingles(docs, n)
-        .join(bench_shingles, "shingle")
+        .join(F.broadcast(bench_shingles), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -49,12 +55,9 @@ def benchmark_ngram_hits(
 
 def content_fingerprint() -> Column:
     """Rolling-hash content fingerprint over the ``text`` column — the
-    same formula as dataset_split's (operators/text.py constants), shared
-    verbatim with the SQL oracle."""
-    return F.expr(
-        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-        f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
-    )
+    single shared definition (operators/text.py); DuckDB twin in
+    queries/oracle_sql_helpers.py."""
+    return fingerprint_expr()
 
 
 def mixture_sample(
@@ -73,7 +76,10 @@ def mixture_sample(
     bucket = content_fingerprint() % granularity
     threshold = F.lit(granularity)  # sources not listed: keep whole
     for src, frac in sorted(fractions.items()):
+        # round(), not int(): truncation turns float representation error
+        # (0.29 * 10000 = 2899.999...) into a deterministic one-bucket
+        # undershoot of the target rate
         threshold = F.when(
-            F.col("source") == src, F.lit(int(frac * granularity))
+            F.col("source") == src, F.lit(round(frac * granularity))
         ).otherwise(threshold)
     return docs.filter(bucket < threshold)

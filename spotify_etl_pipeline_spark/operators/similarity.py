@@ -185,7 +185,8 @@ def lsh_bucketed_ann(
       (:func:`ivf_probe_routing`) is the better scale path.
     - threshold ≥0.8 (production near-dup dedup): deepen to 8 bands ×
       8 bits — measured 27× candidate reduction on the fixture (72K vs
-      2.0M pairs at sf0.1) with catch prob ≥95% for cosine ≥0.9 pairs.
+      2.0M pairs at sf0.1); catch prob ≈93.5% at cosine 0.9, ≥95% from
+      cosine ≈0.92 up (p_bit = 1−acos(s)/π; catch = 1−(1−p_bit^8)^8).
 
     Recall (shallow config) and blocking factor (deep config) are both
     asserted in tests/test_similarity.py.

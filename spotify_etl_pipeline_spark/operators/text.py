@@ -140,19 +140,26 @@ def _token_value(expr: str) -> str:
     )
 
 
-def fingerprint(df: DataFrame) -> DataFrame:
-    """Rolling polynomial hash over the token stream (document fingerprint).
-
-    fp = fold(tokens, 0, (acc, t) -> (acc*131 + value(t)) mod 1e9+7) — an
-    order-sensitive content hash computable identically in any SQL engine
-    (the per-token value uses only length/first/last chars so the oracle can
-    reproduce it without a shared hash library).
+def fingerprint_expr() -> F.Column:
+    """THE rolling-hash content fingerprint over the ``text`` column —
+    fold(tokens, 0, (acc, t) -> (acc*131 + value(t)) mod 1e9+7), an
+    order-sensitive hash computable identically in any SQL engine (the
+    per-token value uses only length/first/last chars so an oracle can
+    reproduce it without a shared hash library). Single definition shared
+    by every consumer (fingerprint, dataset_split, corpus curation,
+    mixture sampling); the DuckDB twin is
+    queries/oracle_sql_helpers.fingerprint_sql.
     """
-    fp = F.expr(
+    return F.expr(
         "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
         f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
     )
-    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over the token stream (document fingerprint);
+    see :func:`fingerprint_expr` for the formula."""
+    return df.select("doc_id", fingerprint_expr().alias("fingerprint"))
 
 
 def word_frequency(df: DataFrame, top_k: int = 20) -> DataFrame:

@@ -14,9 +14,10 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators.components import resolve_duplicates
-from ..operators.text import FP_BASE, LANG_PROFILES, MOD, _token_value, quality_score
+from ..operators.text import LANG_PROFILES, fingerprint_expr, quality_score
 from ..schemas import load_fixture
 from .catalog import register
+from .oracle_sql_helpers import fingerprint_sql, shingle_select_sql
 
 _LANGS = ("en", "de", "fr")
 _QUALITY_MIN = 6200
@@ -44,17 +45,7 @@ _QUALITY_SQL = f"""
       SELECT doc_id, lang, text FROM documents
       WHERE lang IN ({_LANG_LIST}) AND {_QUALITY_SQL} >= {_QUALITY_MIN}
     ),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest(
-          list_transform(range(greatest(len(string_split(text,' ')) - 2, 0)),
-            i -> string_split(text,' ')[i+1] || '_' ||
-                 string_split(text,' ')[i+2] || '_' ||
-                 string_split(text,' ')[i+3])
-        ) AS shingle
-        FROM curated
-      )
-    ),
+    sh AS ({shingle_select_sql(3, "curated")}),
     cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -83,12 +74,7 @@ _QUALITY_SQL = f"""
       WHERE COALESCE(c.component, d.doc_id) = d.doc_id
     ),
     fp AS (
-      SELECT lang,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(text, ' '),
-                   t -> CAST({_token_value('t')} AS BIGINT))),
-               (acc, v) -> (acc * {FP_BASE} + v) % {MOD}) AS h
+      SELECT lang, {fingerprint_sql()} AS h
       FROM surv
     )
     SELECT CASE WHEN h % 100 < 80 THEN 'train'
@@ -123,11 +109,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("is_survivor")
         .select("doc_id")
     )
-    fp = F.expr(
-        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-        f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
-    )
-    bucket = fp % 100
+    bucket = fingerprint_expr() % 100
     split = (
         F.when(bucket < 80, F.lit("train"))
         .when(bucket < 90, F.lit("valid"))

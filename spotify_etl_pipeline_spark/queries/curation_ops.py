@@ -9,9 +9,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.curation import benchmark_ngram_hits, mixture_sample
-from ..operators.text import FP_BASE, MOD, _token_value
 from ..schemas import load_fixture
 from .catalog import register
+from .oracle_sql_helpers import fingerprint_sql, shingle_select_sql
 
 DECONTAM_N = 5
 # doc_id % 29 == 0 → the stand-in benchmark set: large enough that the
@@ -20,28 +20,13 @@ DECONTAM_N = 5
 BENCH_MOD = 29
 
 
-def _shingle_sql(n: int, src: str) -> str:
-    """DuckDB n-gram shingle CTE body over ``src`` (twin of
-    operators.dedup.doc_shingles at arbitrary n)."""
-    terms = " || '_' || ".join(f"string_split(text,' ')[i+{j + 1}]" for j in range(n))
-    return f"""
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest(
-          list_transform(range(greatest(len(string_split(text,' ')) - {n - 1}, 0)),
-            i -> {terms})
-        ) AS shingle
-        FROM {src}
-      )
-    """
-
-
 @register(
     "decontaminate_against_benchmark",
     oracle=f"""
     WITH bench AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} = 0),
     corpus AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
-    bsh AS (SELECT DISTINCT shingle FROM ({_shingle_sql(DECONTAM_N, "bench")})),
-    csh AS ({_shingle_sql(DECONTAM_N, "corpus")})
+    bsh AS (SELECT DISTINCT shingle FROM ({shingle_select_sql(DECONTAM_N, "bench")})),
+    csh AS ({shingle_select_sql(DECONTAM_N, "corpus")})
     SELECT csh.doc_id, COUNT(*) AS n_hits
     FROM csh JOIN bsh USING (shingle)
     GROUP BY csh.doc_id
@@ -62,8 +47,10 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
 
 _MIX_FRACTIONS = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
 
+# round(), not int() — matches mixture_sample (truncation would undershoot
+# targets whose float product lands just below the integer)
 _MIX_CASE = "CASE " + " ".join(
-    f"WHEN source = '{s}' THEN {int(f * 10000)}"
+    f"WHEN source = '{s}' THEN {round(f * 10000)}"
     for s, f in sorted(_MIX_FRACTIONS.items())
 ) + " ELSE 10000 END"
 
@@ -72,12 +59,7 @@ _MIX_CASE = "CASE " + " ".join(
     "source_mixture_sample",
     oracle=f"""
     WITH fp AS (
-      SELECT source,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(text, ' '),
-                   t -> CAST({_token_value('t')} AS BIGINT))),
-               (acc, v) -> (acc * {FP_BASE} + v) % {MOD}) AS h
+      SELECT source, {fingerprint_sql()} AS h
       FROM documents
     )
     SELECT source, COUNT(*) AS n_kept

@@ -20,19 +20,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_fixture(spark, sf_dir, "documents")
 
 
-# Shared CTE: distinct (doc_id, shingle) for 3-gram shingles, DuckDB-side.
-_SHINGLES_CTE = """
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest(
-          list_transform(range(greatest(len(string_split(text,' ')) - 2, 0)),
-            i -> string_split(text,' ')[i+1] || '_' ||
-                 string_split(text,' ')[i+2] || '_' ||
-                 string_split(text,' ')[i+3])
-        ) AS shingle
-        FROM documents
-      )
-    )
+# Shared CTE: distinct (doc_id, shingle) for 3-gram shingles, DuckDB-side
+# (single source of truth: oracle_sql_helpers.shingle_select_sql).
+from .oracle_sql_helpers import shingle_select_sql
+
+_SHINGLES_CTE = f"""
+    sh AS ({shingle_select_sql(3, "documents")})
 """
 
 _MINHASH_COLS = ", ".join(

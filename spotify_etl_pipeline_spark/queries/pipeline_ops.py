@@ -8,21 +8,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import FP_BASE, MOD, _token_value
+from ..operators.text import fingerprint_expr
 from ..schemas import load_fixture
 from .catalog import register
+from .oracle_sql_helpers import fingerprint_sql
 
 
 @register(
     "dataset_split",
     oracle=f"""
     WITH fp AS (
-      SELECT doc_id, lang,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(text, ' '),
-                   t -> CAST({_token_value('t')} AS BIGINT))),
-               (acc, v) -> (acc * {FP_BASE} + v) % {MOD}) AS h
+      SELECT doc_id, lang, {fingerprint_sql()} AS h
       FROM documents
     )
     SELECT CASE WHEN h % 100 < 80 THEN 'train'
@@ -42,11 +38,7 @@ from .catalog import register
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fixture(spark, sf_dir, "documents")
-    fp = F.expr(
-        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-        f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
-    )
-    bucket = fp % 100
+    bucket = fingerprint_expr() % 100
     split = (
         F.when(bucket < 80, F.lit("train"))
         .when(bucket < 90, F.lit("valid"))

@@ -126,6 +126,15 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     assert df.count() == ev.filter("event_type = 'click'").count()
 
 
+def test_decontamination_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark shingle set (bounded by nature — an eval suite) must
+    be the broadcast side so the corpus posting list never shuffles before
+    the per-doc aggregation of matches."""
+    plan = final_plan(queries()["decontaminate_against_benchmark"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
     """At warehouse scale a selective dim filter should become a runtime
     Bloom filter on the fact scan (rows dropped BEFORE the shuffle). The
