@@ -80,6 +80,7 @@ def _load_all() -> None:
         reference,
         similarity_scale,
         curation_ops,
+        analytics_extra,
     )
 
 
