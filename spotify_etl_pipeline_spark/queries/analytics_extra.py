@@ -1,5 +1,6 @@
-"""Additional SQL-surface coverage: ranking-distribution window functions
-and regex scalar functions — registered late so the correctness-sweep
+"""Additional SQL-surface coverage: ranking-distribution window functions,
+regex scalar functions, and the classic product-analytics shapes (ordered
+funnel, weekly cohort retention) — registered late so the correctness-sweep
 rotation (catalog.py) is undisturbed.
 """
 
@@ -66,4 +67,116 @@ def regexp_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("name_id"),
         F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
         F.col("c_name").rlike("^Customer#").alias("well_formed"),
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (SELECT user_id, MIN(ts) AS v_ts FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+          GROUP BY e.user_id)
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL SELECT 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM p)
+    """,
+    survey="A4,J1,X8",
+    doc="Ordered three-stage funnel: first view, first click at-or-after "
+    "it, first purchase at-or-after that — per-user min-timestamp "
+    "aggregations chained by equi-joins on user_id (each stage is one "
+    "shuffle on the same key; AQE reuses the partitioning), never a "
+    "per-user sort or window over the raw event stream.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fixture(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return stage("view", v).unionByName(stage("click", c)).unionByName(stage("purchase", p))
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM e
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', e.ts) AS activity_week
+      FROM e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cohort_week, activity_week) // 7 AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_week, activity_week
+    """,
+    survey="A4,F6,X8",
+    doc="Weekly cohort retention: users bucketed by first-seen week "
+    "(Monday-truncated in both engines), distinct (user, activity-week) "
+    "pairs counted per (cohort, offset). Two shuffles — the per-user min "
+    "and the final rollup; the distinct rides the second.",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fixture(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+            "n_users",
+        )
     )

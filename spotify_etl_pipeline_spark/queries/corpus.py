@@ -14,27 +14,19 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators.components import resolve_duplicates
-from ..operators.text import LANG_PROFILES, fingerprint_expr, quality_score
+from ..operators.text import fingerprint_expr, quality_score
 from ..schemas import load_fixture
 from .catalog import register
-from .oracle_sql_helpers import fingerprint_sql, shingle_select_sql
+from .oracle_sql_helpers import (
+    CURATION_LANGS as _LANGS,
+    CURATION_QUALITY_MIN as _QUALITY_MIN,
+    fingerprint_sql,
+    quality_sql,
+    shingle_select_sql,
+)
 
-_LANGS = ("en", "de", "fr")
-_QUALITY_MIN = 6200
-
-_STOPS = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
 _LANG_LIST = ", ".join(f"'{la}'" for la in _LANGS)
-
-_QUALITY_SQL = f"""
-    CAST(40 * least(greatest(len(string_split(text, ' ')), 1), 100)
-       + (3000 * len(list_distinct(string_split(text, ' '))))
-         // greatest(len(string_split(text, ' ')), 1)
-       + 3000
-       - (3000 * len(list_filter(string_split(text, ' '),
-                                 t -> list_contains([{_STOPS}], t))))
-         // greatest(len(string_split(text, ' ')), 1)
-    AS BIGINT)
-"""
+_QUALITY_SQL = quality_sql()
 
 
 @register(

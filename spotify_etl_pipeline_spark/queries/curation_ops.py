@@ -11,7 +11,13 @@ from pyspark.sql import functions as F
 from ..operators.curation import benchmark_ngram_hits, mixture_sample
 from ..schemas import load_fixture
 from .catalog import register
-from .oracle_sql_helpers import fingerprint_sql, shingle_select_sql
+from .oracle_sql_helpers import (
+    CURATION_LANGS,
+    CURATION_QUALITY_MIN,
+    fingerprint_sql,
+    quality_sql,
+    shingle_select_sql,
+)
 
 DECONTAM_N = 5
 # doc_id % 29 == 0 → the stand-in benchmark set: large enough that the
@@ -78,3 +84,111 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fixture(spark, sf_dir, "documents")
     kept = mixture_sample(docs, _MIX_FRACTIONS, granularity=10_000)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_LANG_LIST = ", ".join(f"'{la}'" for la in CURATION_LANGS)
+
+
+@register(
+    "corpus_curation_decontaminated",
+    oracle=f"""
+    WITH RECURSIVE
+    bench AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+    corpus0 AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id % {BENCH_MOD} <> 0
+        AND lang IN ({_LANG_LIST}) AND {quality_sql()} >= {CURATION_QUALITY_MIN}
+    ),
+    bsh AS (SELECT DISTINCT shingle FROM ({shingle_select_sql(DECONTAM_N, "bench")})),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM ({shingle_select_sql(DECONTAM_N, "corpus0")}) csh
+      JOIN bsh USING (shingle)
+    ),
+    curated AS (
+      SELECT * FROM corpus0
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sh AS ({shingle_select_sql(3, "curated")}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN cnt ca ON inter.doc_a = ca.doc_id
+      JOIN cnt cb ON inter.doc_b = cb.doc_id
+      WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    surv AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM curated d LEFT JOIN comp c ON d.doc_id = c.node
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    ),
+    fp AS (SELECT lang, {fingerprint_sql()} AS h FROM surv)
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM fp
+    GROUP BY 1, 2
+    """,
+    survey="X1,X2,X4",
+    doc="The full training-corpus chain with decontamination composed in: "
+    "language + quality gate -> drop documents sharing any 5-gram with "
+    "the held-out benchmark -> near-dup clustering with min-id survivor "
+    "resolution -> content-fingerprint 80/10/10 split, as (split, lang) "
+    "counts. Every stage reuses the individually-verified operator; the "
+    "oracle recomputes the whole chain (recursive-CTE components "
+    "included) in one statement.",
+)
+def corpus_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators.components import resolve_duplicates
+    from ..operators.text import fingerprint_expr, quality_score
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    corpus0 = (
+        quality_score(docs.filter(F.col("doc_id") % BENCH_MOD != 0))
+        .filter(
+            (F.col("quality_milli") >= CURATION_QUALITY_MIN)
+            & F.col("lang").isin(*CURATION_LANGS)
+        )
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "text")
+    )
+    contaminated = benchmark_ngram_hits(corpus0, bench, n=DECONTAM_N).select("doc_id")
+    curated = corpus0.join(contaminated, "doc_id", "left_anti")
+    pairs = D.ngram_jaccard_pairs(curated, n=3, threshold=0.8)
+    survivors = (
+        resolve_duplicates(curated.select("doc_id"), pairs, id_col="doc_id")
+        .filter("is_survivor")
+        .select("doc_id")
+    )
+    bucket = fingerprint_expr() % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        curated.join(survivors, "doc_id")
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -8,7 +8,29 @@ may import it without perturbing catalog registration order.
 
 from __future__ import annotations
 
-from ..operators.text import FP_BASE, MOD, _token_value
+from ..operators.text import FP_BASE, LANG_PROFILES, MOD, _token_value
+
+# The shared corpus-curation policy (used by the corpus_curation capstone
+# and its decontaminated variant — one definition so the two cannot drift).
+CURATION_LANGS = ("en", "de", "fr")
+CURATION_QUALITY_MIN = 6200
+
+_STOPS = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+
+
+def quality_sql() -> str:
+    """DuckDB twin of ``operators.text.quality_score``'s integer
+    milli-score over ``text``."""
+    return f"""
+    CAST(40 * least(greatest(len(string_split(text, ' ')), 1), 100)
+       + (3000 * len(list_distinct(string_split(text, ' '))))
+         // greatest(len(string_split(text, ' ')), 1)
+       + 3000
+       - (3000 * len(list_filter(string_split(text, ' '),
+                                 t -> list_contains([{_STOPS}], t))))
+         // greatest(len(string_split(text, ' ')), 1)
+    AS BIGINT)
+"""
 
 
 def shingle_select_sql(n: int, src: str) -> str:
