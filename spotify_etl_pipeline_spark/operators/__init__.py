@@ -17,6 +17,14 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
+from .curation import benchmark_ngram_hits, mixture_sample  # noqa: F401
 from .kmeans import assign_clusters, kmeans_fit  # noqa: F401
-from .similarity import brute_force_topk, ivf_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    int8_topk,
+    ivf_probe_routing,
+    ivf_topk,
+    lsh_ann_candidates,
+    lsh_bucketed_ann,
+)
 from .skew import salted_count_sum, salted_join  # noqa: F401

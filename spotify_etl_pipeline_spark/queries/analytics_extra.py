@@ -20,8 +20,8 @@ from .catalog import register
     SELECT c_custkey,
            c_mktsegment,
            NTILE(4) OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume
+           CAST(FLOOR(1000000 * PERCENT_RANK() OVER w) AS BIGINT) AS pct_rank_micro,
+           CAST(FLOOR(1000000 * CUME_DIST() OVER w) AS BIGINT) AS cume_micro
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment
                  ORDER BY c_acctbal, c_custkey)
@@ -29,8 +29,11 @@ from .catalog import register
     survey="W1",
     doc="Ranking-distribution windows (ntile / percent_rank / cume_dist) "
     "per market segment; the order key carries a unique tie-break "
-    "(c_custkey) so ntile bucket boundaries are deterministic. One "
-    "shuffle on the partition key; no global sort.",
+    "(c_custkey) so ntile bucket boundaries are deterministic. The ratios "
+    "are emitted as FLOOR-of-micro integers, not round(x, 6): k/(n-1) can "
+    "land on a half-ulp boundary where the engines' round() half-rules "
+    "disagree, while IEEE division is bit-identical so floor lands "
+    "identically. One shuffle on the partition key; no global sort.",
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_fixture(spark, sf_dir, "customer")
@@ -39,8 +42,8 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(1_000_000 * F.percent_rank().over(w)).alias("pct_rank_micro"),
+        F.floor(1_000_000 * F.cume_dist().over(w)).alias("cume_micro"),
     )
 
 
@@ -48,7 +51,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regexp_scalar_functions",
     oracle="""
     SELECT c_custkey,
-           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_id,
+           TRY_CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_id,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
            regexp_matches(c_name, '^Customer#') AS well_formed
     FROM customer
@@ -57,14 +60,16 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Regex scalar surface: capture-group extraction, global "
     "replacement, and pattern predicate over customer names. DuckDB "
     "regexp_replace needs the explicit 'g' flag to match Spark's "
-    "replace-all default; patterns stay in the POSIX-compatible subset "
-    "both engines share.",
+    "replace-all default; TRY_CAST on both sides because a no-match "
+    "extract yields '' and a plain cast of '' throws in BOTH engines "
+    "(ANSI Spark / DuckDB ConversionException) — a digit-less name must "
+    "produce a NULL id, not a hard query failure.",
 )
 def regexp_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_fixture(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
-        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("name_id"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).try_cast("long").alias("name_id"),
         F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
         F.col("c_name").rlike("^Customer#").alias("well_formed"),
     )

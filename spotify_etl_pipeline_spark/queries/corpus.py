@@ -20,9 +20,9 @@ from .catalog import register
 from .oracle_sql_helpers import (
     CURATION_LANGS as _LANGS,
     CURATION_QUALITY_MIN as _QUALITY_MIN,
-    fingerprint_sql,
+    SPLIT_SELECT_SQL,
+    dedup_and_split_ctes,
     quality_sql,
-    shingle_select_sql,
 )
 
 _LANG_LIST = ", ".join(f"'{la}'" for la in _LANGS)
@@ -37,45 +37,8 @@ _QUALITY_SQL = quality_sql()
       SELECT doc_id, lang, text FROM documents
       WHERE lang IN ({_LANG_LIST}) AND {_QUALITY_SQL} >= {_QUALITY_MIN}
     ),
-    sh AS ({shingle_select_sql(3, "curated")}),
-    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN cnt ca ON inter.doc_a = ca.doc_id
-      JOIN cnt cb ON inter.doc_b = cb.doc_id
-      WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(node, lbl) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-      UNION
-      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-    ),
-    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
-    surv AS (
-      SELECT d.doc_id, d.lang, d.text
-      FROM curated d LEFT JOIN comp c ON d.doc_id = c.node
-      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
-    ),
-    fp AS (
-      SELECT lang, {fingerprint_sql()} AS h
-      FROM surv
-    )
-    SELECT CASE WHEN h % 100 < 80 THEN 'train'
-                WHEN h % 100 < 90 THEN 'valid'
-                ELSE 'test' END AS split,
-           lang,
-           COUNT(*) AS n_docs
-    FROM fp
-    GROUP BY 1, 2
+    {dedup_and_split_ctes("curated")}
+    {SPLIT_SELECT_SQL}
     """,
     survey="X1,X2,X4",
     doc="End-to-end corpus curation: language filter → integer quality gate "

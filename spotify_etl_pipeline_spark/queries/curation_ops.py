@@ -8,12 +8,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as D
+from ..operators.components import resolve_duplicates
 from ..operators.curation import benchmark_ngram_hits, mixture_sample
+from ..operators.text import fingerprint_expr, quality_score
 from ..schemas import load_fixture
 from .catalog import register
 from .oracle_sql_helpers import (
     CURATION_LANGS,
     CURATION_QUALITY_MIN,
+    SPLIT_SELECT_SQL,
+    dedup_and_split_ctes,
     fingerprint_sql,
     quality_sql,
     shingle_select_sql,
@@ -109,42 +114,8 @@ _LANG_LIST = ", ".join(f"'{la}'" for la in CURATION_LANGS)
       SELECT * FROM corpus0
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
-    sh AS ({shingle_select_sql(3, "curated")}),
-    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN cnt ca ON inter.doc_a = ca.doc_id
-      JOIN cnt cb ON inter.doc_b = cb.doc_id
-      WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(node, lbl) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-      UNION
-      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-    ),
-    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
-    surv AS (
-      SELECT d.doc_id, d.lang, d.text
-      FROM curated d LEFT JOIN comp c ON d.doc_id = c.node
-      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
-    ),
-    fp AS (SELECT lang, {fingerprint_sql()} AS h FROM surv)
-    SELECT CASE WHEN h % 100 < 80 THEN 'train'
-                WHEN h % 100 < 90 THEN 'valid'
-                ELSE 'test' END AS split,
-           lang,
-           COUNT(*) AS n_docs
-    FROM fp
-    GROUP BY 1, 2
+    {dedup_and_split_ctes("curated")}
+    {SPLIT_SELECT_SQL}
     """,
     survey="X1,X2,X4",
     doc="The full training-corpus chain with decontamination composed in: "
@@ -156,10 +127,6 @@ _LANG_LIST = ", ".join(f"'{la}'" for la in CURATION_LANGS)
     "included) in one statement.",
 )
 def corpus_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as D
-    from ..operators.components import resolve_duplicates
-    from ..operators.text import fingerprint_expr, quality_score
-
     docs = load_fixture(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     corpus0 = (

@@ -49,6 +49,59 @@ def shingle_select_sql(n: int, src: str) -> str:
     """
 
 
+def dedup_and_split_ctes(src: str) -> str:
+    """The shared tail of both curation capstones' oracles: 3-gram-Jaccard
+    (≥0.8) near-dup pairs over ``src`` → connected components via recursive
+    CTE → min-id survivors → content-fingerprint 80/10/10 split buckets.
+
+    Emits the CTE chain ``sh, cnt, inter, pairs, edges, reach, comp, surv,
+    fp``; the caller's statement must open with ``WITH RECURSIVE`` and
+    finish with a SELECT over ``fp`` (columns ``lang``, ``h``).
+    """
+    return f"""
+    sh AS ({shingle_select_sql(3, src)}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN cnt ca ON inter.doc_a = ca.doc_id
+      JOIN cnt cb ON inter.doc_b = cb.doc_id
+      WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    surv AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM {src} d LEFT JOIN comp c ON d.doc_id = c.node
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    ),
+    fp AS (SELECT lang, {fingerprint_sql()} AS h FROM surv)
+"""
+
+
+SPLIT_SELECT_SQL = """
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM fp
+    GROUP BY 1, 2
+"""
+
+
 def fingerprint_sql() -> str:
     """DuckDB twin of ``operators.text.fingerprint_expr``: the rolling-hash
     content fingerprint as a scalar SQL expression over ``text``."""
