@@ -76,6 +76,90 @@ def regexp_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2001-03-15'
+      AND l.l_shipdate  > TIMESTAMP '2001-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    survey="J1,A4,W2,O1",
+    doc="TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈ "
+    "orders ⋈ lineitem, unshipped-revenue per order, deterministic "
+    "top-10. Both date predicates push to their scans; the segment "
+    "filter cuts customer before the join.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.to_timestamp(F.lit("2001-03-15"))
+    c = load_fixture(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_fixture(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_fixture(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("_rev", 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+    LIMIT 20
+    """,
+    survey="J1,A4,W2,O1",
+    doc="TPC-H Q10 shape (returned items): revenue lost to returns per "
+    "customer with nation context, deterministic top-20. The returnflag "
+    "predicate pushes to the lineitem scan; nation (25 rows) broadcasts "
+    "via threshold, customer/orders stay AQE-governed.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_fixture(spark, sf_dir, "customer")
+    o = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_fixture(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", F.round("_rev", 2).alias("revenue"), "n_name")
+    )
+
+
+@register(
     "funnel_view_click_purchase",
     oracle="""
     WITH e AS (
