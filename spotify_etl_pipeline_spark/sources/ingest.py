@@ -44,6 +44,40 @@ class InvalidPlaylistUrlError(ValueError):
     pass
 
 
+def handler_response(run: Callable[[], Any]) -> dict[str, Any]:
+    """Lambda-handler response envelope (reference
+    lambda_function.py:372-401): run the extraction thunk and map the
+    outcome to the reference's statusCode/body contract — 200 with the
+    result payload, 400 + ``ETL_ERROR`` for domain failures (our
+    ``InvalidPlaylistUrlError`` plays the reference's ``SpotifyETLError``
+    role), 500 + ``INTERNAL_ERROR`` (message withheld, as the reference
+    does) for anything unexpected.
+    """
+    import json
+
+    try:
+        result = run()
+        return {
+            "statusCode": 200,
+            "body": json.dumps(
+                {"message": "Playlist processed successfully", "data": result},
+                default=str,
+            ),
+        }
+    except InvalidPlaylistUrlError as exc:
+        return {
+            "statusCode": 400,
+            "body": json.dumps({"error": "ETL_ERROR", "message": str(exc)}),
+        }
+    except Exception:
+        return {
+            "statusCode": 500,
+            "body": json.dumps(
+                {"error": "INTERNAL_ERROR", "message": "An unexpected error occurred"}
+            ),
+        }
+
+
 def extract_playlist_id(playlist_link: str) -> str:
     """URL → 22-char id (reference lambda_function.py:80-99 semantics)."""
     if not playlist_link:

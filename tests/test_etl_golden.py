@@ -72,6 +72,37 @@ def test_extractor_rejects_bad_urls(tmp_path):
     assert extract_playlist_id(FX.PLAYLIST_URL) == FX.PLAYLIST_ID
 
 
+def test_handler_response_status_mapping():
+    """Reference lambda_function.py:372-401 contract: 200 success with
+    data payload, 400 ETL_ERROR for domain failures, 500 INTERNAL_ERROR
+    with the message withheld for unexpected ones."""
+    import json
+
+    from spotify_etl_pipeline_spark.sources.ingest import handler_response
+
+    ok = handler_response(lambda: {"rows": 3})
+    assert ok["statusCode"] == 200
+    assert json.loads(ok["body"])["data"] == {"rows": 3}
+
+    def bad_url():
+        raise InvalidPlaylistUrlError("not a playlist URL")
+
+    bad = handler_response(bad_url)
+    assert bad["statusCode"] == 400
+    assert json.loads(bad["body"]) == {
+        "error": "ETL_ERROR",
+        "message": "not a playlist URL",
+    }
+
+    def boom():
+        raise RuntimeError("secret internal detail")
+
+    err = handler_response(boom)
+    assert err["statusCode"] == 500
+    assert "secret" not in err["body"]
+    assert json.loads(err["body"])["error"] == "INTERNAL_ERROR"
+
+
 def test_normalize_latest_wins_dedup(silver):
     songs = {r["song_id"]: r for r in silver["songs"].collect()}
     # 4 distinct songs from 5 track rows (dup id collapsed)
