@@ -59,6 +59,32 @@ def test_mixture_sample_is_deterministic_and_near_target(spark, sf_dir):
     assert quarter and sum(kept.get(s, 0) for s in quarter) < sum(totals[s] for s in quarter)
 
 
+def test_decontamination_empty_benchmark_flags_nothing(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents").limit(50)
+    empty_bench = docs.filter(F.lit(False))
+    assert benchmark_ngram_hits(docs, empty_bench, n=5).count() == 0
+
+
+def test_decontamination_short_docs_cannot_match(spark):
+    """Documents shorter than n tokens produce no shingles — neither side
+    can match, and neither side crashes."""
+    bench = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "too short"), (11, ""), (12, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    assert benchmark_ngram_hits(corpus, bench, n=5).count() == 0
+
+
+def test_lsh_ann_handles_empty_and_single_vector(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.similarity import lsh_bucketed_ann
+    from spotify_etl_pipeline_spark.schemas import load_fixture as lf
+
+    emb = lf(spark, sf_dir, "embeddings")
+    assert lsh_bucketed_ann(emb.filter(F.lit(False))).count() == 0
+    assert lsh_bucketed_ann(emb.limit(1)).count() == 0  # no pair from one vector
+
+
 def test_mixture_sample_unlisted_sources_kept_whole(spark, sf_dir):
     docs = load_fixture(spark, sf_dir, "documents")
     kept = mixture_sample(docs, {"src0": 0.0})
