@@ -126,6 +126,16 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     assert df.count() == ev.filter("event_type = 'click'").count()
 
 
+def test_q3_q10_predicates_reach_scans(spark, sf_dir):
+    """The docstring claims: Q3's two date predicates and Q10's returnflag
+    predicate must appear as PushedFilters on their parquet scans."""
+    pushed3 = " ".join(pushed_filter_lines(executed_plan(queries()["q3_shipping_priority"](spark, sf_dir))))
+    assert "l_shipdate" in pushed3 and "o_orderdate" in pushed3, pushed3
+    assert "c_mktsegment" in pushed3, pushed3
+    pushed10 = " ".join(pushed_filter_lines(executed_plan(queries()["q10_returned_items"](spark, sf_dir))))
+    assert "l_returnflag" in pushed10, pushed10
+
+
 def test_decontamination_broadcasts_benchmark_shingles(spark, sf_dir):
     """The benchmark shingle set (bounded by nature — an eval suite) must
     be the broadcast side so the corpus posting list never shuffles before
