@@ -138,8 +138,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J1,A4,W2,O1",
     doc="TPC-H Q10 shape (returned items): revenue lost to returns per "
     "customer with nation context, deterministic top-20. The returnflag "
-    "predicate pushes to the lineitem scan; nation (25 rows) broadcasts "
-    "via threshold, customer/orders stay AQE-governed.",
+    "predicate pushes to the lineitem scan; nation (25 rows, fixed "
+    "cardinality) carries an explicit broadcast hint like q5's dims, "
+    "while customer/orders stay AQE-governed.",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_fixture(spark, sf_dir, "customer")

@@ -53,8 +53,6 @@ def handler_response(run: Callable[[], Any]) -> dict[str, Any]:
     role), 500 + ``INTERNAL_ERROR`` (message withheld, as the reference
     does) for anything unexpected.
     """
-    import json
-
     try:
         result = run()
         return {

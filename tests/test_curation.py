@@ -78,9 +78,8 @@ def test_decontamination_short_docs_cannot_match(spark):
 
 def test_lsh_ann_handles_empty_and_single_vector(spark, sf_dir):
     from spotify_etl_pipeline_spark.operators.similarity import lsh_bucketed_ann
-    from spotify_etl_pipeline_spark.schemas import load_fixture as lf
 
-    emb = lf(spark, sf_dir, "embeddings")
+    emb = load_fixture(spark, sf_dir, "embeddings")
     assert lsh_bucketed_ann(emb.filter(F.lit(False))).count() == 0
     assert lsh_bucketed_ann(emb.limit(1)).count() == 0  # no pair from one vector
 

@@ -24,6 +24,7 @@ from spotify_etl_pipeline_spark.sources.ingest import (
     InvalidPlaylistUrlError,
     PlaylistExtractor,
     extract_playlist_id,
+    handler_response,
 )
 
 from . import spotify_fixtures as FX
@@ -76,10 +77,6 @@ def test_handler_response_status_mapping():
     """Reference lambda_function.py:372-401 contract: 200 success with
     data payload, 400 ETL_ERROR for domain failures, 500 INTERNAL_ERROR
     with the message withheld for unexpected ones."""
-    import json
-
-    from spotify_etl_pipeline_spark.sources.ingest import handler_response
-
     ok = handler_response(lambda: {"rows": 3})
     assert ok["statusCode"] == 200
     assert json.loads(ok["body"])["data"] == {"rows": 3}

@@ -89,6 +89,8 @@ def test_no_accidental_cartesian(name, spark, sf_dir):
         ("star_join_top_items", 0),  # part/supplier scale with SF — no hint
         ("q8_brand_market_share", 0),  # part scales with SF — no hint
         ("q5_local_supplier_volume", 2),  # nation(25) + region(5) only
+        ("q3_shipping_priority", 0),  # customer/orders/lineitem all scale
+        ("q10_returned_items", 1),  # nation(25) only
     ],
 )
 def test_no_broadcast_hints_on_scaling_tables(spark, sf_dir, name, allowed_hints):
