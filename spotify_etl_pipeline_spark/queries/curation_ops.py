@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators.components import resolve_duplicates
 from ..operators.curation import benchmark_ngram_hits, mixture_sample
-from ..operators.text import fingerprint_expr, quality_score
+from ..operators.text import fingerprint_expr, quality_score, shingles
 from ..schemas import load_fixture
 from .catalog import register
 from .oracle_sql_helpers import (
@@ -89,6 +89,79 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fixture(spark, sf_dir, "documents")
     kept = mixture_sample(docs, _MIX_FRACTIONS, granularity=10_000)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, toks, greatest(len(toks), 1) AS n,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                                   i -> toks[i+1] || '_' || toks[i+2])) AS bg
+      FROM t
+    ),
+    bg_counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    top_bg AS (SELECT doc_id, MAX(c) AS top_c FROM bg_counts GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(FLOOR(1000 * (b.n - b.n_distinct) / b.n) AS BIGINT)
+               AS dup_token_milli,
+           CAST(FLOOR(1000 * COALESCE(t.top_c, 0) / greatest(b.n - 1, 1)) AS BIGINT)
+               AS top_bigram_milli,
+           (b.n - b.n_distinct) * 2 < b.n
+               AND COALESCE(t.top_c, 0) * 5 < greatest(b.n - 1, 1) AS keep
+    FROM base b LEFT JOIN top_bg t ON b.doc_id = t.doc_id
+    """,
+    survey="X4",
+    doc="Gopher-style repetition quality stats per document: duplicate-"
+    "token fraction and most-frequent-bigram fraction (FLOOR-milli "
+    "integers — cross-engine exact), plus the keep flag (dup fraction "
+    "< 0.5 AND top-bigram fraction < 0.2, evaluated in integer "
+    "arithmetic). The bigram counts shuffle on (doc, bigram) — bounded "
+    "per-document work, no corpus-wide state.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    base = t.select(
+        "doc_id",
+        "toks",
+        F.greatest(F.size("toks"), F.lit(1)).alias("n"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    # NON-distinct bigram multiset (same '_'-joined shape as the shared
+    # shingles helper; doc_shingles is not reused here because it
+    # dedups per document, and repetition counting needs the duplicates)
+    bigrams = t.select("doc_id", F.explode(shingles("toks", 2)).alias("bg"))
+    top_bg = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    dup = F.col("n") - F.col("n_distinct")
+    top_c = F.coalesce(F.col("top_c"), F.lit(0))
+    n_bg = F.greatest(F.col("n") - 1, F.lit(1))
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.floor(1000 * dup / F.col("n")).alias("dup_token_milli"),
+            F.floor(1000 * top_c / n_bg).alias("top_bigram_milli"),
+            ((dup * 2 < F.col("n")) & (top_c * 5 < n_bg)).alias("keep"),
+        )
+    )
 
 
 _LANG_LIST = ", ".join(f"'{la}'" for la in CURATION_LANGS)
