@@ -57,15 +57,7 @@ def register(name: str, oracle: str | None, survey: str, doc: str = ""):
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (import side-effect).
-
-    Import order IS registration order (``CATALOG`` is insertion-ordered),
-    and external correctness sweeps consume the catalog front-to-back — so
-    modules whose queries most need an independent row+schema+hash check go
-    first.  Round 2 rotation: similarity / sql_surface / text / window
-    queries (plus ``relational``'s two tail entries) had only local-oracle
-    coverage in round 1, so they lead; the round-1-verified modules follow.
-    """
+    """Import every module that registers queries (import side-effect)."""
     from . import (  # noqa: F401
         similarity_queries,
         sql_surface,
@@ -84,11 +76,85 @@ def _load_all() -> None:
     )
 
 
-def queries() -> dict[str, QueryFn]:
+#: External correctness sweeps consume the catalog front-to-back and cap at
+#: ~50 entries per round, so ordering is a verification-rotation policy, not
+#: cosmetics.  Round 2: (a) every query that has never received a driver
+#: row+schema+hash check — round 1 covered only the first 50 of 77, and the
+#: round-2 additions are new — then (b) round-1-green queries whose plans
+#: changed this round (broadcast hints dropped; MinHash switched to hashed
+#: shingle ids) so the change is re-verified, then (c) the rest in
+#: registration order (all hash-green in round 1 and still covered by the
+#: local DuckDB-differential suite).
+_SWEEP_PRIORITY: tuple[str, ...] = (
+    # (a) never driver-checked: round-1 coverage gap
+    "knn_brute_force",
+    "knn_ivf",
+    "embedding_quantize_int8",
+    "knn_quantized_topk",
+    "q4_late_shipment_priority",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q22_idle_rich_customers",
+    "window_frames",
+    "window_range_frame",
+    "text_token_stats",
+    "text_word_frequency",
+    "text_language_id",
+    "text_quality_score",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_normalize",
+    "text_pii_redact",
+    "events_tumbling_hourly",
+    "events_sliding_counts",
+    "events_sessionize",
+    "events_daily_from_hourly",
+    "events_hourly_gapfill",
+    "unpivot_lineitem_metrics",
+    "nullsafe_join_priority_match",
+    # (a) never driver-checked: new in round 2
+    "embedding_lsh_neardup",
+    "knn_quantized_ivf",
+    "decontaminate_against_benchmark",
+    "source_mixture_sample",
+    "text_repetition_stats",
+    "corpus_curation_decontaminated",
+    "window_ntile_quartiles",
+    "regexp_scalar_functions",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    # (b) round-1 green but changed this round — re-verify
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_embedding_cosine",
+    "flagship_top_revenue",
+    "star_join_top_items",
+    "q5_local_supplier_volume",
+    "q8_brand_market_share",
+    "multimodal_features",
+    "corpus_curation",
+    "pricing_summary",
+    "asof_last_purchase_before_click",
+)
+
+
+def _ordered() -> list[QuerySpec]:
     _load_all()
-    return {name: spec.fn for name, spec in CATALOG.items()}
+    unknown = [n for n in _SWEEP_PRIORITY if n not in CATALOG]
+    if unknown:
+        raise KeyError(f"_SWEEP_PRIORITY names not in catalog: {unknown}")
+    head = [CATALOG[n] for n in _SWEEP_PRIORITY]
+    tail = [s for n, s in CATALOG.items() if n not in set(_SWEEP_PRIORITY)]
+    return head + tail
+
+
+def queries() -> dict[str, QueryFn]:
+    return {spec.name: spec.fn for spec in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}
+    return {spec.name: spec.oracle for spec in _ordered() if spec.oracle is not None}
