@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .skew import widen_narrow_scan
 from .text import shingles
 
 # Deterministic MinHash family: sig_i(doc) = min over shingle ids s of
@@ -78,6 +79,7 @@ def doc_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     duplicates of a shingle only ever occur within one document, so a
     whole-table exchange to dedup them is a wasted shuffle of every
     posting."""
+    df = widen_narrow_scan(df)
     return df.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).select(
@@ -421,7 +423,7 @@ def simhash(df: DataFrame) -> DataFrame:
         for j in range(SIMHASH_BITS)
     )
     return (
-        df.select("doc_id", F.expr(vals).alias("vals"))
+        widen_narrow_scan(df).select("doc_id", F.expr(vals).alias("vals"))
         .select("doc_id", F.expr(f"array({bit_sums})").alias("sums"))
         .select("doc_id", F.expr(sig).alias("simhash"))
     )
@@ -435,7 +437,7 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.45) -> DataFrame
     :func:`..similarity.lsh_bucketed_ann` blocks by hyperplane signature
     before the pairwise step.
     """
-    e = df.select(
+    e = widen_narrow_scan(df).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )

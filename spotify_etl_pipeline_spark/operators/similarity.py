@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .skew import widen_narrow_scan
+
 # Deterministic random-hyperplane family for LSH-bucketed ANN: plane p's
 # coefficient at (1-based) dimension i is ((A[p]*i + B[p]) % M)/M - 0.5 —
 # a fixed LCG-style pseudo-random value in [-0.5, 0.5) that any engine can
@@ -65,7 +67,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self-matches
     excluded). Deterministic rank: (cosine desc, neighbor id asc)."""
-    c = _as_double(corpus).alias("c")
+    # the pairwise cosines evaluate on the corpus side's partitioning (the
+    # query side broadcasts) — widen a 1-split corpus scan first
+    c = _as_double(widen_narrow_scan(corpus)).alias("c")
     q = _as_double(queries).alias("q")
     cos = _cosine(F.col("q.v"), F.col("c.v"), F.col("q.nrm"), F.col("c.nrm"))
     scored = (
@@ -117,7 +121,8 @@ def lsh_ann_candidates(
     if n_planes > len(LSH_ANN_A):
         raise ValueError(f"at most {len(LSH_ANN_A)} planes available")
     rows_per_band = n_planes // n_bands
-    d = _as_double(vectors, id_col)
+    # signatures are the per-row-expensive map stage — widen a 1-split scan
+    d = _as_double(widen_narrow_scan(vectors), id_col)
     bits = d.select(
         id_col,
         *[_hyperplane_bit("v", p).alias(f"bit{p}") for p in range(n_planes)],

@@ -23,6 +23,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism — but ONLY
+    when the current plan has fewer partitions.
+
+    The inverse of skew: a *narrow* scan. A small parquet table arrives as
+    one or two file splits, and any per-row-expensive stage evaluated before
+    the first shuffle (LSH signatures, shingle explosion, pairwise cosines
+    after a broadcast join) then serializes on one core no matter how many
+    the session has. At warehouse scale file scans already exceed
+    ``defaultParallelism``, so this is a no-op exactly when the shuffle it
+    would add is the thing that doesn't scale; below it, one round-robin
+    exchange of a small input unlocks every core for the compute-bound map.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_salt(df: DataFrame, unique_col: str, n_salt: int) -> DataFrame:
     """Deterministic salt in [0, n_salt) from a unique column's hash."""
     return df.withColumn(

@@ -69,3 +69,22 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_widen_narrow_scan_widens_single_partition(spark):
+    from spotify_etl_pipeline_spark.operators.skew import widen_narrow_scan
+
+    narrow = spark.range(1000).coalesce(1)
+    widened = widen_narrow_scan(narrow)
+    target = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+
+
+def test_widen_narrow_scan_noop_when_already_wide(spark):
+    from spotify_etl_pipeline_spark.operators.skew import widen_narrow_scan
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 4)
+    # already at/above parallelism: no extra exchange is inserted
+    assert widen_narrow_scan(wide) is wide
