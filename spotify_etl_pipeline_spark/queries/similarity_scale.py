@@ -31,23 +31,36 @@ from .similarity_queries import embedding_quantize_int8
 LSH_THRESHOLD = 0.45
 N_PLANES = 30
 N_BANDS = 10
-_ROWS = N_PLANES // N_BANDS
 
-# DuckDB twin of operators.similarity._hyperplane_bit: list_transform's
-# lambda index i is 1-based, matching the Spark side's (i + 1).
-_BIT_EXPRS = ", ".join(
-    f"CASE WHEN list_sum(list_transform(v, (x, i) -> "
-    f"x * ((({S.LSH_ANN_A[p]} * i + {S.LSH_ANN_B[p]}) % {S.LSH_ANN_M}) "
-    f"/ {S.LSH_ANN_M}.0 - 0.5))) > 0 THEN 1 ELSE 0 END AS bit{p}"
-    for p in range(N_PLANES)
-)
+# Deep production regime (threshold >=0.8 dedup): 8 bands x 8 bits —
+# uncorrelated collision 8/256 per pair vs the shallow config's 10/8.
+DEEP_PLANES = 64
+DEEP_BANDS = 8
 
-_BANDED = " UNION ALL ".join(
-    f"SELECT vec_id, {band} AS band, "
-    + " + ".join(f"bit{band * _ROWS + r} * {1 << r}" for r in range(_ROWS))
-    + " AS bucket FROM bits"
-    for band in range(N_BANDS)
-)
+
+def _bit_exprs(n_planes: int) -> str:
+    """DuckDB twin of operators.similarity._hyperplane_bit: list_transform's
+    lambda index i is 1-based, matching the Spark side's (i + 1)."""
+    return ", ".join(
+        f"CASE WHEN list_sum(list_transform(v, (x, i) -> "
+        f"x * ((({S.LSH_ANN_A[p]} * i + {S.LSH_ANN_B[p]}) % {S.LSH_ANN_M}) "
+        f"/ {S.LSH_ANN_M}.0 - 0.5))) > 0 THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(n_planes)
+    )
+
+
+def _banded_sql(n_planes: int, n_bands: int) -> str:
+    rows = n_planes // n_bands
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, "
+        + " + ".join(f"bit{band * rows + r} * {1 << r}" for r in range(rows))
+        + " AS bucket FROM bits"
+        for band in range(n_bands)
+    )
+
+
+_BIT_EXPRS = _bit_exprs(N_PLANES)
+_BANDED = _banded_sql(N_PLANES, N_BANDS)
 
 
 @register(
@@ -93,6 +106,58 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=LSH_THRESHOLD,
         n_planes=N_PLANES,
         n_bands=N_BANDS,
+    )
+
+
+@register(
+    "lsh_blocking_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bits AS (SELECT vec_id, {_bit_exprs(DEEP_PLANES)} FROM e),
+    banded AS ({_banded_sql(DEEP_PLANES, DEEP_BANDS)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
+           (SELECT COUNT(*) FROM e) * ((SELECT COUNT(*) FROM e) - 1) // 2
+             AS brute_pairs,
+           (SELECT COUNT(*) FROM cand) AS candidate_pairs,
+           (SELECT COUNT(*) FROM e) * ((SELECT COUNT(*) FROM e) - 1) // 2
+             // GREATEST((SELECT COUNT(*) FROM cand), 1) AS blocking_factor
+    """,
+    survey="X2,X3",
+    doc="Deep-regime LSH blocking observability (8 bands x 8 bits, the "
+    "threshold>=0.8 production configuration): candidate-pair volume vs "
+    "the all-pairs count, and the resulting blocking factor — the number "
+    "you watch at corpus scale to know the banding is pulling its weight. "
+    "All-integer output, oracle rederives the same hyperplane family. The "
+    "shallow (recall-first) twin embedding_lsh_neardup stays the "
+    "correctness path; this entry is the at-scale regime the bench tracks.",
+)
+def lsh_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    cand = S.lsh_ann_candidates(emb, n_planes=DEEP_PLANES, n_bands=DEEP_BANDS)
+    n_cand = cand.agg(F.count(F.lit(1)).alias("candidate_pairs"))
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        n_vec.crossJoin(n_cand)
+        .withColumn(
+            "brute_pairs",
+            (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2).cast("long"),
+        )
+        .withColumn(
+            "blocking_factor",
+            F.floor(
+                F.col("brute_pairs") / F.greatest(F.col("candidate_pairs"), F.lit(1))
+            ),
+        )
+        .select("n_vectors", "brute_pairs", "candidate_pairs", "blocking_factor")
     )
 
 

@@ -34,7 +34,12 @@ PAIRWISE_OK = {
     "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
     "dedup_embedding_cosine",
 }
-SCALAR_ATTACH_OK = {"text_tfidf", "q22_idle_rich_customers"}
+SCALAR_ATTACH_OK = {
+    "text_tfidf",
+    "q22_idle_rich_customers",
+    "lsh_blocking_stats",  # 1-row count × 1-row count crossJoin
+    "q15_top_supplier",  # 1-row MAX(total_revenue) scalar attach
+}
 
 
 def test_flagship_broadcasts_dims_and_takeordered(spark, sf_dir):
