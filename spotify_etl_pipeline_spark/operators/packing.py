@@ -1,0 +1,142 @@
+"""Sequence packing for LLM training shards (extension tier, SURVEY.md X4
+adjacency): map every document to its (sequence, offset) slot in fixed
+token-budget training rows, using the concat-then-chunk policy real
+pretraining pipelines use — documents are laid end-to-end in a
+deterministic order and the stream is cut every ``budget`` tokens, so a
+document may straddle two sequences (the trainer's attention mask handles
+the boundary; nothing is dropped).
+
+Why not greedy first-fit bin packing: first-fit needs sequential state (bin
+remaining-capacity) that does not decompose into a window function, forcing
+either a driver loop or a stateful UDF; concat-then-chunk is the policy
+large pipelines actually run (GPT-style pretraining concatenates), and it
+is ONE cumulative-sum window — embarrassingly parallel across packing
+groups and exactly reproducible in any SQL engine.
+
+Scale design:
+
+- Packing groups are (lang, content-hash shard). The window partitions on
+  the group key, so parallelism = n_groups and no partition ever holds
+  more than ~corpus/n_groups — raise ``n_shards`` with the corpus, never a
+  global sort/window.
+- Order within a group is (doc_id) — re-ingestion reproduces identical
+  sequence layouts (same property as the fingerprint dataset split).
+- One shuffle total (the window's partitionBy); token counts are a narrow
+  codegen'd projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import fingerprint_expr
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document its training-sequence placement.
+
+    Returns (lang, shard, doc_id, n_tokens, seq_id, offset_in_seq,
+    crosses_boundary): document ``doc_id`` contributes its tokens starting
+    at ``offset_in_seq`` of sequence ``seq_id`` within its (lang, shard)
+    packing group; ``crosses_boundary`` marks documents that straddle a
+    sequence cut (their tail spills into seq_id+1...).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    shard = F.pmod(fingerprint_expr(), F.lit(n_shards))
+    placed = df.select(
+        F.col("lang"),
+        shard.alias("shard"),
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        placed.withColumn("start_tok", start)
+        .select(
+            "lang",
+            "shard",
+            id_col,
+            "n_tokens",
+            F.floor(F.col("start_tok") / budget).alias("seq_id"),
+            F.pmod(F.col("start_tok"), F.lit(budget)).alias("offset_in_seq"),
+            (
+                F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / budget)
+                > F.floor(F.col("start_tok") / budget)
+            ).alias("crosses_boundary"),
+        )
+    )
+
+
+def packing_summary(placements: DataFrame, budget: int = 512) -> DataFrame:
+    """Shard-level packing report from :func:`pack_sequences` output:
+    sequences produced, total tokens, straddling documents, and the fill
+    ratio of the final (only partially fillable) sequence in per-mille.
+    All-integer output — cross-engine exact."""
+    return (
+        placements.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("crosses_boundary").cast("long")).alias("n_straddling"),
+        )
+        .withColumn(
+            # integer ceil-div, not ceil(x/y): the double quotient can sit a
+            # half-ulp under an integer and ceil differently across engines
+            "n_sequences",
+            F.expr(f"(total_tokens + {budget} - 1) div {budget}"),
+        )
+        .withColumn(
+            "last_seq_fill_permille",
+            F.expr(f"((pmod(total_tokens - 1, {budget}) + 1) * 1000) div {budget}"),
+        )
+    )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Training runs need the corpus in a random-but-REPRODUCIBLE order; Spark's
+    ``orderBy(rand())`` is neither (RNG per task, re-run changes the epoch).
+    Here the sort key is a content-free md5 hash of (id, seed) — the first
+    60 digest bits as a bigint, the same cross-engine-reproducible trick as
+    :func:`..dedup.shingle_sid` — so any engine rederives the identical
+    permutation and a new ``seed`` is a fresh epoch.
+
+    Scale shape: shard = key mod ``n_shards``, position = rank within the
+    shard — one shuffle on the shard id and a per-shard window, NO global
+    row-numbering (a total order would funnel the corpus through one
+    partition; shard-local order is exactly what sharded training readers
+    consume). Shard sizes are multinomial-even because the key is a hash.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(id_col, key.alias("shuffle_key"))
+        .withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select(id_col, "shard", "pos_in_shard")
+    )

@@ -223,3 +223,119 @@ def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % 10 == 1)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH placed AS (
+      SELECT lang,
+             ({fingerprint_sql()}) % 4 AS shard,
+             doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM placed
+    )
+    SELECT lang, shard, doc_id, n_tokens,
+           start_tok // 512 AS seq_id,
+           start_tok % 512 AS offset_in_seq,
+           (start_tok + n_tokens - 1) // 512 > start_tok // 512
+             AS crosses_boundary
+    FROM cum
+    """,
+    survey="X4,W1",
+    doc="LLM training-shard packing (concat-then-chunk, 512-token budget): "
+    "each document's (sequence, offset) slot within its (lang, content-"
+    "hash shard) packing group — one cumulative-sum window per group, no "
+    "global sort, parallelism = number of groups. Straddling documents "
+    "are flagged, not dropped (the trainer's attention mask owns the "
+    "boundary). Deterministic: re-ingestion reproduces identical layouts.",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, n_shards=4)
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+    WITH placed AS (
+      SELECT lang,
+             ({fingerprint_sql()}) % 4 AS shard,
+             doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM placed
+    ),
+    pl AS (
+      SELECT lang, shard, n_tokens,
+             (start_tok + n_tokens - 1) // 512 > start_tok // 512
+               AS crosses_boundary
+      FROM cum
+    )
+    SELECT lang, shard,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS n_straddling,
+           (SUM(n_tokens) + 511) // 512 AS n_sequences,
+           (((SUM(n_tokens) - 1) % 512 + 1) * 1000) // 512
+             AS last_seq_fill_permille
+    FROM pl
+    GROUP BY lang, shard
+    """,
+    survey="X4,A4",
+    doc="Shard-level packing report: sequences produced, straddle counts, "
+    "and final-sequence fill per (lang, shard) — the observability row a "
+    "100 TB packing job emits per output shard. All-integer arithmetic "
+    "(ceil-div, permille) so the report is bit-identical across engines.",
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences, packing_summary
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return packing_summary(pack_sequences(docs, budget=512, n_shards=4), budget=512)
+
+
+@register(
+    "training_shuffle",
+    oracle="""
+    SELECT doc_id,
+           shuffle_key % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shuffle_key % 8
+             ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos_in_shard
+    FROM (
+      SELECT doc_id,
+             ('0x' || substring(
+               md5(concat(CAST(doc_id AS VARCHAR), ':', '0')), 1, 15))::BIGINT
+               AS shuffle_key
+      FROM documents
+    )
+    """,
+    survey="X1,W1",
+    doc="Deterministic global training shuffle (seed 0, 8 shards): the "
+    "sort key is an md5 hash of (doc_id, seed), so the permutation is "
+    "reproducible by any engine and a new seed is a fresh epoch — unlike "
+    "orderBy(rand()). Shard = key mod 8 and rank-within-shard only: one "
+    "shuffle + per-shard windows, never a global row-numbering (which "
+    "would funnel the corpus through a single partition).",
+)
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import seeded_shuffle
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return seeded_shuffle(docs, n_shards=8, seed=0)
