@@ -73,6 +73,7 @@ def _load_all() -> None:
         similarity_scale,
         curation_ops,
         analytics_extra,
+        tpch_extra,
     )
 
 
@@ -117,6 +118,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked: new in round 2
     "embedding_lsh_neardup",
     "knn_quantized_ivf",
+    "lsh_blocking_stats",
     "decontaminate_against_benchmark",
     "source_mixture_sample",
     "text_repetition_stats",
@@ -127,7 +129,23 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
-    # (b) round-1 green but changed this round — re-verify
+    "q6_forecast_revenue",
+    "q9_nation_year_profit",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "pack_training_sequences",
+    "packing_efficiency",
+    "training_shuffle",
+    # (b) round-1 green but changed this round — re-verify. With 48
+    # never-checked entries ahead of them only the two whose PLAN changed
+    # most radically (global-sort vocab → content-hashed MinHash ids) make
+    # the ~50-entry cut; the broadcast-hint drops (flagship/star/q5/q8)
+    # stay covered by the local DuckDB-differential suite this round and
+    # rotate back in next round.
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
     "dedup_embedding_cosine",
