@@ -44,11 +44,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_lsh_candidates",
     "knn_brute_force",
-    # embedding_lsh_neardup (the shallow recall-first LSH twin) is driver-
-    # correctness-checked but not a headline: at threshold 0.45 sign-bit
-    # banding cannot block (collision prob 1-(7/8)^10 ≈ 0.74 for unrelated
-    # pairs), so its wall time is brute-force-shaped by design. The bench
-    # tracks the deep production regime instead:
+    # embedding_lsh_neardup (the shallow recall-first LSH twin) stays
+    # oracle-checked in the catalog — and sits in this round's correctness
+    # sweep window (catalog._SWEEP_PRIORITY) — but is not a headline: at
+    # threshold 0.45 sign-bit banding cannot block (collision prob
+    # 1-(7/8)^10 ≈ 0.74 for unrelated pairs), so its wall time is brute-
+    # force-shaped by design. The bench tracks the deep production regime:
     "lsh_blocking_stats",
     "knn_quantized_ivf",
     "events_sessionize",

@@ -36,59 +36,70 @@ from .text import fingerprint_expr
 
 def pack_sequences(
     df: DataFrame,
-    budget: int = 512,
+    budget: int,
     n_shards: int = 4,
+    group_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Assign every document its training-sequence placement.
 
-    Returns (lang, shard, doc_id, n_tokens, seq_id, offset_in_seq,
+    Returns (group_col, shard, doc_id, n_tokens, seq_id, offset_in_seq,
     crosses_boundary): document ``doc_id`` contributes its tokens starting
-    at ``offset_in_seq`` of sequence ``seq_id`` within its (lang, shard)
+    at ``offset_in_seq`` of sequence ``seq_id`` within its (group, shard)
     packing group; ``crosses_boundary`` marks documents that straddle a
     sequence cut (their tail spills into seq_id+1...).
+
+    ``budget`` is deliberately not defaulted: :func:`packing_summary` must
+    be called with the SAME value, and silently different defaults on the
+    two calls would misreport every sequence count.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     n_tokens = F.size(F.split(F.col(text_col), " "))
     shard = F.pmod(fingerprint_expr(), F.lit(n_shards))
     placed = df.select(
-        F.col("lang"),
+        F.col(group_col),
         shard.alias("shard"),
         F.col(id_col),
         n_tokens.alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("lang", "shard")
+        Window.partitionBy(group_col, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # integer div, never floor(x/budget): group token offsets at corpus
+    # scale can pass 2^53, where the double quotient floors an ulp off the
+    # oracle's BIGINT //
     return (
         placed.withColumn("start_tok", start)
         .select(
-            "lang",
+            group_col,
             "shard",
             id_col,
             "n_tokens",
-            F.floor(F.col("start_tok") / budget).alias("seq_id"),
+            F.expr(f"start_tok div {budget}").alias("seq_id"),
             F.pmod(F.col("start_tok"), F.lit(budget)).alias("offset_in_seq"),
-            (
-                F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / budget)
-                > F.floor(F.col("start_tok") / budget)
+            F.expr(
+                f"((start_tok + n_tokens - 1) div {budget}) > "
+                f"(start_tok div {budget})"
             ).alias("crosses_boundary"),
         )
     )
 
 
-def packing_summary(placements: DataFrame, budget: int = 512) -> DataFrame:
+def packing_summary(
+    placements: DataFrame, budget: int, group_col: str = "lang"
+) -> DataFrame:
     """Shard-level packing report from :func:`pack_sequences` output:
     sequences produced, total tokens, straddling documents, and the fill
     ratio of the final (only partially fillable) sequence in per-mille.
-    All-integer output — cross-engine exact."""
+    All-integer output — cross-engine exact. ``budget`` MUST equal the
+    value the placements were packed with (see pack_sequences)."""
     return (
-        placements.groupBy("lang", "shard")
+        placements.groupBy(group_col, "shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),

@@ -36,10 +36,14 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     would add is the thing that doesn't scale; below it, one round-robin
     exchange of a small input unlocks every core for the compute-bound map.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        # plan-conversion probe, no job; Spark Connect has no RDD/sparkContext
+        # API, so there we skip widening rather than fail five operators
+        target = df.sparkSession.sparkContext.defaultParallelism
+        narrow = df.rdd.getNumPartitions() < target
+    except Exception:
+        return df
+    return df.repartition(target) if narrow else df
 
 
 def with_salt(df: DataFrame, unique_col: str, n_salt: int) -> DataFrame:

@@ -117,7 +117,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "nullsafe_join_priority_match",
     # (a) never driver-checked: new in round 2
     "embedding_lsh_neardup",
-    "knn_quantized_ivf",
     "lsh_blocking_stats",
     "decontaminate_against_benchmark",
     "source_mixture_sample",
@@ -140,12 +139,17 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "pack_training_sequences",
     "packing_efficiency",
     "training_shuffle",
-    # (b) round-1 green but changed this round — re-verify. With 48
-    # never-checked entries ahead of them only the two whose PLAN changed
-    # most radically (global-sort vocab → content-hashed MinHash ids) make
-    # the ~50-entry cut; the broadcast-hint drops (flagship/star/q5/q8)
-    # stay covered by the local DuckDB-differential suite this round and
-    # rotate back in next round.
+    # knn_quantized_ivf is also never-checked but carries no oracle (rows-
+    # only) — a driver row adds least over its local recall tests, so it
+    # sits at the window boundary: with 49 full-oracle never-checked
+    # entries plus it, section (a) is 51 names and the ~50th row is its
+    # cut line. Everything below here is outside the expected window.
+    "knn_quantized_ivf",
+    # (b) round-1 green but changed this round. None of these fit the
+    # window — section (a) fills it — so their re-verification this round
+    # is the local DuckDB-differential suite (identical row+schema+hash
+    # check, tests/test_queries_oracle.py); they head the rotation next
+    # round.
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
     "dedup_embedding_cosine",
@@ -166,7 +170,8 @@ def _ordered() -> list[QuerySpec]:
     if unknown:
         raise KeyError(f"_SWEEP_PRIORITY names not in catalog: {unknown}")
     head = [CATALOG[n] for n in _SWEEP_PRIORITY]
-    tail = [s for n, s in CATALOG.items() if n not in set(_SWEEP_PRIORITY)]
+    prioritized = set(_SWEEP_PRIORITY)
+    tail = [s for n, s in CATALOG.items() if n not in prioritized]
     return head + tail
 
 

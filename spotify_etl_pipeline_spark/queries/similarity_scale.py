@@ -147,15 +147,13 @@ def lsh_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     return (
         n_vec.crossJoin(n_cand)
-        .withColumn(
-            "brute_pairs",
-            (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2).cast("long"),
-        )
+        # integer div throughout, never a double quotient: counts at corpus
+        # scale exceed 2^53, where /-then-truncate can land an ulp off the
+        # oracle's BIGINT //
+        .withColumn("brute_pairs", F.expr("(n_vectors * (n_vectors - 1)) div 2"))
         .withColumn(
             "blocking_factor",
-            F.floor(
-                F.col("brute_pairs") / F.greatest(F.col("candidate_pairs"), F.lit(1))
-            ),
+            F.expr("brute_pairs div greatest(candidate_pairs, 1)"),
         )
         .select("n_vectors", "brute_pairs", "candidate_pairs", "blocking_factor")
     )

@@ -143,21 +143,29 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT supplier_no, total_revenue,
+             MAX(total_revenue) OVER () AS max_rev
+      FROM revenue
     )
     SELECT s_suppkey, s_name, total_revenue
     FROM supplier
-    JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    JOIN ranked ON s_suppkey = supplier_no
+    WHERE total_revenue = max_rev
     """,
-    survey="J1,A2,A4",
-    doc="TPC-H Q15 shape (top supplier): a revenue view over one quarter, "
-    "re-consumed twice — once joined to supplier, once under MAX() as a "
-    "scalar-subquery predicate. The max compares against the already-"
-    "rounded per-supplier revenue so the equality is cross-engine exact. "
-    "Spark side: the 1-row max aggregate is crossJoin-broadcast, never a "
-    "shuffle.",
+    survey="J1,A2,A4,W1",
+    doc="TPC-H Q15 shape (top supplier): a quarterly revenue view whose "
+    "maximum gates the final join. The max is an unpartitioned window "
+    "over the ALREADY-AGGREGATED view — supplier-count-sized input, so "
+    "the global window is harmless at any scale — rather than a second "
+    "independent aggregation of lineitem: one evaluation of the float "
+    "sums serves both sides of the equality, so partial-agg ordering "
+    "cannot produce a max that matches no row.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = load_fixture(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
@@ -167,11 +175,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
+    ranked = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    )
     s = load_fixture(spark, sf_dir, "supplier")
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        s.join(revenue, s.s_suppkey == revenue.supplier_no)
-        .crossJoin(F.broadcast(max_rev))
+        s.join(ranked, s.s_suppkey == ranked.supplier_no)
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -38,7 +38,6 @@ SCALAR_ATTACH_OK = {
     "text_tfidf",
     "q22_idle_rich_customers",
     "lsh_blocking_stats",  # 1-row count × 1-row count crossJoin
-    "q15_top_supplier",  # 1-row MAX(total_revenue) scalar attach
 }
 
 
