@@ -270,3 +270,62 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "full_outer_click_purchase_recon",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, day
+    ),
+    p AS (
+      SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, day
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.day, p.day) AS day,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    """,
+    survey="J1,A4",
+    doc="FULL OUTER reconciliation: per-(user, day) click counts against "
+    "purchase counts, preserving activity present on either side only — "
+    "the one join type the rest of the catalog didn't exercise. Both "
+    "inputs aggregate BEFORE the join (group-count-sized build sides), "
+    "and the join keys are the grouping keys, so the full-outer shuffle "
+    "is over reduced data, never raw events.",
+)
+def full_outer_click_purchase_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+
+    def daily(event_type: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id", day.alias("day"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    c = daily("click", "n_clicks").alias("c")
+    p = daily("purchase", "n_purchases").alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.day") == F.col("p.day")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+            F.coalesce(F.col("c.day"), F.col("p.day")).alias("day"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        )
+    )

@@ -145,6 +145,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # entries plus it, section (a) is 51 names and the ~50th row is its
     # cut line. Everything below here is outside the expected window.
     "knn_quantized_ivf",
+    "full_outer_click_purchase_recon",
     # (b) round-1 green but changed this round. None of these fit the
     # window — section (a) fills it — so their re-verification this round
     # is the local DuckDB-differential suite (identical row+schema+hash
