@@ -63,3 +63,49 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def export_training_shards(
+    docs: DataFrame,
+    out_path: str,
+    n_shards: int = 8,
+    seed: int = 0,
+) -> None:
+    """Materialize a training-ready corpus layout: parquet partitioned by
+    ``split=train|valid|test`` and ``shard=k``, one file per leaf, rows in
+    shuffled order.
+
+    Composes the deterministic operators into the physical layout a
+    training job actually mounts: the 80/10/10 split keyed on the content
+    fingerprint (re-ingest-stable, leak-proof — same formula as the
+    dataset_split query), the :func:`..operators.packing.seeded_shuffle`
+    permutation for within-shard order, and a ``repartition(split, shard)``
+    so each (split, shard) combination lands in exactly one task — hence
+    exactly one parquet file per leaf directory, which is what sharded
+    data loaders address. ``sortWithinPartitions(pos_in_shard)`` bakes the
+    shuffle order into the file so readers stream rows without sorting.
+
+    At warehouse scale raise ``n_shards`` so a shard fits a task; the
+    repartition is the only shuffle beyond the operators' own.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.packing import seeded_shuffle
+    from ..operators.text import fingerprint_expr
+
+    bucket = fingerprint_expr() % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    placed = seeded_shuffle(docs, n_shards=n_shards, seed=seed)
+    (
+        docs.withColumn("split", split)
+        .join(placed, "doc_id")
+        .repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("pos_in_shard")
+        .write.partitionBy("split", "shard")
+        .mode("overwrite")
+        .parquet(out_path)
+    )

@@ -46,3 +46,53 @@ def test_range_clustering_gives_skippable_file_stats(spark, sf_dir, tmp_path):
     assert len(ranges) == 4
     for (_, _, prev_hi), (_, lo, _) in zip(ranges, ranges[1:]):
         assert lo > prev_hi  # disjoint ranges → file-level skipping works
+
+
+def test_export_training_shards_layout_and_order(spark, tmp_path):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.sources.maintenance import (
+        export_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} word", "en") for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "shards")
+    export_training_shards(docs, out, n_shards=4, seed=0)
+
+    # one parquet file per (split, shard) leaf directory
+    leaves = [p for p in Path(out).glob("split=*/shard=*") if p.is_dir()]
+    assert leaves, "no leaf directories written"
+    for leaf in leaves:
+        files = list(leaf.glob("*.parquet"))
+        assert len(files) == 1, f"{leaf} has {len(files)} files"
+
+    back = spark.read.parquet(out)
+    # every document exactly once, split+shard carried as partition columns
+    assert back.count() == 300
+    assert back.select("doc_id").distinct().count() == 300
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {
+        "train", "valid", "test"
+    }
+    # rows inside each file are in shuffle order (pos_in_shard ascending)
+    import pyarrow.parquet as pq
+
+    for leaf in leaves:
+        f = next(leaf.glob("*.parquet"))
+        pos = pq.read_table(f, columns=["pos_in_shard"])["pos_in_shard"].to_pylist()
+        assert pos == sorted(pos)
+
+    # determinism: re-export produces the identical assignment
+    out2 = str(tmp_path / "shards2")
+    export_training_shards(docs, out2, n_shards=4, seed=0)
+    a = sorted(
+        map(tuple, spark.read.parquet(out).select("doc_id", "shard", "pos_in_shard").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(out2).select("doc_id", "shard", "pos_in_shard").collect())
+    )
+    assert a == b
