@@ -146,6 +146,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # cut line. Everything below here is outside the expected window.
     "knn_quantized_ivf",
     "full_outer_click_purchase_recon",
+    # never driver-checked: TPC-H final tranche (q2/q11/q12/q20 shapes) —
+    # added after the round-2 window filled; head of the round-3 rotation.
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q20_excess_shipment_suppliers",
     # (b) round-1 green but changed this round. None of these fit the
     # window — section (a) fills it — so their re-verification this round
     # is the local DuckDB-differential suite (identical row+schema+hash

@@ -380,3 +380,265 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT l_partkey, l_suppkey, unit_cost, s_acctbal, s_name, n_name
+      FROM cost
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM eligible GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(e.unit_cost, 2) AS unit_cost
+    FROM eligible e
+    JOIN best ON best.l_partkey = e.l_partkey AND e.unit_cost = best.min_cost
+    JOIN part ON p_partkey = e.l_partkey
+    WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    survey="J1,A4,O1",
+    doc="TPC-H Q2 shape (minimum-cost supplier; lineitem unit prices stand "
+    "in for the absent partsupp.ps_supplycost): the correlated-MIN "
+    "subquery decorrelated into a per-part MIN aggregate joined back on "
+    "(partkey, cost = min) in SQL, and into a PARTITIONED window min on "
+    "the Spark side — the window evaluates the eligible set once (the "
+    "groupBy-min join-back would recompute the whole lineitem aggregate "
+    "for both sides of the self-join), shuffles once on partkey, and is "
+    "scale-safe because it partitions by a high-cardinality key. Unit "
+    "cost is MIN(extendedprice/quantity) — MIN of identical IEEE "
+    "divisions is order-independent on both engines, so the equality "
+    "filter is cross-engine deterministic (an AVG here would be "
+    "partial-agg-order-dependent and flaky). Region filter prunes "
+    "eligible suppliers BEFORE the per-part minimum so the min is taken "
+    "over the same set the final join sees; nation/region are "
+    "fixed-cardinality broadcasts, everything else AQE-governed.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    s = load_fixture(spark, sf_dir, "supplier")
+    n = load_fixture(spark, sf_dir, "nation")
+    r = load_fixture(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_fixture(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eligible = (
+        cost.join(s, cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "l_suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    best = eligible.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH scoped AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    per_part AS (
+      SELECT l_partkey AS p_key, SUM(cents) AS value_cents
+      FROM scoped GROUP BY l_partkey
+    ),
+    stats AS (
+      SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts
+      FROM per_part
+    )
+    SELECT p_key AS l_partkey,
+           ROUND(value_cents / 100.0, 2) AS part_value
+    FROM per_part, stats
+    WHERE value_cents * n_parts > 2 * total_cents
+    ORDER BY part_value DESC, l_partkey
+    """,
+    survey="J1,A2,A4",
+    doc="TPC-H Q11 shape (important stock): per-part value within one "
+    "region's suppliers, kept only when it exceeds a multiple of the "
+    "GLOBAL mean per-part value — the scalar-subquery-in-HAVING pattern, "
+    "expressed as a single-row aggregate cross-joined against the "
+    "per-part aggregate (Spark broadcasts the one-row side). The "
+    "threshold is scale-free (``value * n_parts > 2 * total``) because "
+    "part cardinality grows with SF, so a fixed fraction like TPC-H's "
+    "0.0001/SF would select everything at small SF and nothing at large. "
+    "Money is summed as integer cents and compared in exact BIGINT "
+    "arithmetic, so the boundary cannot move with float partial-agg "
+    "order on either engine; the scalar side aggregates per_part (not "
+    "the base scan) so Spark reuses the grouped exchange.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture(spark, sf_dir, "lineitem")
+    s = load_fixture(spark, sf_dir, "supplier")
+    n = load_fixture(spark, sf_dir, "nation")
+    r = load_fixture(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    scoped = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
+    stats = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(stats))
+        .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey="J1,A4,F8",
+    doc="TPC-H Q12 shape (shipping modes vs priority; returnflag stands in "
+    "for the absent l_shipmode): orders⋈lineitem with a ship-date range "
+    "pushed to the fact scan, then conditional counts splitting order "
+    "priorities into urgent/other per mode. Counts are integers — "
+    "deterministic under any aggregation order. The date filter lands in "
+    "PushedFilters on the lineitem scan and prunes before the join.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fixture(spark, sf_dir, "orders")
+    li = load_fixture(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q20_excess_shipment_suppliers",
+    oracle="""
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_1997,
+             SUM(l_quantity) AS qty_total
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM shipped WHERE qty_1997 * 2 > qty_total
+      )
+    ORDER BY s_name
+    """,
+    survey="J1,J2,A4",
+    doc="TPC-H Q20 shape (excess-inventory suppliers; shipped quantity "
+    "stands in for the absent ps_availqty): the doubly-nested IN becomes "
+    "two semi-joins — lineitem semi-joined to the LIKE-filtered part "
+    "list, then supplier semi-joined to (suppkey, partkey) groups whose "
+    "1997 quantity exceeds half their all-time quantity. Both period and "
+    "total quantities come out of ONE grouped pass (conditional agg), "
+    "not two scans; quantities are small integers in doubles so the sums "
+    "and the doubled comparison are exact on both engines.",
+)
+def q20_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture(spark, sf_dir, "lineitem")
+    s = load_fixture(spark, sf_dir, "supplier")
+    n = load_fixture(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    red = load_fixture(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    in_1997 = (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01"))) & (
+        F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    shipped = (
+        li.join(red, li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0)).alias(
+                "qty_1997"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_1997") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -38,6 +38,7 @@ SCALAR_ATTACH_OK = {
     "text_tfidf",
     "q22_idle_rich_customers",
     "lsh_blocking_stats",  # 1-row count × 1-row count crossJoin
+    "q11_important_parts",  # 1-row (total, n_parts) HAVING threshold
 }
 
 
