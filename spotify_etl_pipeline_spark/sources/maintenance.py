@@ -82,8 +82,12 @@ def export_training_shards(
     permutation for within-shard order, and a ``repartition(split, shard)``
     so each (split, shard) combination lands in exactly one task — hence
     exactly one parquet file per leaf directory, which is what sharded
-    data loaders address. ``sortWithinPartitions(pos_in_shard)`` bakes the
-    shuffle order into the file so readers stream rows without sorting.
+    data loaders address. The within-task sort leads with (split, shard):
+    two leaves can hash into the SAME task, and the parquet writer's own
+    inserted sort on partition columns is not guaranteed stable, so
+    ordering by leaf first (satisfying the writer's requirement outright)
+    then ``pos_in_shard`` is what actually bakes the shuffle order into
+    each file.
 
     At warehouse scale raise ``n_shards`` so a shard fits a task; the
     repartition is the only shuffle beyond the operators' own.
@@ -104,7 +108,7 @@ def export_training_shards(
         docs.withColumn("split", split)
         .join(placed, "doc_id")
         .repartition(F.col("split"), F.col("shard"))
-        .sortWithinPartitions("pos_in_shard")
+        .sortWithinPartitions("split", "shard", "pos_in_shard")
         .write.partitionBy("split", "shard")
         .mode("overwrite")
         .parquet(out_path)
