@@ -67,29 +67,40 @@ def main() -> None:
     # warm the JVM + parquet footers, and spin up the Python/Arrow workers
     # (one-time ~2s daemon startup that would otherwise land on whichever
     # mapInPandas query runs first), so per-query times measure steady state
-    all_queries[names[0]](spark, sf_dir).collect()
+    try:
+        all_queries[names[0]](spark, sf_dir).collect()
+    except Exception:  # the timed loop below reports the failure per-query
+        pass
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
-    times: dict[str, float] = {}
+    # Per-query isolation: one failing query records "error" and the run
+    # still emits a full JSON line — a single regression must never zero
+    # out the round's perf signal (round-2 lesson: an AnalysisException at
+    # query 5 left the whole bench with rc=1 and no numbers).
+    times: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = all_queries[name](spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        times[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-    total = round(sum(times.values()), 3)
+        try:
+            df = all_queries[name](spark, sf_dir)
+            n = df.count() if df.isStreaming is False else -1
+            assert n >= 0
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            times[name] = "error"
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    total = round(sum(t for t in times.values() if isinstance(t, float)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

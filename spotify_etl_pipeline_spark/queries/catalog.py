@@ -13,6 +13,15 @@ order-insensitive value hash between Spark and DuckDB):
   tie-break key.
 - **Column names match exactly** between the DataFrame (``.alias``) and the
   SQL (``AS``).
+- **No array-typed output columns.** The driver's pandas-based
+  canonicalizer cannot hash list cells (``unhashable type: 'list'``);
+  serialize arrays to a delimited string on BOTH sides
+  (``array_join`` / ``array_to_string``). Integer elements round-trip
+  exactly; float elements must be rounded/fixed-pointed first.
+- **Pin integer oracle outputs with ``CAST(... AS BIGINT)``.** DuckDB
+  ``SUM(BIGINT)`` / ``list_sum(BIGINT)`` (incl. window SUMs) return
+  HUGEINT, which pandas surfaces as float64; Spark emits int64 and the
+  driver hasher compares dtypes despite equal values.
 """
 
 from __future__ import annotations
@@ -79,84 +88,41 @@ def _load_all() -> None:
 
 #: External correctness sweeps consume the catalog front-to-back and cap at
 #: ~50 entries per round, so ordering is a verification-rotation policy, not
-#: cosmetics.  Round 2: (a) every query that has never received a driver
-#: row+schema+hash check — round 1 covered only the first 50 of 77, and the
-#: round-2 additions are new — then (b) round-1-green queries whose plans
-#: changed this round (broadcast hints dropped; MinHash switched to hashed
-#: shingle ids) so the change is re-verified, then (c) the rest in
-#: registration order (all hash-green in round 1 and still covered by the
-#: local DuckDB-differential suite).
+#: cosmetics.  Round 3: (a) the queries fixed this round — the two
+#: TIMESTAMP_NTZ-regression crashes (r1-green, broken by the driver's
+#: µs-timestamp regeneration), the four HUGEINT-oracle hash failures, and
+#: the array-output canonicalizer crash — then (b) the six queries that
+#: have never received a lifetime driver row, then (c) round-1 greens whose
+#: last driver check predates plan changes (broadcast hints dropped,
+#: MinHash hashed shingle ids — all locally DuckDB-differential-green),
+#: then (d) the rest in registration order (driver-green in r1 or r2 under
+#: code that has not changed since).
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: round-1 coverage gap
-    "knn_brute_force",
-    "knn_ivf",
-    "embedding_quantize_int8",
+    # (a) fixed this round: events.ts NTZ regression (load_fixture dtype
+    # branch) — r1-green, crashed under round-2 data
+    "asof_last_purchase_before_click",
+    "events_range_pair_join",
+    # (a) fixed this round: HUGEINT oracle dtype (CAST ... AS BIGINT)
     "knn_quantized_topk",
-    "q4_late_shipment_priority",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q18_large_volume_orders",
-    "q22_idle_rich_customers",
-    "window_frames",
-    "window_range_frame",
-    "text_token_stats",
-    "text_word_frequency",
-    "text_language_id",
-    "text_quality_score",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_normalize",
-    "text_pii_redact",
-    "events_tumbling_hourly",
-    "events_sliding_counts",
     "events_sessionize",
-    "events_daily_from_hourly",
-    "events_hourly_gapfill",
-    "unpivot_lineitem_metrics",
-    "nullsafe_join_priority_match",
-    # (a) never driver-checked: new in round 2
-    "embedding_lsh_neardup",
-    "lsh_blocking_stats",
-    "decontaminate_against_benchmark",
-    "source_mixture_sample",
-    "text_repetition_stats",
-    "corpus_curation_decontaminated",
-    "window_ntile_quartiles",
-    "regexp_scalar_functions",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "q6_forecast_revenue",
-    "q9_nation_year_profit",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
     "pack_training_sequences",
     "packing_efficiency",
-    "training_shuffle",
-    # knn_quantized_ivf is also never-checked but carries no oracle (rows-
-    # only) — a driver row adds least over its local recall tests, so it
-    # sits at the window boundary: with 49 full-oracle never-checked
-    # entries plus it, section (a) is 51 names and the ~50th row is its
-    # cut line. Everything below here is outside the expected window.
-    "knn_quantized_ivf",
-    "full_outer_click_purchase_recon",
-    # never driver-checked: TPC-H final tranche (q2/q11/q12/q20 shapes) —
-    # added after the round-2 window filled; head of the round-3 rotation.
+    # (a) fixed this round: array output serialized to string
+    "embedding_quantize_int8",
+    # (a) new this round: tolerance-band oracles upgrading the rows-only
+    # approx aggregates to real driver checks
+    "approx_count_distinct_check",
+    "percentile_approx_check",
+    "knn_ivf_recall",
+    # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_priority_by_returnflag",
     "q20_excess_shipment_suppliers",
-    # (b) round-1 green but changed this round. None of these fit the
-    # window — section (a) fills it — so their re-verification this round
-    # is the local DuckDB-differential suite (identical row+schema+hash
-    # check, tests/test_queries_oracle.py); they head the rotation next
-    # round.
+    "knn_quantized_ivf",
+    "full_outer_click_purchase_recon",
+    # (c) r1-green whose plans changed in round 2 (re-verified locally by
+    # tests/test_queries_oracle.py; this is their first driver re-check)
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
     "dedup_embedding_cosine",
@@ -167,7 +133,41 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "corpus_curation",
     "pricing_summary",
-    "asof_last_purchase_before_click",
+    # (d) driver-green re-confirmations, oldest checks first (r1 sweep),
+    # weighted toward operators whose inputs the driver regenerates
+    # (events/documents/embeddings fixtures changed types in round 2)
+    "events_tumbling_hourly",
+    "events_sliding_counts",
+    "events_daily_from_hourly",
+    "events_hourly_gapfill",
+    "json_props_extract",
+    "date_functions",
+    "window_rank_lag",
+    "window_running_sum",
+    "latest_order_per_customer",
+    "dedup_exact_distinct",
+    "dedup_exact_group",
+    "dedup_resolve_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "anti_join_inactive_customers",
+    "semi_join_active_customers",
+    "null_handling",
+    "scalar_string_functions",
+    "partial_date_parse",
+    "setops_nation_intersect",
+    "setops_nation_except",
+    "order_priority_distribution",
+    "pipeline_latency_minutes",
+    "freshness_latest_ship",
+    "health_rowcounts",
+    "grouping_sets_orders",
+    "rollup_orders",
+    "cube_lineitem",
+    "count_distinct_exact",
+    "dataset_split",
+    "filter_pushdown_scan",
+    "training_shuffle",
 )
 
 

@@ -242,9 +242,12 @@ def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
       FROM placed
     )
+    -- CASTs: start_tok is a SUM window (HUGEINT in DuckDB), so derived
+    -- integer columns surface as float64 via pandas unless pinned BIGINT;
+    -- Spark emits int64 and the driver hasher compares dtypes.
     SELECT lang, shard, doc_id, n_tokens,
-           start_tok // 512 AS seq_id,
-           start_tok % 512 AS offset_in_seq,
+           CAST(start_tok // 512 AS BIGINT) AS seq_id,
+           CAST(start_tok % 512 AS BIGINT) AS offset_in_seq,
            (start_tok + n_tokens - 1) // 512 > start_tok // 512
              AS crosses_boundary
     FROM cum
@@ -287,12 +290,15 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS crosses_boundary
       FROM cum
     )
+    -- CASTs: SUM(BIGINT) returns HUGEINT → float64 via pandas; Spark
+    -- emits int64 and the driver hasher compares dtypes.
     SELECT lang, shard,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS n_straddling,
-           (SUM(n_tokens) + 511) // 512 AS n_sequences,
-           (((SUM(n_tokens) - 1) % 512 + 1) * 1000) // 512
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddling,
+           CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST((((SUM(n_tokens) - 1) % 512 + 1) * 1000) // 512 AS BIGINT)
              AS last_seq_fill_permille
     FROM pl
     GROUP BY lang, shard

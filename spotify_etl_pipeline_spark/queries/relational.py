@@ -412,6 +412,77 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_count_distinct_check",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="X6",
+    doc="Driver-checkable tolerance oracle for the HLL sketch (upgrade of "
+    "the rows-only approx_count_distinct): Spark computes BOTH the exact "
+    "distinct count (hash-checked against DuckDB) and the sketch estimate, "
+    "and emits |approx-exact| <= 5% as a boolean the oracle asserts TRUE — "
+    "sketch values can never hash-match across engines, but the tolerance "
+    "band can. rsd=0.01 makes 5% a ~5-sigma bound, so this is a real gate, "
+    "not a tautology.",
+)
+def approx_count_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
+    )
+
+
+@register(
+    "percentile_approx_check",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="X6",
+    doc="Driver-checkable tolerance oracle for the quantile sketch (upgrade "
+    "of the rows-only percentile_approx): the exact interpolated median is "
+    "hash-checked, and |approx-exact| <= max(5%, 1.0) emits as a boolean "
+    "the oracle asserts TRUE.",
+)
+def percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias(
+                "median_qty_exact"
+            ),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("_approx"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "median_qty_exact",
+        (
+            F.abs(F.col("_approx") - F.col("median_qty_exact"))
+            <= F.greatest(0.05 * F.abs(F.col("median_qty_exact")), F.lit(1.0))
+        ).alias("within_tol"),
+    )
+
+
+@register(
     "percentile_exact",
     oracle="""
     SELECT l_returnflag,

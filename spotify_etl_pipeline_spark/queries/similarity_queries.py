@@ -77,34 +77,52 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_quantize_int8",
-    oracle="""
-    WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    s AS (
-      SELECT vec_id, v,
-             NULLIF(list_max(list_transform(v, x -> ABS(x))), 0) AS max_abs
-      FROM e
-    )
-    SELECT vec_id,
-           list_transform(v, x -> CAST(FLOOR(127 * x / max_abs + 0.5) AS BIGINT))
-               AS codes,
-           CAST(FLOOR(max_abs * 1000000) AS BIGINT) AS scale_micro
-    FROM s
+    "knn_ivf_recall",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries, TRUE AS recall_ok
     """,
     survey="X3",
-    doc="Int8 symmetric quantization for the vector index: per-vector "
-    "max-abs scale, codes = floor(127*x/scale + 0.5). floor(x+0.5) "
-    "instead of round(): IEEE multiply/divide are correctly rounded so "
-    "both engines hold bit-identical doubles, and floor of the same "
-    "double is the same integer — whereas round() half-rule differences "
-    "(the 4dp lesson from the quality score) would flip codes. 4x memory "
-    "reduction for the ANN index; narrow per-row transform, no shuffle.",
+    doc="Driver-checkable recall gate for IVF ANN (upgrade of the rows-only "
+    "knn_ivf): Spark computes brute-force AND IVF top-k in one plan and "
+    "emits aggregate recall >= 0.2 as a boolean the oracle asserts TRUE "
+    "(fixture labels are random clusters, so n_probe=3/10 reaches ~30% of "
+    "the corpus — 0.2 is the searched-fraction floor, mirroring "
+    "tests/test_similarity.py). n_queries hash-checks that every query "
+    "produced a full result.",
 )
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    exact = S.brute_force_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(emb, queries, k=K, n_probe=3).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.ivf_neighbor_id),
+        "left_semi",
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.countDistinct("query_id").alias("n_queries"),
+            )
+        )
+        .select(
+            "n_queries",
+            (F.col("n_hits") >= 0.2 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+def quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal int8 quantization producing ``codes`` as array<long> — the
+    form downstream integer-dot-product queries consume. The registered
+    catalog entry serializes the array (driver canonicalizer can't hash
+    list cells)."""
     from pyspark.sql import functions as F
 
     e = load_fixture(spark, sf_dir, "embeddings").select(
@@ -123,6 +141,50 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("codes"),
         F.floor(F.col("max_abs") * 1_000_000).alias("scale_micro"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             NULLIF(list_max(list_transform(v, x -> ABS(x))), 0) AS max_abs
+      FROM e
+    )
+    SELECT vec_id,
+           array_to_string(
+             list_transform(v, x -> CAST(FLOOR(127 * x / max_abs + 0.5) AS BIGINT)),
+             ',') AS codes,
+           CAST(FLOOR(max_abs * 1000000) AS BIGINT) AS scale_micro
+    FROM s
+    """,
+    survey="X3",
+    doc="Int8 symmetric quantization for the vector index: per-vector "
+    "max-abs scale, codes = floor(127*x/scale + 0.5). floor(x+0.5) "
+    "instead of round(): IEEE multiply/divide are correctly rounded so "
+    "both engines hold bit-identical doubles, and floor of the same "
+    "double is the same integer — whereas round() half-rule differences "
+    "(the 4dp lesson from the quality score) would flip codes. 4x memory "
+    "reduction for the ANN index; narrow per-row transform, no shuffle. "
+    "Codes emit as a comma-joined string (catalog convention: no "
+    "array-typed output columns — the driver canonicalizer can't hash "
+    "list cells); long→string is exact in both engines.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return quantize_codes(spark, sf_dir).select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes"),
+        "scale_micro",
     )
 
 
@@ -151,9 +213,12 @@ _Q_CODES_CTE = """
     WITH {_Q_CODES_CTE},
     queries AS (SELECT * FROM q WHERE vec_id < 20),
     scored AS (
+      -- CAST: DuckDB list_sum over BIGINT returns HUGEINT, which pandas
+      -- surfaces as float64; Spark emits int64 — the driver hasher
+      -- compares dtypes, so pin BIGINT explicitly.
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             list_sum(list_transform(list_zip(a.codes, b.codes),
-                                     p -> p[1] * p[2])) AS dot
+             CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+                                          p -> p[1] * p[2])) AS BIGINT) AS dot
       FROM queries a JOIN q b ON a.vec_id <> b.vec_id
     ),
     ranked AS (
@@ -177,7 +242,7 @@ def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import int8_topk
 
-    codes = embedding_quantize_int8(spark, sf_dir).select("vec_id", "codes")
+    codes = quantize_codes(spark, sf_dir).select("vec_id", "codes")
     q = codes.filter(F.col("vec_id") < 20).alias("q")
     c = codes.alias("c")
     pairs = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..operators import similarity as S
 from ..schemas import load_fixture
 from .catalog import register
-from .similarity_queries import embedding_quantize_int8
+from .similarity_queries import quantize_codes
 
 LSH_THRESHOLD = 0.45
 N_PLANES = 30
@@ -173,8 +173,15 @@ def lsh_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_fixture(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
-    probes = S.ivf_probe_routing(emb, queries, n_probe=3)
-    codes = embedding_quantize_int8(spark, sf_dir).select("vec_id", "codes")
+    # The quantized index and the probe routing are each referenced twice
+    # downstream (qc+cc sides; routing fan-out). Without persist, Catalyst
+    # instantiates the quantize subtree per reference — the index would be
+    # built twice per search. persist() materializes each once; this is the
+    # IVF *index-build* step, which at corpus scale is a separate job whose
+    # output is stored (here: cached — same role). Index size is rows ×
+    # (d bytes + 8), i.e. 1/4 the float corpus — cache-resident by design.
+    codes = quantize_codes(spark, sf_dir).select("vec_id", "codes").persist()
+    probes = S.ivf_probe_routing(emb, queries, n_probe=3).persist()
     member = emb.select("vec_id", F.col("label").alias("cluster"))
     candidates = (
         probes.join(member, "cluster")

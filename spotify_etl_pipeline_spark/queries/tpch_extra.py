@@ -541,11 +541,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q12_priority_by_returnflag",
     oracle="""
+    -- CAST: SUM(INT) returns HUGEINT → float64 via pandas; Spark emits
+    -- int64 and the driver hasher compares dtypes.
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'

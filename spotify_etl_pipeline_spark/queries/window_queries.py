@@ -73,7 +73,9 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS session_seq
       FROM ordered
     )
-    SELECT user_id, session_seq,
+    -- CAST: SUM(INT) window returns HUGEINT → float64 via pandas; Spark
+    -- emits int64, and the driver hasher compares dtypes.
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events,

@@ -218,36 +218,49 @@ FIXTURE_TABLES = (
 )
 
 
+def normalize_events_ts(df):
+    """Normalize ``events.ts`` to a session-TZ ``timestamp`` regardless of
+    how the fixture generation wrote it. Three physical encodings have been
+    observed across driver generations:
+
+    - parquet TIMESTAMP(NANOS), read as ``bigint`` under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → integer-div to µs then
+      ``timestamp_micros`` (integer div, NOT floor(x/1000.0): epoch-nanos
+      exceed 2^53, so a double quotient is inexact and floors to the wrong
+      microsecond for ~1 in 8 values);
+    - parquet timestamp[us] without UTC adjustment → ``timestamp_ntz``;
+      the session TZ is pinned UTC so a plain cast matches the oracle's
+      ``CAST(ts AS TIMESTAMP)`` exactly;
+    - already ``timestamp`` → passthrough.
+
+    Every branch is a narrow, codegen'd projection — no shuffle, scales
+    linearly.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_fixture(spark, sf_dir: str, name: str):
     """Read one driver fixture table as a DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — a runtime SQL conf) and
-    floor-convert to a microsecond timestamp, matching DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` truncation so both engines see identical
-    values. The conversion is a narrow, codegen'd projection — no shuffle,
-    scales linearly.
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (round 1) and as
+    naive timestamp[us] (round 2+); :func:`normalize_events_ts` branches on
+    the observed read dtype so both generations produce identical values.
 
     On the conf mutation: this is the ONE sanctioned place it happens.
     ``load_fixture`` is the driver-contract entry point and must work on a
     bare session the engine did not build; the value set here equals the
     :func:`..session.get_spark` default, so engine-built sessions see no
-    change. Internal helpers (e.g. ``streaming.windows.read_events_stream``)
-    instead *require* the conf and raise — they are only reachable from
-    sessions we configure.
+    change, and the conf only affects how NANOS columns are surfaced (µs
+    data reads identically either way).
     """
-    from pyspark.sql import functions as F
-
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                # integer div, NOT floor(x/1000.0): epoch-nanos exceed 2^53,
-                # so the double quotient is inexact and floors to the wrong
-                # microsecond for ~1 in 8 values
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

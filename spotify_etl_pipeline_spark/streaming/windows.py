@@ -2,9 +2,11 @@
 
 Streaming twins of :mod:`..operators.time_windows` — same logical window
 shapes with ``withWatermark`` bounding state. The events fixture is a
-parquet file, so streams here read it through the file source (schema
-declared with ts as LONG nanos, converted to a µs timestamp — the streaming
-mirror of schemas.load_fixture).
+parquet file, so streams here read it through the file source; the physical
+ts encoding (nanos-as-long, naive µs, or true timestamp) is discovered from
+a one-time batch footer read and normalized by
+:func:`..schemas.normalize_events_ts` — the streaming mirror of
+``schemas.load_fixture``.
 
 State-size notes (the thing that matters on an unbounded 100 TB/day
 stream): watermark delay bounds every window's state; session windows
@@ -16,18 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..schemas import normalize_events_ts
 
 
 def read_events_stream(
@@ -36,24 +28,24 @@ def read_events_stream(
     """File-source stream over the events table (the file source requires a
     directory; ``glob`` narrows it to the events file within sf_dir).
 
-    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session
-    (a :func:`..session.get_spark` default). Deliberately NOT set here:
-    flipping a session-global conf inside a reader helper would silently
-    change how every later parquet read interprets nanos columns.
+    ``readStream`` needs a declared schema; we take it from a batch read of
+    the same glob (a driver-side footer read, no data scan), so whatever ts
+    encoding this fixture generation uses is the schema the stream declares.
+    If the files are TIMESTAMP(NANOS), the batch read itself requires
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session (a
+    :func:`..session.get_spark` default) and raises a clear Spark error
+    otherwise — deliberately not set here: flipping a session-global conf
+    inside a reader helper would silently change every later parquet read.
     """
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        raise RuntimeError(
-            "read_events_stream needs spark.sql.legacy.parquet.nanosAsLong=true "
-            "declared on the session (use session.get_spark, which defaults it)"
-        )
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(directory).schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .parquet(directory)
     )
-    # integer div (see schemas.load_fixture): double division is inexact
-    # past 2^53 and mis-floors ~12.5% of nanosecond values by 1 µs
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_stream(events: DataFrame, size: str = "1 hour",

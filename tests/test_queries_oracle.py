@@ -11,7 +11,7 @@ import pytest
 
 from spotify_etl_pipeline_spark.queries.catalog import CATALOG, queries
 
-from .oracle_compare import compare_results
+from .oracle_compare import compare_results, frame_problems
 
 ALL = queries()  # triggers module loading / registration
 
@@ -20,14 +20,18 @@ ALL = queries()  # triggers module loading / registration
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spec = CATALOG[name]
     sdf = spec.fn(spark, sf_dir)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = list(sdf.columns)
+    spark_pdf = sdf.toPandas()
+    spark_cols = list(spark_pdf.columns)
+    spark_rows = [tuple(r) for r in spark_pdf.itertuples(index=False, name=None)]
 
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = duck.execute(spec.oracle).fetchdf()
+    duck_cols = list(duck_pdf.columns)
+    duck_rows = [tuple(r) for r in duck_pdf.itertuples(index=False, name=None)]
 
+    # string-normalized value comparison + pandas-level dtype/hashability
+    # checks (the driver hashes these exact frames — see oracle_compare)
     problems = compare_results(spark_cols, spark_rows, duck_cols, duck_rows)
+    problems += frame_problems(spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
 
 
