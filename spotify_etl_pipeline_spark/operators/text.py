@@ -162,6 +162,75 @@ def fingerprint(df: DataFrame) -> DataFrame:
     return df.select("doc_id", fingerprint_expr().alias("fingerprint"))
 
 
+def _rolling_hash_expr(list_sql: str) -> str:
+    """SQL sub-expression: the shared rolling hash folded over an arbitrary
+    token-array expression (the :func:`fingerprint_expr` formula,
+    parameterized so chunk/prefix consumers cannot drift from the
+    whole-document fingerprint). DuckDB twin:
+    queries/oracle_sql_helpers.list_rolling_hash_sql."""
+    return (
+        f"aggregate({list_sql}, CAST(0 AS BIGINT), "
+        f"(acc, t) -> (acc * {FP_BASE} + {_token_value('t')}) % {MOD})"
+    )
+
+
+def chunk_windows(df: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """RAG/training-prep chunking: overlapping ``size``-token windows every
+    ``stride`` tokens, with per-chunk offsets and content hash.
+
+    Pure narrow transform — split, ``sequence`` of window starts,
+    ``posexplode``, per-chunk ``slice`` + rolling hash; zero shuffles, and
+    output volume is bounded at ~size/stride × the corpus (1.33× at the
+    64/48 default), so the op scales exactly like a projection. The final
+    window is allowed to be short (slice clamps at the end of the doc) —
+    chunk boundaries are a pure function of the token count, so
+    re-ingestion reproduces identical chunk ids and hashes.
+    """
+    chunk = f"slice(toks, start_tok + 1, {size})"
+    return (
+        df.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.expr(f"sequence(0, size(toks) - 1, {stride})")).alias(
+                "chunk_id", "start_tok"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.size(F.expr(chunk)).cast("long").alias("n_toks"),
+            F.expr(_rolling_hash_expr(chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+def prefix_duplicate_clusters(df: DataFrame, prefix_len: int = 16) -> DataFrame:
+    """Boilerplate / partial-duplicate detection: documents sharing an
+    identical first-``prefix_len``-token prefix hash, as
+    (prefix_hash, doc_id, cluster_size) rows for clusters of ≥2 docs.
+
+    The complement of whole-document exact dedup: mirrors (a prefix is a
+    weaker key than the full fingerprint) how template boilerplate is
+    found in web corpora. One hash-partitioned shuffle on the prefix hash
+    with map-side combine; the per-doc hash itself is a narrow fold over
+    the first ``prefix_len`` tokens only.
+    """
+    prefix = f"slice(split(text, ' '), 1, {prefix_len})"
+    hashed = df.select(
+        "doc_id", F.expr(_rolling_hash_expr(prefix)).alias("prefix_hash")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("prefix_hash")
+    return (
+        hashed.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("cluster_size") >= 2)
+        .select("prefix_hash", "doc_id", "cluster_size")
+    )
+
+
 def word_frequency(df: DataFrame, top_k: int = 20) -> DataFrame:
     """Global token frequency, deterministic top-k (count desc, token asc).
 

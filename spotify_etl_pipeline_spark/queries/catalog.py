@@ -114,6 +114,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "approx_count_distinct_check",
     "percentile_approx_check",
     "knn_ivf_recall",
+    "chunk_documents_overlap",
+    "dedup_prefix_clusters",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

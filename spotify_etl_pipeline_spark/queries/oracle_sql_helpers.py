@@ -102,13 +102,19 @@ SPLIT_SELECT_SQL = """
 """
 
 
-def fingerprint_sql() -> str:
-    """DuckDB twin of ``operators.text.fingerprint_expr``: the rolling-hash
-    content fingerprint as a scalar SQL expression over ``text``."""
+def list_rolling_hash_sql(list_expr: str) -> str:
+    """DuckDB twin of ``operators.text._rolling_hash_expr``: the shared
+    rolling hash folded over an arbitrary token-list expression."""
     return (
         "list_reduce("
         "list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(text, ' '), "
+        f"list_transform({list_expr}, "
         f"t -> CAST({_token_value('t')} AS BIGINT))), "
         f"(acc, v) -> (acc * {FP_BASE} + v) % {MOD})"
     )
+
+
+def fingerprint_sql() -> str:
+    """DuckDB twin of ``operators.text.fingerprint_expr``: the rolling-hash
+    content fingerprint as a scalar SQL expression over ``text``."""
+    return list_rolling_hash_sql("string_split(text, ' ')")

@@ -8,10 +8,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import fingerprint_expr
+from ..operators.text import chunk_windows, fingerprint_expr, prefix_duplicate_clusters
 from ..schemas import load_fixture
 from .catalog import register
-from .oracle_sql_helpers import fingerprint_sql
+from .oracle_sql_helpers import fingerprint_sql, list_rolling_hash_sql
 
 
 @register(
@@ -223,6 +223,64 @@ def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % 10 == 1)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(u.s // 48 AS BIGINT) AS chunk_id,
+             CAST(u.s AS BIGINT) AS start_tok,
+             toks[u.s + 1 : u.s + 64] AS chunk
+      FROM t, UNNEST(range(0, len(toks), 48)) AS u(s)
+    )
+    SELECT doc_id, chunk_id, start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_toks,
+           {list_rolling_hash_sql("chunk")} AS chunk_hash
+    FROM c
+    """,
+    survey="X4,X1",
+    doc="RAG/training-prep chunking: 64-token windows every 48 tokens "
+    "(16-token overlap) with per-chunk offsets and the shared rolling "
+    "content hash. Narrow transform, zero shuffles, output bounded at "
+    "~1.33x corpus volume; chunk ids/hashes are pure functions of the "
+    "token stream so re-ingestion is idempotent. Oracle rederives the "
+    "same windows via range+list-slice and the same hash formula.",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    return chunk_windows(docs, size=64, stride=48)
+
+
+@register(
+    "dedup_prefix_clusters",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {list_rolling_hash_sql("string_split(text, ' ')[1:16]")}
+               AS prefix_hash
+      FROM documents
+    ),
+    sized AS (
+      SELECT prefix_hash, doc_id,
+             COUNT(*) OVER (PARTITION BY prefix_hash) AS cluster_size
+      FROM h
+    )
+    SELECT prefix_hash, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM sized WHERE cluster_size >= 2
+    """,
+    survey="X1,X2",
+    doc="Boilerplate / partial-duplicate detection: documents sharing an "
+    "identical 16-token prefix hash, the weak-key complement of "
+    "whole-document exact dedup (how template boilerplate surfaces in web "
+    "corpora). Narrow prefix fold per doc, then one hash-partitioned "
+    "count window on the prefix hash.",
+)
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    return prefix_duplicate_clusters(docs, prefix_len=16)
 
 
 @register(
