@@ -76,3 +76,56 @@ def test_sample_frames_no_phantom_frame_on_exact_multiple(spark):
     # 64 bytes = exactly 1 stride → 1 frame (no empty frame at offset 64);
     # empty payload still yields its single (empty) frame
     assert counts == {1: 1, 2: 1, 3: 1}
+
+
+def test_chunk_windows_short_doc_single_chunk(spark):
+    """A doc shorter than one window yields exactly one (possibly short)
+    chunk at offset 0; boundaries are a pure function of token count."""
+    from spotify_etl_pipeline_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_windows(df, size=64, stride=48).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["chunk_id"], r["start_tok"], r["n_toks"]) == (0, 0, 3)
+
+
+def test_chunk_windows_exact_multiple_no_phantom_chunk(spark):
+    """Token count an exact multiple of stride must not emit an empty
+    trailing window (starts stop at n-1, not n)."""
+    from spotify_etl_pipeline_spark.operators.text import chunk_windows
+
+    text = " ".join(f"t{i}" for i in range(96))  # 96 = 2 * stride
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_windows(df, size=64, stride=48).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_toks"]) for r in rows] == [(0, 64), (48, 48)]
+
+
+def test_chunk_windows_overlap_region_hashes_consistent(spark):
+    """Two docs sharing a window's token content produce the same
+    chunk_hash for that window (hash is content-only)."""
+    from spotify_etl_pipeline_spark.operators.text import chunk_windows
+
+    base = " ".join(f"w{i}" for i in range(64))
+    df = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    rows = chunk_windows(df, size=64, stride=48).collect()
+    first = {r["doc_id"]: r["chunk_hash"] for r in rows if r["chunk_id"] == 0}
+    assert first[1] == first[2]
+
+
+def test_prefix_clusters_short_docs_cluster_on_full_prefix(spark):
+    """Docs shorter than prefix_len hash their full token list (slice
+    clamps); identical short docs still cluster, distinct ones don't."""
+    from spotify_etl_pipeline_spark.operators.text import (
+        prefix_duplicate_clusters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x z")], "doc_id long, text string"
+    )
+    rows = prefix_duplicate_clusters(df, prefix_len=16).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["cluster_size"] == 2 for r in rows)

@@ -1,0 +1,59 @@
+"""Meta-tests for the oracle-comparison harness itself.
+
+Round 2 shipped five driver-only failures (HUGEINT->float64 dtype drift,
+array-typed cells) that the string-normalizing comparator was blind to;
+``frame_problems`` exists to reproduce the driver's pandas-level
+canonicalization locally. These tests pin that capability: each one feeds
+the harness a miniature of a real round-2 failure and asserts it goes red.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .oracle_compare import compare_results, frame_problems
+
+
+def test_hugeint_float64_vs_int64_is_flagged():
+    """The exact round-2 bug class: DuckDB SUM(BIGINT) -> HUGEINT ->
+    float64, equal values, different dtype — must be flagged."""
+    spark_pdf = pd.DataFrame({"k": ["a", "b"], "n": np.array([5, 7], dtype="int64")})
+    duck_pdf = pd.DataFrame({"k": ["a", "b"], "n": np.array([5.0, 7.0], dtype="float64")})
+    problems = frame_problems(spark_pdf, duck_pdf)
+    assert any("dtype mismatch on n" in p for p in problems)
+
+
+def test_int_width_difference_is_not_flagged():
+    """int32 vs int64 stringify identically — width alone must pass."""
+    spark_pdf = pd.DataFrame({"n": np.array([5], dtype="int32")})
+    duck_pdf = pd.DataFrame({"n": np.array([5], dtype="int64")})
+    assert frame_problems(spark_pdf, duck_pdf) == []
+
+
+def test_array_typed_cells_are_flagged():
+    """The embedding_quantize_int8 crash class: list cells are unhashable
+    in the driver canonicalizer — must be flagged on either side."""
+    spark_pdf = pd.DataFrame({"codes": [[1, 2], [3]]})
+    duck_pdf = pd.DataFrame({"codes": ["1,2", "3"]})
+    problems = frame_problems(spark_pdf, duck_pdf)
+    assert any("unhashable list" in p for p in problems)
+    # numpy arrays (Arrow-backed toPandas) are equally unhashable
+    spark_np = pd.DataFrame({"codes": [np.array([1, 2]), np.array([3])]})
+    problems_np = frame_problems(spark_np, duck_pdf)
+    assert any("unhashable ndarray" in p for p in problems_np)
+
+
+def test_matching_frames_pass_both_layers():
+    spark_pdf = pd.DataFrame({"k": ["a"], "n": np.array([5], dtype="int64")})
+    duck_pdf = pd.DataFrame({"k": ["a"], "n": np.array([5], dtype="int64")})
+    assert frame_problems(spark_pdf, duck_pdf) == []
+    assert (
+        compare_results(
+            list(spark_pdf.columns),
+            [tuple(r) for r in spark_pdf.itertuples(index=False, name=None)],
+            list(duck_pdf.columns),
+            [tuple(r) for r in duck_pdf.itertuples(index=False, name=None)],
+        )
+        == []
+    )

@@ -32,6 +32,7 @@ PAIRWISE_OK = {
     "knn_ivf",
     "knn_quantized_topk",
     "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
+    "knn_ivf_recall",  # embeds brute_force_topk (the recall reference)
     "dedup_embedding_cosine",
 }
 SCALAR_ATTACH_OK = {
@@ -221,3 +222,38 @@ def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
     df = spark.read.parquet(out).select("payload.b")
     (scan,) = scan_lines(executed_plan(df))
     assert "payload:struct<b:string>" in scan.replace(" ", ""), scan
+
+
+def test_events_ts_normalization_keeps_pushdown(spark, sf_dir):
+    """normalize_events_ts wraps ts in a cast; predicates on OTHER columns
+    and the column pruning must still reach the parquet scan (the round-2
+    fixture regeneration changed the physical ts type — the normalization
+    must stay a pure projection, never a pushdown barrier)."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    ev = load_fixture(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    q = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    plan = executed_plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan, plan
+    fields = read_schema_fields(plan)
+    assert "props" not in fields and "value" not in fields, fields
+
+
+def test_quantized_ivf_serves_index_from_cache(spark, sf_dir):
+    """knn_quantized_ivf persists its int8 index and probe routing; the
+    executed plan must reference InMemoryTableScan (index built once, not
+    per branch)."""
+    from spotify_etl_pipeline_spark.queries.similarity_scale import (
+        knn_quantized_ivf,
+    )
+
+    df = knn_quantized_ivf(spark, sf_dir)
+    try:
+        df.count()  # materializes the persisted index + routing
+        plan = executed_plan(df)
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        spark.catalog.clearCache()
