@@ -185,7 +185,17 @@ def chunk_windows(df: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
     window is allowed to be short (slice clamps at the end of the doc) —
     chunk boundaries are a pure function of the token count, so
     re-ingestion reproduces identical chunk ids and hashes.
+
+    ``stride`` must not exceed ``size``: full coverage (every token in at
+    least one chunk) is the chunking contract, and stride > size would
+    silently drop the tokens between windows (found by
+    tests/test_properties.py::test_chunk_windows_cover_and_reconstruct).
     """
+    if not 1 <= stride <= size:
+        raise ValueError(
+            f"stride must be in [1, size] for full coverage, got "
+            f"stride={stride} size={size}"
+        )
     chunk = f"slice(toks, start_tok + 1, {size})"
     return (
         df.select("doc_id", F.split("text", " ").alias("toks"))

@@ -91,3 +91,62 @@ def test_components_equal_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: find(n) for n in parent}
     assert got == expect
+
+
+_doc_texts = st.lists(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5),
+        min_size=1, max_size=30,
+    ).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@given(
+    texts=_doc_texts,
+    size=st.integers(2, 8),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_chunk_windows_cover_and_reconstruct(spark, texts, size, data):
+    """Invariants for any valid (size, stride >= stride <= size): every
+    token position is covered by >=1 chunk; windows start exactly every
+    `stride` tokens; lengths are slice-clamped; and at stride == size the
+    chunks partition the doc. (stride > size is rejected by the operator —
+    it would leave coverage gaps; pinned below.)"""
+    from spotify_etl_pipeline_spark.operators.text import chunk_windows
+
+    stride = data.draw(st.integers(1, size))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_windows(df, size=size, stride=stride).collect()
+    n_toks = {i: len(t.split(" ")) for i, t in enumerate(texts)}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc_id, chunks in by_doc.items():
+        n = n_toks[doc_id]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        starts = [r["start_tok"] for r in chunks]
+        assert starts == list(range(0, n, stride))
+        covered = set()
+        for r in chunks:
+            assert r["n_toks"] == min(size, n - r["start_tok"])
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+        assert covered == set(range(n))
+        if stride == size:  # exact partition: lengths sum to n, no overlap
+            assert sum(r["n_toks"] for r in chunks) == n
+
+
+def test_chunk_windows_rejects_gapping_stride(spark):
+    """stride > size would silently drop inter-window tokens — must raise."""
+    import pytest as _pytest
+
+    from spotify_etl_pipeline_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_windows(df, size=2, stride=3)
