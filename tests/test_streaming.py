@@ -170,3 +170,29 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
     assert streamed.count() == batch.count() and streamed.count() > 0
     diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
     assert diff == 0
+
+
+def test_chunking_stream_matches_batch(spark, sf_dir):
+    """chunk_windows is a stateless narrow transform, so it must run
+    unchanged on a file-source stream (the ingest-time chunking path at
+    corpus scale) and produce exactly the batch output — including chunk
+    ids and content hashes."""
+    from spotify_etl_pipeline_spark.operators.text import chunk_windows
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    batch_docs = load_fixture(spark, sf_dir, "documents")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    run_to_memory(chunk_windows(stream_docs), "chunk_out", output_mode="append")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_toks"], r["chunk_hash"])
+        for r in spark.sql("SELECT * FROM chunk_out").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_toks"], r["chunk_hash"])
+        for r in chunk_windows(batch_docs).collect()
+    }
+    assert got == want
