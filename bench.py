@@ -56,6 +56,7 @@ HEADLINE = [
     "events_sliding_counts",
     "text_word_frequency",
     "multimodal_features",
+    "chunk_documents_overlap",
 ]
 
 
