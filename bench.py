@@ -74,10 +74,12 @@ def main() -> None:
         pass
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
-    # Per-query isolation: one failing query records "error" and the run
-    # still emits a full JSON line — a single regression must never zero
-    # out the round's perf signal (round-2 lesson: an AnalysisException at
-    # query 5 left the whole bench with rc=1 and no numbers).
+    # Per-query isolation: a failing query records null in "queries" plus
+    # an entry in "errors", and the run still emits a full JSON line — a
+    # single regression must never zero out the round's perf signal
+    # (round-2 lesson: an AnalysisException at query 5 left the whole
+    # bench with rc=1 and no numbers). "value" sums successful queries
+    # only, so read it together with "errors" when the latter is present.
     #
     # Each query runs twice: an untimed warm run (Janino codegen compile,
     # broadcast-thread spin-up, file-footer caches — all one-time costs
@@ -98,7 +100,7 @@ def main() -> None:
             assert n >= 0
             times[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — report, don't die
-            times[name] = "error"
+            times[name] = None  # JSON null — errored queries carry no time
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
             spark.catalog.clearCache()

@@ -223,21 +223,26 @@ def prefix_duplicate_clusters(df: DataFrame, prefix_len: int = 16) -> DataFrame:
 
     The complement of whole-document exact dedup: mirrors (a prefix is a
     weaker key than the full fingerprint) how template boilerplate is
-    found in web corpora. One hash-partitioned shuffle on the prefix hash
-    with map-side combine; the per-doc hash itself is a narrow fold over
-    the first ``prefix_len`` tokens only.
+    found in web corpora. Shape: groupBy-count on the hash (map-side
+    partial aggregation — the shuffle carries distinct hashes, not doc
+    rows), filter to sizes ≥2, then join the slim (doc_id, hash)
+    projection back. Duplicate-prefix clusters are a small fraction of a
+    real corpus, so the filtered count table is broadcast-eligible and
+    AQE plans the join shuffle-free; a count *window* instead would
+    shuffle every doc row with no partial aggregation. The per-doc hash
+    is a narrow fold over the first ``prefix_len`` tokens only.
     """
     prefix = f"slice(split(text, ' '), 1, {prefix_len})"
     hashed = df.select(
         "doc_id", F.expr(_rolling_hash_expr(prefix)).alias("prefix_hash")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("prefix_hash")
-    return (
-        hashed.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+    clusters = (
+        hashed.groupBy("prefix_hash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
         .filter(F.col("cluster_size") >= 2)
-        .select("prefix_hash", "doc_id", "cluster_size")
+    )
+    return hashed.join(clusters, "prefix_hash").select(
+        "prefix_hash", "doc_id", "cluster_size"
     )
 
 

@@ -275,8 +275,8 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Boilerplate / partial-duplicate detection: documents sharing an "
     "identical 16-token prefix hash, the weak-key complement of "
     "whole-document exact dedup (how template boilerplate surfaces in web "
-    "corpora). Narrow prefix fold per doc, then one hash-partitioned "
-    "count window on the prefix hash.",
+    "corpora). Narrow prefix fold per doc, map-side-combined groupBy "
+    "count, then the small >=2-cluster table joins back broadcast-style.",
 )
 def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fixture(spark, sf_dir, "documents")

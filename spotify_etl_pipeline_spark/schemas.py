@@ -253,14 +253,19 @@ def load_fixture(spark, sf_dir: str, name: str):
     naive timestamp[us] (round 2+); :func:`normalize_events_ts` branches on
     the observed read dtype so both generations produce identical values.
 
-    On the conf mutation: this is the ONE sanctioned place it happens.
+    On the conf mutations: this is the ONE sanctioned place they happen.
     ``load_fixture`` is the driver-contract entry point and must work on a
-    bare session the engine did not build; the value set here equals the
-    :func:`..session.get_spark` default, so engine-built sessions see no
-    change, and the conf only affects how NANOS columns are surfaced (µs
-    data reads identically either way).
+    bare session the engine did not build; the values set here equal the
+    :func:`..session.get_spark` defaults, so engine-built sessions see no
+    change. ``nanosAsLong`` only affects how NANOS columns are surfaced
+    (µs data reads identically either way); the UTC session timezone is
+    what makes the NTZ→timestamp cast in :func:`normalize_events_ts` (and
+    every window/date_format downstream) agree with the oracle's naive
+    timestamps — on a bare session in a non-UTC JVM zone the cast would
+    shift wall times and every events query would hash-mismatch.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -86,7 +86,7 @@ def frame_problems(spark_pdf, duck_pdf) -> list[str]:
         for c in pdf.columns:
             if pdf[c].dtype.kind != "O":
                 continue
-            for v in pdf[c].head(200):
+            for v in pdf[c]:
                 try:
                     hash(v)
                 except TypeError:

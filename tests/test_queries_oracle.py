@@ -70,3 +70,25 @@ def test_percentile_approx_accuracy(spark, duck, sf_dir):
     )
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(0.05 * abs(v), 1.0), (k, approx[k], v)
+
+
+def test_events_queries_survive_non_utc_session(spark, duck, sf_dir):
+    """The driver calls load_fixture on a bare session it configured — a
+    non-UTC JVM/session timezone must not shift NTZ-cast wall times (the
+    oracle's timestamps are naive). load_fixture pins UTC itself; this
+    pins the pin."""
+    spec = CATALOG["events_tumbling_hourly"]
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        sdf = spec.fn(spark, sf_dir)  # load_fixture repins UTC in here
+        spark_pdf = sdf.toPandas()
+        duck_pdf = duck.execute(spec.oracle).fetchdf()
+        problems = compare_results(
+            list(spark_pdf.columns),
+            [tuple(r) for r in spark_pdf.itertuples(index=False, name=None)],
+            list(duck_pdf.columns),
+            [tuple(r) for r in duck_pdf.itertuples(index=False, name=None)],
+        )
+        assert not problems, problems
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
