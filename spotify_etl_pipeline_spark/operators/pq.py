@@ -1,0 +1,268 @@
+"""Product quantization (PQ) for billion-scale ANN (SURVEY.md X3 tier).
+
+Public algorithm per Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011), implemented from scratch on
+DataFrame ops. Complements the existing ANN tiers: int8 scalar
+quantization keeps d bytes/vector (4× smaller than float32); PQ keeps
+``m`` bytes/vector (m=4 on d=64 → 64× smaller), which is what makes a
+RAM-resident index possible at 10⁹+ vectors.
+
+Decomposition (all public Spark API, no UDFs):
+
+- **fit** — split each vector into ``m`` contiguous subvectors; run the
+  existing distributed Lloyd's k-means (:mod:`.kmeans`) per subspace for a
+  ``k``-entry codebook each. Codebooks are m·k·(d/m) = k·d floats — driver
+  state, like k-means centroids.
+- **encode** — per subspace, nearest-codeword id via the same
+  literal-centroid argmin as k-means assignment: a narrow map producing
+  ``m`` small ints per vector. No shuffle.
+- **ADC scoring** (asymmetric distance computation) — the query stays
+  un-quantized: per (query, subspace, codeword) the squared distance to
+  the codeword is computed ONCE into a lookup table of |Q|·m·k rows
+  (tiny — broadcasts), and every candidate's approximate distance is the
+  sum of its ``m`` table hits. Scoring a candidate reads m CODES + m
+  table lookups instead of d floats — the memory-traffic win that defines
+  PQ. In DataFrame terms: explode corpus codes to (vec_id, sub, code)
+  rows, equi-join the broadcast LUT, groupBy pair → sum. The explosion is
+  linear (n·m rows) and the join is broadcast-hash — no all-pairs
+  anything; compose with IVF probe routing for candidate generation at
+  scale (IVFADC), exactly as the int8 tier composes.
+
+Approximate by construction (codebooks are k-means fits) → rows-only
+driver checks; recall floors vs the exact L2 baseline are asserted in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .kmeans import kmeans_fit
+from .skew import widen_narrow_scan
+
+
+def _as_double_vec(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _sub_slice(vec_col, sub: int, sub_d: int):
+    # slice() is 1-based
+    return F.slice(vec_col, sub * sub_d + 1, sub_d)
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    max_iter: int = 4,
+) -> list[list[list[float]]]:
+    """Fit ``m`` codebooks of ``k`` codewords each. Returns
+    codebooks[sub][code] = centroid (length d/m). Deterministic: k-means
+    init and tie-breaks are id-ordered (see kmeans_fit)."""
+    d = _as_double_vec(vectors, id_col)
+    n_dims = len(d.select("v").first()["v"])
+    if n_dims % m:
+        raise ValueError(f"dim {n_dims} not divisible into {m} subspaces")
+    sub_d = n_dims // m
+    books: list[list[list[float]]] = []
+    for sub in range(m):
+        sub_vecs = d.select(id_col, _sub_slice(F.col("v"), sub, sub_d).alias("v"))
+        books.append(kmeans_fit(sub_vecs, k=k, id_col=id_col, max_iter=max_iter))
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pq_codes array<int> length m): nearest codeword per subspace,
+    ties toward the lower code id. Narrow map against literal codebooks —
+    the index build's only data pass, no shuffle."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    d = _as_double_vec(widen_narrow_scan(vectors), id_col)
+    code_cols = []
+    for sub, book in enumerate(codebooks):
+        sv = _sub_slice(F.col("v"), sub, sub_d)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(float(x)) for x in cw]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cw in book
+            ]
+        )
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return d.select(id_col, F.array(*code_cols).alias("pq_codes"))
+
+
+def pq_query_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, sub, code, d2): squared distance from each query's
+    subvector to every codeword — |Q|·m·k rows, the broadcast side of ADC
+    scoring."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    q = _as_double_vec(queries, id_col)
+    per_sub = []
+    for sub, book in enumerate(codebooks):
+        sv = _sub_slice(F.col("v"), sub, sub_d)
+        d2s = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(float(x)) for x in cw]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cw in book
+            ]
+        )
+        per_sub.append(
+            q.select(
+                F.col(id_col).alias("query_id"),
+                F.lit(sub).alias("sub"),
+                F.posexplode(d2s).alias("code", "d2"),
+            )
+        )
+    out = per_sub[0]
+    for p in per_sub[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC approximate squared L2 distance (ascending), self
+    excluded. ``corpus_codes`` is :func:`pq_encode` output.
+
+    Returns (query_id, neighbor_id, rank, adc_d2_micro) — the distance as
+    an integer (µ-units) so downstream consumers never compare raw floats.
+    """
+    lut = pq_query_lut(queries, codebooks, id_col)
+    exploded = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("pq_codes").alias("sub", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("adc_d2") * 1_000_000).alias("adc_d2_micro"),
+        )
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC shortlist → exact rerank (the production PQ pattern, e.g.
+    Faiss ``IndexRefine``): the compressed index ranks a ``shortlist`` of
+    candidates per query with approximate distances, then ONLY those
+    (|Q|·shortlist) pairs are scored with exact L2 against the float
+    vectors. The exact scan touches shortlist/n of the corpus — the
+    recall of near-exact search at the memory cost of the PQ index plus
+    a bounded refine read.
+
+    Returns the :func:`brute_force_l2_topk` schema (query_id, neighbor_id,
+    rank, d2_micro) — exact distances, approximate candidate set.
+    """
+    short = pq_adc_topk(
+        corpus_codes, queries, codebooks, k=shortlist, id_col=id_col
+    ).select("query_id", "neighbor_id")
+    c = _as_double_vec(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    q = _as_double_vec(queries, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = short.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id", "neighbor_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("d2") * 1_000_000).alias("d2_micro"),
+        )
+    )
+
+
+def brute_force_l2_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact squared-L2 top-k (ascending), self excluded — the baseline
+    and recall reference for PQ. Same deterministic tie-break shape as the
+    cosine baseline: (distance asc, neighbor id asc)."""
+    c = _as_double_vec(widen_narrow_scan(corpus)).alias("c")
+    q = _as_double_vec(queries).alias("q")
+    d2 = F.aggregate(
+        F.zip_with(F.col("q.v"), F.col("c.v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        d2.alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("d2") * 1_000_000).alias("d2_micro"),
+        )
+    )

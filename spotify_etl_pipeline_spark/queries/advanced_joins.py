@@ -208,3 +208,52 @@ def events_range_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each qualifying pair matches exactly ONE of b's three exploded
         # bucket rows — dedup here would just add a full extra shuffle
     )
+
+
+INTERVAL_LEN_SEC = 600
+
+
+@register(
+    "interval_overlap_pairs",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id AS a_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s
+      FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+    ),
+    b AS (
+      SELECT event_id AS b_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s
+      FROM events WHERE event_type = 'purchase' AND user_id % 10 = 5
+    )
+    SELECT a_id, b_id,
+           CAST((LEAST(a.s, b.s) + {INTERVAL_LEN_SEC} * 1000000
+                 - GREATEST(a.s, b.s)) // 1000000 AS BIGINT) AS overlap_sec
+    FROM a JOIN b
+      ON a.s <= b.s + {INTERVAL_LEN_SEC} * 1000000
+     AND b.s <= a.s + {INTERVAL_LEN_SEC} * 1000000
+    """,
+    survey="J1,X8",
+    doc="Interval×interval overlap join (operators/intervals.py): two "
+    "cohorts' 10-minute purchase-activity windows, overlapping pairs with "
+    "integer overlap duration. Each interval registers under the <=2 "
+    "width-quantized buckets it touches; the join is a pure equi-join on "
+    "bucket + exact overlap residual, and cross-bucket duplicate pairs "
+    "are eliminated for FREE by crediting each pair only to the bucket "
+    "owning greatest(start_a, start_b) — no DISTINCT shuffle. The "
+    "interval generalization of events_range_pair_join; the oracle runs "
+    "the plain inequality join.",
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_overlap_join
+
+    ev = load_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    end = F.col("start_us") + INTERVAL_LEN_SEC * 1_000_000
+    base = ev.select(
+        F.col("event_id").alias("id"),
+        F.unix_micros("ts").alias("start_us"),
+        "user_id",
+    ).withColumn("end_us", end)
+    a = base.filter(F.col("user_id") % 10 == 0).drop("user_id")
+    b = base.filter(F.col("user_id") % 10 == 5).drop("user_id")
+    return interval_overlap_join(a, b, max_len_sec=INTERVAL_LEN_SEC)

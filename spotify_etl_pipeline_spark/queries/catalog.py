@@ -83,6 +83,7 @@ def _load_all() -> None:
         curation_ops,
         analytics_extra,
         tpch_extra,
+        quality_ops,
     )
 
 
@@ -116,6 +117,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_ivf_recall",
     "chunk_documents_overlap",
     "dedup_prefix_clusters",
+    # (a) new in round 3: quality gate, fuzzy/interval joins, L2+PQ ANN
+    "data_quality_expectations",
+    "heavy_hitters_check",
+    "fuzzy_name_match",
+    "interval_overlap_pairs",
+    "knn_l2_brute_force",
+    "knn_pq_topk",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

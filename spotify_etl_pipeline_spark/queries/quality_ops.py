@@ -1,0 +1,229 @@
+"""Data-quality gate queries (P4/J2 extension tier): declarative
+expectation suite, heavy-hitter capture check, and blocked fuzzy matching.
+
+The reference validates operationally — per-table row counts, NULL
+handling, referential integrity as separate warehouse SQL (reference
+README.md:49, :206-226). These queries generalize that into the
+engine-level quality toolkit a 100 TB lakehouse runs before promoting a
+batch: a constraint suite costing one scan per table, a sketch-capture
+check for skew monitoring, and edit-distance entity resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import expectations as X
+from ..operators.fuzzy import (
+    deletion_variants_sql,
+    fuzzy_match_pairs,
+)
+from ..schemas import load_fixture
+from .catalog import register
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+# Manual-review threshold: orders above this are flagged, and the fixture
+# contains some at every SF — the suite demonstrably counts violations,
+# it doesn't just rubber-stamp clean tables.
+PRICE_REVIEW_MAX = 450_000.0
+
+
+@register(
+    "data_quality_expectations",
+    oracle=f"""
+    SELECT 'o_orderkey_unique' AS check_name,
+           COUNT(*) AS n_checked,
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations,
+           COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_not_null', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority_in_set', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IN
+                ({", ".join(f"'{p}'" for p in PRIORITIES)})
+                THEN 0 ELSE 1 END) AS BIGINT),
+           SUM(CASE WHEN o_orderpriority IN
+                ({", ".join(f"'{p}'" for p in PRIORITIES)})
+                THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_review_max', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice >= 0
+                          AND o_totalprice <= {PRICE_REVIEW_MAX}
+                     THEN 0 ELSE 1 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= {PRICE_REVIEW_MAX}
+               THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'l_discount_in_range', COUNT(*),
+           CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1
+                     THEN 0 ELSE 1 END) AS BIGINT),
+           SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1
+               THEN 0 ELSE 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity_in_range', COUNT(*),
+           CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                     THEN 0 ELSE 1 END) AS BIGINT),
+           SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+               THEN 0 ELSE 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', COUNT(*),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    FROM lineitem
+    """,
+    survey="P4,J2,A1",
+    doc="Declarative expectation suite as a gate table (check_name, "
+    "n_checked, n_violations, passed): all column rules on a table fold "
+    "into ONE conditional aggregate over ONE scan (k rules never re-read "
+    "the fact table), key uniqueness is count-minus-distinct in the same "
+    "pass, and the FK check is a broadcast left-anti count — the shapes "
+    "that keep a 7-rule suite at 2 fact scans + 1 dim join at any scale. "
+    "One deliberately tight rule (price review threshold) has real "
+    "violations at every SF, proving the counting path.",
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_fixture(spark, sf_dir, "orders")
+    lineitem = load_fixture(spark, sf_dir, "lineitem")
+    orders_rules = X.column_rules_report(
+        orders,
+        [
+            X.not_null("o_custkey"),
+            X.in_set("o_orderpriority", PRIORITIES),
+            X.ColumnRule(
+                "o_totalprice_review_max",
+                (F.col("o_totalprice") >= 0)
+                & (F.col("o_totalprice") <= PRICE_REVIEW_MAX),
+            ),
+        ],
+    )
+    lineitem_rules = X.column_rules_report(
+        lineitem,
+        [
+            X.in_range("l_discount", 0.0, 1.0),
+            X.in_range("l_quantity", 1.0, 50.0),
+        ],
+    )
+    report = X.expectation_suite(
+        [
+            X.unique_key(orders, "o_orderkey"),
+            orders_rules,
+            lineitem_rules,
+            X.foreign_key_report(
+                lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk"
+            ),
+        ]
+    )
+    return report.select(
+        F.col("constraint").alias("check_name"),
+        "n_checked",
+        "n_violations",
+        "passed",
+    )
+
+
+FREQ_SUPPORT = 0.2
+
+
+@register(
+    "heavy_hitters_check",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT lang, n_docs, TRUE AS found_by_sketch
+    FROM counts, total
+    WHERE n_docs > {FREQ_SUPPORT} * n
+    ORDER BY lang
+    """,
+    survey="X6,A4",
+    doc="Heavy-hitter detection with a sketch-capture verdict: exact "
+    "heavy hitters (langs with frequency > 20% of the corpus) are "
+    "hash-checked, and each row carries whether Spark's freqItems "
+    "sketch (support=0.2; Karp et al. frequent-items, single pass, "
+    "O(1/support) memory) captured it — the guarantee freqItems "
+    "documents, here oracle-asserted TRUE. The sketch path is what runs "
+    "at 100 TB (constant memory, one scan); the exact path is the audit.",
+)
+def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    heavy = counts.crossJoin(total).filter(
+        F.col("n_docs") > FREQ_SUPPORT * F.col("n")
+    )
+    sketch = docs.stat.freqItems(["lang"], FREQ_SUPPORT).select(
+        F.col("lang_freqItems").alias("sketch_langs")
+    )
+    return (
+        heavy.crossJoin(F.broadcast(sketch))
+        .select(
+            "lang",
+            "n_docs",
+            F.array_contains("sketch_langs", F.col("lang")).alias(
+                "found_by_sketch"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+FUZZY_KEY_MAX = 500  # constant-size match set at every SF
+
+
+@register(
+    "fuzzy_name_match",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < {FUZZY_KEY_MAX}
+    ),
+    variants AS (
+      SELECT DISTINCT c_custkey AS vid, c_name AS vname, variant
+      FROM (
+        SELECT c_custkey, c_name,
+               unnest({deletion_variants_sql("c_name")}) AS variant
+        FROM c
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
+             a.vname AS name_a, b.vname AS name_b
+      FROM variants a JOIN variants b
+        ON a.variant = b.variant AND a.vid < b.vid
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+    survey="X2,J1",
+    doc="Edit-distance entity resolution with FastSS deletion-1 blocking "
+    "(public algorithm): candidates from an equi-join on deletion-"
+    "neighborhood variants (O(n·L) rows, never the O(n²) distance "
+    "matrix), exact levenshtein verify. Deterministic string arithmetic "
+    "end-to-end, so the oracle rederives the identical pair set — a "
+    "BLOCKED approximate-looking join that is still fully value-hash-"
+    "checked. The short-string complement of the MinHash/SimHash "
+    "document tier.",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = load_fixture(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < FUZZY_KEY_MAX
+    )
+    return fuzzy_match_pairs(
+        customers, id_col="c_custkey", text_col="c_name", max_dist=1
+    ).withColumn("dist", F.col("dist").cast("int"))

@@ -252,3 +252,76 @@ def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.codes").alias("ccodes"),
     )
     return int8_topk(pairs, k=5)
+
+
+@register(
+    "knn_l2_brute_force",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.v, c.v),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM ranked WHERE rank <= {K}
+    """,
+    survey="X3",
+    doc="Exact squared-L2 top-k — the metric PQ/ADC approximates, so this "
+    "is the recall baseline for the product-quantization tier (cosine "
+    "brute force stays the baseline for the IVF/LSH tiers). d2 emitted as "
+    "FLOOR-micro integer: IEEE +/-/* are correctly rounded and both "
+    "engines fold in index order, so the doubles are bit-identical and "
+    "the floor is engine-independent.",
+)
+def knn_l2_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import brute_force_l2_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    return brute_force_l2_topk(emb, queries, k=K)
+
+
+PQ_M = 4
+PQ_K = 16
+PQ_SHORTLIST = 50
+
+
+@register(
+    "knn_pq_topk",
+    oracle=None,  # codebooks are k-means fits (float means, engine-order
+    # dependent) → rows-only; recall floors (ADC and reranked) vs
+    # knn_l2_brute_force asserted in tests/test_similarity.py.
+    survey="X3",
+    doc="Product-quantization ANN with exact rerank (Jégou et al. 2011; "
+    "the Faiss IndexRefine pattern): m=4 subspace codebooks of k=16 "
+    "codewords (distributed Lloyd's fit), vectors encoded to 4 small "
+    "ints (16x smaller than float32 — the compression regime of a "
+    "RAM-resident index at 10^9 vectors), ADC shortlist of 50 via "
+    "broadcast per-query lookup tables joined to exploded code rows, "
+    "then exact L2 ONLY on the |Q|*50 shortlisted pairs. No UDFs; the "
+    "float corpus is read for shortlist/n of its rows, never scanned "
+    "all-pairs.",
+)
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_rerank_topk, pq_encode, pq_fit
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    books = pq_fit(emb, m=PQ_M, k=PQ_K)
+    codes = pq_encode(emb, books)
+    return pq_adc_rerank_topk(
+        emb, codes, queries, books, k=K, shortlist=PQ_SHORTLIST
+    )

@@ -1,0 +1,177 @@
+"""Unit tests for the round-3 quality tier: expectation suite violation
+counting, FastSS fuzzy-match recall, and interval-overlap correctness —
+each against hand-built dirty data or a naive quadratic reference, not
+just the clean fixtures (where every expectation passes vacuously)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_etl_pipeline_spark.operators import expectations as X
+from spotify_etl_pipeline_spark.operators.fuzzy import fuzzy_match_pairs
+from spotify_etl_pipeline_spark.operators.intervals import interval_overlap_join
+
+
+def test_expectation_suite_counts_violations(spark):
+    """Dirty synthetic batch: duplicate key, null FK, out-of-set status,
+    out-of-range amount, orphan FK — every rule must count its own
+    violations exactly."""
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "OPEN", 50.0),
+            (1, 11, "OPEN", 60.0),      # duplicate o_id
+            (2, None, "OPEN", 70.0),    # null customer
+            (3, 12, "BOGUS", 80.0),     # bad status
+            (4, 13, "CLOSED", -5.0),    # negative amount
+        ],
+        "o_id long, cust long, status string, amount double",
+    )
+    dim = spark.createDataFrame([(10,), (11,), (12,)], "cust_id long")
+    report = X.expectation_suite(
+        [
+            X.unique_key(orders, "o_id"),
+            X.column_rules_report(
+                orders,
+                [
+                    X.not_null("cust"),
+                    X.in_set("status", ["OPEN", "CLOSED"]),
+                    X.in_range("amount", 0.0, 100.0),
+                ],
+            ),
+            X.foreign_key_report(orders, "cust", dim, "cust_id", "cust_fk"),
+        ]
+    )
+    got = {r["constraint"]: (r["n_violations"], r["passed"]) for r in report.collect()}
+    assert got["o_id_unique"] == (1, False)
+    assert got["cust_not_null"] == (1, False)
+    assert got["status_in_set"] == (1, False)
+    assert got["amount_in_range"] == (1, False)
+    # orphans: cust=13 (absent in dim) and cust=None (null never resolves)
+    assert got["cust_fk"] == (2, False)
+    assert all(r["n_checked"] == 5 for r in report.collect())
+
+
+def test_expectation_suite_one_scan_per_table(spark):
+    """The point of the suite: k column rules must NOT re-scan the table
+    k times — one scan node per column_rules_report."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("x")
+    )
+    report = X.column_rules_report(
+        df, [X.in_range("x", 0, 6), X.not_null("x"), X.in_range("id", 0, 99)]
+    )
+    plan = report._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_fuzzy_match_finds_all_edit1_pair_kinds(spark):
+    """Deletion-1 blocking must catch substitution, insertion, AND
+    deletion pairs — compared against the naive quadratic levenshtein
+    join on a set with known structure (plus decoys at distance ≥ 2)."""
+    names = [
+        (0, "alpha"),
+        (1, "alphb"),   # substitution of 0
+        (2, "alpha7"),  # insertion into 0
+        (3, "alph"),    # deletion from 0
+        (4, "beta"),
+        (5, "betta"),   # insertion into 4
+        (6, "gamma"),   # decoy: distance >= 2 from everything
+        (7, "delta"),   # decoy
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_match_pairs(df, "id", "name").collect()
+    }
+    naive = df.select(F.col("id").alias("ia"), F.col("name").alias("na")).crossJoin(
+        df.select(F.col("id").alias("ib"), F.col("name").alias("nb"))
+    )
+    want = {
+        (r["ia"], r["ib"], r["d"])
+        for r in naive.filter(F.col("ia") < F.col("ib"))
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == want
+    assert (0, 1, 1) in got and (0, 2, 1) in got and (0, 3, 1) in got
+
+
+def test_fuzzy_match_rejects_unsupported_radius(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "a")], "id long, name string")
+    with pytest.raises(ValueError):
+        fuzzy_match_pairs(df, "id", "name", max_dist=2)
+
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(rows, "id long, start_us long, end_us long")
+
+
+def test_interval_overlap_matches_naive_join(spark):
+    """Bucketed overlap join == naive quadratic join, on intervals placed
+    to cross bucket boundaries, nest, touch, and miss."""
+    w = 10  # seconds; bucket width = 10s
+    a = _intervals(
+        spark,
+        [
+            (1, 0, 10_000_000),            # exactly one bucket
+            (2, 5_000_000, 15_000_000),    # straddles buckets 0/1
+            (3, 40_000_000, 50_000_000),
+        ],
+    )
+    b = _intervals(
+        spark,
+        [
+            (10, 9_000_000, 19_000_000),   # overlaps 1 (1s) and 2 (6s)
+            (11, 15_000_000, 25_000_000),  # touches 2 at a point
+            (12, 26_000_000, 36_000_000),  # overlaps nothing
+            (13, 41_000_000, 45_000_000),  # nested inside 3
+        ],
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["overlap_sec"])
+        for r in interval_overlap_join(a, b, max_len_sec=w).collect()
+    }
+    naive = (
+        a.crossJoin(
+            b.select(
+                F.col("id").alias("bid"),
+                F.col("start_us").alias("bs"),
+                F.col("end_us").alias("be"),
+            )
+        )
+        .filter((F.col("start_us") <= F.col("be")) & (F.col("bs") <= F.col("end_us")))
+        .select(
+            F.col("id").alias("a_id"),
+            F.col("bid").alias("b_id"),
+            F.expr(
+                "(least(end_us, be) - greatest(start_us, bs)) div 1000000"
+            ).alias("overlap_sec"),
+        )
+    )
+    want = {(r["a_id"], r["b_id"], r["overlap_sec"]) for r in naive.collect()}
+    assert got == want
+    assert (2, 11, 0) in got  # touching endpoints count with overlap 0
+    assert (1, 10, 1) in got and (3, 13, 4) in got
+    assert all(r[1] != 12 for r in got)
+
+
+def test_interval_overlap_no_duplicate_pairs(spark):
+    """A pair co-residing in two buckets must be emitted exactly once
+    (the greatest-start ownership filter, not a DISTINCT)."""
+    a = _intervals(spark, [(1, 5_000_000, 15_000_000)])
+    b = _intervals(spark, [(2, 6_000_000, 14_000_000)])
+    rows = interval_overlap_join(a, b, max_len_sec=10).collect()
+    assert len(rows) == 1 and rows[0]["overlap_sec"] == 8
+
+
+def test_heavy_hitters_sketch_captures_exact(spark, sf_dir):
+    """freqItems' documented guarantee, checked end-to-end on the fixture:
+    every exact heavy hitter is in the sketch result."""
+    from spotify_etl_pipeline_spark.queries.catalog import queries
+
+    rows = queries()["heavy_hitters_check"](spark, sf_dir).collect()
+    assert rows, "support 0.2 should produce at least one heavy hitter"
+    assert all(r["found_by_sketch"] for r in rows)
