@@ -52,11 +52,15 @@ HEADLINE = [
     # force-shaped by design. The bench tracks the deep production regime:
     "lsh_blocking_stats",
     "knn_quantized_ivf",
+    "knn_pq_topk",
     "events_sessionize",
     "events_sliding_counts",
     "text_word_frequency",
     "multimodal_features",
     "chunk_documents_overlap",
+    "data_quality_expectations",
+    "interval_overlap_pairs",
+    "events_props_variant",
 ]
 
 

@@ -329,3 +329,101 @@ def full_outer_click_purchase_recon(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
         )
     )
+
+
+@register(
+    "cdc_apply_snapshot",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error'  THEN 'D'
+                             ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM log
+    )
+    SELECT user_id,
+           op AS last_op,
+           ROUND(value, 4) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+    survey="J3,A5,T3",
+    doc="CDC log compaction: the events stream read as an I/U/D change "
+    "log per user (signup=insert, error=delete, rest=update), compacted "
+    "to the current snapshot — latest op wins on (ts, event_id), keys "
+    "whose latest op is a DELETE drop out entirely. One shuffle on the "
+    "key, one window pass; the MERGE-free formulation of applying a CDC "
+    "batch that Delta/Iceberg MERGE would express, and the deletion-aware "
+    "generalization of latest_order_per_customer's upsert.",
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.round("value", 4).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_ops",
+        )
+    )
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+    WITH parsed AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+      FROM events
+    )
+    SELECT CAST(k // 10 AS INTEGER) AS k_bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM parsed
+    GROUP BY 1
+    """,
+    survey="F10,X5",
+    doc="Spark 4 VARIANT path for semi-structured data: parse_json once "
+    "into the binary VARIANT encoding, variant_get typed extraction, "
+    "aggregate per k-decile. The at-scale upgrade over per-access "
+    "get_json_object string re-parsing (json_props_extract keeps that "
+    "classic path): VARIANT parses each document once and shreds "
+    "navigation into the columnar binary. Oracle is DuckDB's JSON "
+    "extraction over the same props.",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy(F.expr("k div 10").cast("int").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

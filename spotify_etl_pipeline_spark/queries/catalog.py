@@ -124,6 +124,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "interval_overlap_pairs",
     "knn_l2_brute_force",
     "knn_pq_topk",
+    "cdc_apply_snapshot",
+    "events_props_variant",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

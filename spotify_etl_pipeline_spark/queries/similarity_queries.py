@@ -321,7 +321,10 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
     books = pq_fit(emb, m=PQ_M, k=PQ_K)
-    codes = pq_encode(emb, books)
+    # the PQ index is the stored artifact at corpus scale (same role as
+    # the persisted int8 index in knn_quantized_ivf) — materialize the
+    # encode pass once rather than re-deriving it inside the ADC subtree
+    codes = pq_encode(emb, books).persist()
     return pq_adc_rerank_topk(
         emb, codes, queries, books, k=K, shortlist=PQ_SHORTLIST
     )
