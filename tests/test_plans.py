@@ -33,6 +33,7 @@ PAIRWISE_OK = {
     "knn_quantized_topk",
     "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
     "knn_ivf_recall",  # embeds brute_force_topk (the recall reference)
+    "knn_l2_brute_force",  # the exact L2 baseline (PQ recall reference)
     "dedup_embedding_cosine",
 }
 SCALAR_ATTACH_OK = {
@@ -40,6 +41,8 @@ SCALAR_ATTACH_OK = {
     "q22_idle_rich_customers",
     "lsh_blocking_stats",  # 1-row count × 1-row count crossJoin
     "q11_important_parts",  # 1-row (total, n_parts) HAVING threshold
+    "heavy_hitters_check",  # 1-row total + 1-row freqItems sketch attach
+    "data_quality_expectations",  # 1-row n_checked × 1-row orphan count
 }
 
 
