@@ -126,6 +126,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_pq_topk",
     "cdc_apply_snapshot",
     "events_props_variant",
+    "snapshot_diff_orders",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -227,3 +227,70 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_pairs(
         customers, id_col="c_custkey", text_col="c_name", max_dist=1
     ).withColumn("dist", F.col("dist").cast("int"))
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN ROUND(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    joined AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             array_to_string(list_filter([
+               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'o_totalprice' END,
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'o_orderpriority' END
+             ], x -> x IS NOT NULL), ',') AS diff_cols
+      FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN in_old AND in_new THEN diff_cols ELSE '' END
+               AS changed_cols
+    FROM joined
+    WHERE NOT in_old OR NOT in_new OR diff_cols <> ''
+    """,
+    survey="J1,J3,P4",
+    doc="Snapshot reconciliation (operators/diff.py): keyed diff of two "
+    "table versions — added/removed keys and changed rows with the "
+    "changed column names — via ONE full-outer join on the key and "
+    "null-safe struct comparison; output is O(delta). The "
+    "migration/backfill audit tool to run before a gold-table pointer "
+    "flip. Snapshots here derive deterministically from orders (drop "
+    "key%101 from old, key%97 from new, bump price on key%89), so the "
+    "classification is fully oracle-checked.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    orders = load_fixture(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_totalprice", "o_orderpriority"]
+    )

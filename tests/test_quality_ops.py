@@ -167,6 +167,44 @@ def test_interval_overlap_no_duplicate_pairs(spark):
     assert len(rows) == 1 and rows[0]["overlap_sec"] == 8
 
 
+def test_snapshot_diff_classifies_and_handles_nulls(spark):
+    """added/removed/changed classification with null-safe comparison:
+    null→value and value→null are changes, null→null is not."""
+    from spotify_etl_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (2, "b", None),   # value appears in new → changed
+            (3, None, 3.0),   # null→null on x, value→null on y → changed(y)
+            (4, "d", 4.0),    # identical → absent from output
+            (5, "e", 5.0),    # missing from new → removed
+        ],
+        "k long, x string, y double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a2", 1.5),   # both columns changed
+            (2, "b", 2.0),
+            (3, None, None),
+            (4, "d", 4.0),
+            (6, "f", 6.0),    # missing from old → added
+        ],
+        "k long, x string, y double",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["changed_cols"])
+        for r in snapshot_diff(old, new, "k", ["x", "y"]).collect()
+    }
+    assert got == {
+        1: ("changed", "x,y"),
+        2: ("changed", "y"),
+        3: ("changed", "y"),
+        5: ("removed", ""),
+        6: ("added", ""),
+    }
+
+
 def test_heavy_hitters_sketch_captures_exact(spark, sf_dir):
     """freqItems' documented guarantee, checked end-to-end on the fixture:
     every exact heavy hitter is in the sketch result."""
