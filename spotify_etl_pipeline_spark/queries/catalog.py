@@ -127,6 +127,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "cdc_apply_snapshot",
     "events_props_variant",
     "snapshot_diff_orders",
+    "entity_resolution_clusters",
+    "bpe_pair_counts",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

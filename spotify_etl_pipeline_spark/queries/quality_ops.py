@@ -294,3 +294,122 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, "o_orderkey", ["o_totalprice", "o_orderpriority"]
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < {FUZZY_KEY_MAX}
+    ),
+    variants AS (
+      SELECT DISTINCT c_custkey AS vid, c_name AS vname, variant
+      FROM (
+        SELECT c_custkey, c_name,
+               unnest({deletion_variants_sql("c_name")}) AS variant
+        FROM c
+      )
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+      FROM variants a JOIN variants b
+        ON a.variant = b.variant AND a.vid < b.vid
+      WHERE levenshtein(a.vname, b.vname) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT c.c_custkey,
+           COALESCE(comp.component, c.c_custkey) AS cluster_id,
+           c.c_custkey = COALESCE(comp.component, c.c_custkey) AS is_survivor
+    FROM c LEFT JOIN comp ON c.c_custkey = comp.node
+    """,
+    survey="X1,X2,J2",
+    doc="Entity-resolution capstone: FastSS-blocked fuzzy pairs -> "
+    "connected components (iterative min-label propagation) -> cluster id "
+    "+ canonical-record flag for every customer. The same "
+    "pairs->components->survivors chain as document dedup, running on "
+    "edit-distance edges; oracle recomputes blocking, verification, AND "
+    "the component fixpoint (recursive CTE) in one statement.",
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import resolve_duplicates
+
+    customers = load_fixture(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < FUZZY_KEY_MAX
+    )
+    pairs = fuzzy_match_pairs(
+        customers, id_col="c_custkey", text_col="c_name", max_dist=1
+    )
+    return resolve_duplicates(
+        customers.select("c_custkey"),
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        id_col="c_custkey",
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS n FROM words WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, i, 1) || '|' || substr(w, i + 1, 1))) AS pair,
+             n
+      FROM wc
+    ),
+    counts AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs
+               FROM pairs GROUP BY pair),
+    ranked AS (
+      SELECT pair, n_pairs,
+             ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair ASC) AS rnk
+      FROM counts
+    )
+    SELECT pair, n_pairs, rnk FROM ranked WHERE rnk <= 20
+    """,
+    survey="X4",
+    doc="BPE tokenizer-training inner loop at corpus scale: adjacent "
+    "character-pair frequencies within words, weighted by word frequency "
+    "— the statistic each merge round of byte-pair encoding maximizes "
+    "(Sennrich et al. 2016, public algorithm). Shuffles carry (word, "
+    "count) then (pair, count) — vocabulary-sized, never corpus-sized; "
+    "the word pre-aggregation is what keeps the explode off the raw "
+    "token stream. Top-20 with deterministic tie-break.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> concat(substr(w, i, 1), '|', substr(w, i + 1, 1)))"
+    )
+    counts = (
+        wc.select(F.explode(pair_expr).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n_pairs"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "n_pairs", "rnk")
+    )
