@@ -150,3 +150,85 @@ def test_chunk_windows_rejects_gapping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="stride"):
         chunk_windows(df, size=2, stride=3)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_names = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=2, max_size=10, unique=True,
+)
+
+
+@given(names=_names)
+@settings(**_SETTINGS)
+def test_fuzzy_match_equals_bruteforce(spark, names):
+    """Deletion-1 blocking + verify must produce EXACTLY the pairs a
+    quadratic levenshtein scan finds at distance <= 1 — the tiny 'abc'
+    alphabet forces dense collisions, repeated-char strings, and every
+    edit kind."""
+    from spotify_etl_pipeline_spark.operators.fuzzy import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match_pairs(df, "id", "name").collect()
+    }
+    expect = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _levenshtein(names[i], names[j]) <= 1
+    }
+    assert got == expect
+
+
+_intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(0, 20)),  # (start_sec, len_sec)
+    min_size=1, max_size=15,
+)
+
+
+@given(a_rows=_intervals_strategy, b_rows=_intervals_strategy)
+@settings(**_SETTINGS)
+def test_interval_overlap_equals_bruteforce(spark, a_rows, b_rows):
+    """Bucketed interval join == quadratic scan for ANY interval layout
+    with length <= the bucket width (20s here), including zero-length
+    intervals and bucket-boundary starts."""
+    from spotify_etl_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    def df(rows, tag):
+        return spark.createDataFrame(
+            [
+                (i, s * 1_000_000, (s + ln) * 1_000_000)
+                for i, (s, ln) in enumerate(rows)
+            ],
+            "id long, start_us long, end_us long",
+        )
+
+    got = {
+        (r["a_id"], r["b_id"], r["overlap_sec"])
+        for r in interval_overlap_join(df(a_rows, "a"), df(b_rows, "b"),
+                                       max_len_sec=20).collect()
+    }
+    expect = set()
+    for i, (sa, la) in enumerate(a_rows):
+        for j, (sb, lb) in enumerate(b_rows):
+            ea, eb = sa + la, sb + lb
+            if sa <= eb and sb <= ea:
+                expect.add((i, j, min(ea, eb) - max(sa, sb)))
+    assert got == expect
