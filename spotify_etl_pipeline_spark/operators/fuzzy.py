@@ -48,10 +48,20 @@ def fuzzy_match_pairs(
     id_col: str,
     text_col: str,
     max_dist: int = 1,
+    max_variant_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, name_a, name_b, dist) for all pairs within edit
     distance ``max_dist`` (must be 1 — the deletion-1 neighborhood blocks
-    exactly that radius), id_a < id_b, verified with exact levenshtein."""
+    exactly that radius), id_a < id_b, verified with exact levenshtein.
+
+    ``max_variant_df`` drops variants shared by more than that many
+    strings before the join — the fuzzy twin of the dedup stop-shingle
+    cut (``ngram_jaccard_pairs.max_shingle_df``). A template-heavy corpus
+    (millions of near-identical generated names) funnels its hot variants
+    into quadratic buckets; the cap bounds every bucket at the price of
+    losing pairs reachable ONLY through a hot variant. Off by default so
+    the result (and its oracle) stays exact.
+    """
     if max_dist != 1:
         raise ValueError(
             "deletion-1 blocking guarantees recall only for max_dist=1; "
@@ -65,6 +75,14 @@ def fuzzy_match_pairs(
         F.col(text_col).alias("vname"),
         F.explode(F.expr(deletion_variants_expr(text_col))).alias("variant"),
     ).distinct()  # a string can yield the same variant twice (repeated chars)
+    if max_variant_df is not None:
+        keep = (
+            variants.groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_variant_df)
+            .select("variant")
+        )
+        variants = variants.join(keep, "variant")
     a = variants.alias("a")
     b = variants.alias("b")
     cand = (

@@ -97,6 +97,32 @@ def test_fuzzy_match_finds_all_edit1_pair_kinds(spark):
     assert (0, 1, 1) in got and (0, 2, 1) in got and (0, 3, 1) in got
 
 
+def test_fuzzy_match_variant_cap_bounds_hot_buckets(spark):
+    """max_variant_df must (a) never invent pairs, (b) keep pairs whose
+    strings still share a sub-cap variant, and (c) drop pairs reachable
+    only through hot variants — the documented recall trade."""
+    # ten 2-char strings all sharing deletion variant "a" (hot bucket),
+    # plus an isolated distance-1 pair with rare variants
+    rows = [(i, "a" + c) for i, c in enumerate("bcdefghijk")] + [
+        (100, "xyzzy"),
+        (101, "xyzziy"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match_pairs(df, "id", "name").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match_pairs(df, "id", "name", max_variant_df=3).collect()
+    }
+    assert capped <= plain
+    assert (100, 101) in capped  # rare-variant pair survives the cap
+    # the ab/ac/... clique is reachable only via the hot "a" variant
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert any(a < 100 and b < 100 for a, b in plain)
+
+
 def test_fuzzy_match_rejects_unsupported_radius(spark):
     import pytest
 
