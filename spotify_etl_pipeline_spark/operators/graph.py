@@ -1,0 +1,116 @@
+"""Iterative graph operators expressed as DataFrame fixpoint loops.
+
+The reference has no graph engine; connected components (operators/
+components.py) arrived with the dedup tier because near-dup resolution IS
+a graph problem. PageRank completes the family: corpus-curation pipelines
+use link-graph centrality as a document-quality prior (the CommonCrawl /
+OPIC lineage), and entity-resolution pipelines use it to pick cluster
+canon. Same execution shape as components: a driver-side loop over a
+FIXED, small iteration count where each iteration is pure DataFrame
+algebra — one join + one aggregation — so every pass is a single shuffle
+keyed by vertex id and Catalyst/AQE plan each stage independently.
+
+Scale notes (100 TB / 10^10-edge regime):
+
+- Each iteration shuffles the edge list once on ``src`` (join against
+  current ranks) and once on ``dst`` (contribution sum). Both are
+  hash-partitioned equi-shuffles — no all-pairs, no driver data.
+- The rank vector is |V| rows (thin: id + double). The edge list never
+  changes, so at high iteration counts callers should ``.persist()`` the
+  normalized edge DataFrame; we deliberately leave caching policy to the
+  caller because at 10^10 edges the right call (disk-only, replicated,
+  or re-scan) is cluster-specific.
+- Plan depth grows linearly with ``iterations``; beyond ~10 iterations
+  materialize ranks per pass (checkpoint/write) to cut lineage. The
+  curation use-case (quality prior) converges usefully in 3-5.
+- Dangling mass (vertices with no out-edges) is redistributed uniformly —
+  the standard correction; skipping it leaks rank mass and the vector no
+  longer sums to 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list.
+
+    ``edges`` holds one row per directed edge; ``weight`` (optional) is an
+    edge-weight column — contributions are proportional to the edge's
+    share of its source's total out-weight. Returns ``[node, rank]`` with
+    ranks summing to 1 (damping + uniform dangling redistribution).
+
+    Deterministic: no sampling, no rand(); the only float-order
+    sensitivity is the per-vertex contribution sum (bounded by in-degree),
+    so results are stable to ~1e-12 across partitionings.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    w = F.col(weight) if weight else F.lit(1.0)
+    # The edge list, vertex set, and out-weight table are reused by every
+    # iteration; without persist each pass re-expands whatever join tree
+    # produced `edges` (linear-in-iterations plan copies of the most
+    # expensive subtree). MEMORY_AND_DISK default: at 10^10 edges these
+    # spill instead of recomputing.
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        w.cast("double").alias("w"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # |V| is a sizing constant for the teleport term — a scalar aggregate,
+    # not a driver-side loop over data (this also materializes e + nodes)
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow")).persist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    teleport = F.lit((1.0 - damping) / n)
+    for _ in range(iterations):
+        # Each iteration references ranks twice (contribution join + dangling
+        # anti-join): without a lineage cut the plan doubles per pass
+        # (2^iterations subtree copies — observed as 154 broadcast joins at 3
+        # iterations on the trade graph). persist() makes the second
+        # reference a cache read; the cached vectors are |V| thin rows per
+        # pass and follow the repo convention of harness-level clearCache().
+        ranks = ranks.persist()
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"], "inner")
+            .join(out_w, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow")).alias("contrib"))
+        )
+        # rank mass sitting on vertices with no out-edges, spread uniformly
+        dangling = ranks.join(
+            out_w, ranks["node"] == out_w["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+        )
+    return ranks

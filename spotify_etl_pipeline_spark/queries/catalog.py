@@ -84,6 +84,7 @@ def _load_all() -> None:
         analytics_extra,
         tpch_extra,
         quality_ops,
+        stats_ops,
     )
 
 
@@ -129,6 +130,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders",
     "entity_resolution_clusters",
     "bpe_pair_counts",
+    # (a) new in round 3, second batch: graph/statistical analytics
+    "pagerank_nation_trade",
+    "text_lm_score",
+    "lineitem_correlations",
+    "rolling_median_acctbal",
+    "salted_priority_totals",
+    "embedding_centroids",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -1,0 +1,306 @@
+"""Statistical / graph analytics extensions (round 3).
+
+Five op families the reference's warehouse tier implies but never ships,
+each with a DuckDB oracle:
+
+- weighted PageRank over the customer-nation → supplier-nation trade
+  graph (operators/graph.py — the quality-prior / centrality op of a
+  curation pipeline),
+- corpus-trained char-bigram language-model scoring (the statistical
+  quality filter of LLM data pipelines — CCNet/KenLM lineage, here exact
+  and self-contained),
+- correlation / covariance aggregates,
+- rolling window median (frame-bounded percentile state),
+- explicitly salted hot-key aggregation (operators/skew.py surfaced as a
+  driver-checked query: the salting must be invisible in the result),
+- per-label embedding centroids (posexplode re-aggregation — the
+  building block knn_ivf's k-means assignment step reuses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.graph import pagerank
+from ..operators.skew import salted_count_sum
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..schemas import load_fixture
+
+    return load_fixture(spark, sf_dir, name)
+
+
+# --- PageRank over the nation-level trade graph -----------------------------
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled fixed-iteration PageRank as plain SQL.
+
+    Mirrors operators/graph.py term for term: same teleport constant
+    ``(1.0-0.85)/n`` (kept as the literal subtraction so both engines
+    evaluate the identical IEEE expression), same uniform dangling-mass
+    redistribution, same (rank*w)/ow association order.
+    """
+    parts = [
+        """
+        WITH e AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+        , c{i} AS (
+          SELECT e.dst AS node, SUM(r.rank * e.w / ow.ow) AS contrib
+          FROM r{i - 1} r JOIN e ON r.node = e.src JOIN ow ON e.src = ow.src
+          GROUP BY e.dst
+        ),
+        d{i} AS (
+          SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+          FROM r{i - 1} r ANTI JOIN ow ON r.node = ow.src
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 (1.0 - 0.85) / (SELECT n FROM nn)
+                 + 0.85 * (COALESCE(c{i}.contrib, 0.0)
+                           + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+        )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT n.n_name, ROUND(r{iterations}.rank, 8) AS rank
+        FROM r{iterations} JOIN nation n ON r{iterations}.node = n.n_nationkey
+        ORDER BY rank DESC, n_name
+        """
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_nation_trade",
+    oracle=_pagerank_oracle(3),
+    survey="J1,A4,X1",
+    doc="3-iteration damped PageRank (d=0.85, dangling mass redistributed) "
+    "over the customer-nation -> supplier-nation edge list weighted by "
+    "lineitem count. Each iteration is one equi-join + one keyed "
+    "aggregation (Pregel-on-DataFrames); no driver-side data loops — "
+    "|V| enters only as a scalar sizing constant.",
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, weight="w")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
+        .select("n_name", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "n_name")
+    )
+
+
+# --- char-bigram LM quality scoring ----------------------------------------
+@register(
+    "text_lm_score",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([substring(t, CAST(x AS INTEGER), 2)
+                     for x in range(1, length(t))]) AS bg
+      FROM d
+    ),
+    lm AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM lm)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(lm.c / tot.tc)), 4) AS avg_logp
+    FROM bg b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    survey="X4",
+    doc="Statistical quality filter: train a char-bigram LM on the corpus "
+    "itself (one groupBy), then score every document by mean bigram "
+    "log-likelihood (CCNet/KenLM-style perplexity filtering, exact). "
+    "The LM table is alphabet^2 rows -> broadcast back to the exploded "
+    "bigram stream; the only shuffles are the LM count and the per-doc "
+    "re-aggregation, both keyed and partial-agg friendly.",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("bg"),
+    )
+    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").cast("double").alias("tc"))
+    return (
+        bg.join(F.broadcast(lm), "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c") / F.col("tc"))), 4).alias("avg_logp"),
+        )
+    )
+
+
+# --- correlation / covariance aggregates ------------------------------------
+@register(
+    "lineitem_correlations",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem
+    """,
+    survey="A2,X6",
+    doc="Bivariate statistics over the fact table: Pearson correlation, "
+    "sample covariance, sample stddev — single-pass co-moment "
+    "aggregates, partial-merge exact, one ungrouped reduction.",
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+# --- rolling window median --------------------------------------------------
+@register(
+    "rolling_median_acctbal",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(ROUND(2 * median(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                      OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS BIGINT)
+             AS med2_cents
+    FROM customer
+    """,
+    survey="W1,X6",
+    doc="Frame-bounded rolling median (4-row trailing window per nation). "
+    "Spark's median aggregate rejects window frames, so the frame state "
+    "is held explicitly: collect_list over the 4-row frame, sort_array, "
+    "middle-element pick — the doubled-cents integer domain makes the "
+    "even-frame case (sum of the two middles) bit-exact in both engines.",
+)
+def rolling_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    vals = F.sort_array(F.collect_list(cents).over(w))
+    n = F.size(vals)
+    med2 = (
+        F.when(
+            n % 2 == 1, F.element_at(vals, ((n + 1) / 2).cast("int")) * 2
+        ).otherwise(
+            F.element_at(vals, (n / 2).cast("int"))
+            + F.element_at(vals, (n / 2 + 1).cast("int"))
+        )
+    ).cast("bigint")
+    return _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", med2.alias("med2_cents")
+    )
+
+
+# --- salted hot-key aggregation ---------------------------------------------
+@register(
+    "salted_priority_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="A4,X7",
+    doc="operators/skew.py salted_count_sum surfaced as a driver-checked "
+    "query: 5 hot priority keys aggregated in two stages on (key, "
+    "salt16) then key. The oracle is the plain GROUP BY — correct "
+    "salting is invisible in the result (integer-cents domain so the "
+    "two-stage sum is bit-exact).",
+)
+def salted_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    out = salted_count_sum(
+        o, keys=["o_orderpriority"], sum_col="cents", unique_col="o_orderkey"
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("total").alias("total_cents"),
+    )
+
+
+# --- per-label embedding centroids ------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+             unnest(embedding) AS e
+      FROM embeddings
+    )
+    SELECT label, dim, ROUND(AVG(e), 6) AS centroid
+    FROM x GROUP BY label, dim
+    """,
+    survey="X3",
+    doc="Element-wise per-label mean vector via posexplode + (label, dim) "
+    "aggregation — the assignment-step building block of knn_ivf's "
+    "k-means, driver-checked in isolation. Shuffle is keyed on "
+    "(label, dim): wide but algebraic, so partial aggregation halves "
+    "it map-side.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity_queries import _emb
+
+    return (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg("e"), 6).alias("centroid"))
+    )
