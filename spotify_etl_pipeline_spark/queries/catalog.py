@@ -137,6 +137,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "rolling_median_acctbal",
     "salted_priority_totals",
     "embedding_centroids",
+    "event_transition_matrix",
+    "mixture_reweighting",
+    "events_ema_value",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -1,6 +1,6 @@
 """Statistical / graph analytics extensions (round 3).
 
-Five op families the reference's warehouse tier implies but never ships,
+Op families the reference's warehouse tier implies but never ships,
 each with a DuckDB oracle:
 
 - weighted PageRank over the customer-nation → supplier-nation trade
@@ -14,7 +14,12 @@ each with a DuckDB oracle:
 - explicitly salted hot-key aggregation (operators/skew.py surfaced as a
   driver-checked query: the salting must be invisible in the result),
 - per-label embedding centroids (posexplode re-aggregation — the
-  building block knn_ivf's k-means assignment step reuses).
+  building block knn_ivf's k-means assignment step reuses),
+- first-order Markov transition matrix over per-user event sequences
+  (sequential-pattern analytics via lag + percent-of-total window),
+- source-mixture reweighting (the training-mixture scheduler's knob),
+- finite-window EMA with dyadic weights (decay 0.5 over integer cents:
+  the weighted sum is exact, so even a float smoothing op value-hashes).
 """
 
 from __future__ import annotations
@@ -303,4 +308,141 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.posexplode("embedding").alias("pos", "e"))
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
         .agg(F.round(F.avg("e"), 6).alias("centroid"))
+    )
+
+
+# --- sequential pattern analytics: Markov transition matrix ------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type AS curr,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM ev
+    ),
+    c AS (
+      SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE prev IS NOT NULL GROUP BY prev, curr
+    )
+    SELECT prev, curr, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY prev), 6) AS p
+    FROM c
+    """,
+    survey="W1,A4,X8",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() pairs (deterministic (ts, event_id) ordering), "
+    "pair counts, then row-normalized P(curr|prev) via a percent-of-"
+    "total window. The sequence shuffle is keyed by user_id; the "
+    "matrix is |event_type|^2 rows.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", F.col("event_type").alias("curr"))
+        .withColumn("prev", F.lag("curr").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = pairs.groupBy("prev", "curr").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "curr",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+# --- source-mixture reweighting ----------------------------------------------
+@register(
+    "mixture_reweighting",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(COUNT(*)) OVER ()
+                 / (COUNT(*) OVER () * COUNT(*)), 6) AS weight
+    FROM documents GROUP BY source
+    """,
+    survey="A4,W1",
+    doc="Per-source sampling multipliers that rebalance the corpus to a "
+    "uniform source mixture: weight = total / (n_sources * n_source). "
+    "weight > 1 means upsample (repeat epochs), < 1 means downsample — "
+    "the knob a training-mixture scheduler consumes. One grouped "
+    "aggregate plus window totals over the |sources|-row result.",
+)
+def mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sum("n_docs").over(w) / (F.count(F.lit(1)).over(w) * F.col("n_docs")),
+            6,
+        ).alias("weight"),
+    )
+
+
+# --- finite-window exponential moving average --------------------------------
+@register(
+    "events_ema_value",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             FLOOR(value * 100 + 0.5) AS cents
+      FROM events
+    ),
+    fr AS (
+      SELECT event_id, user_id,
+             list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+      FROM ev
+    )
+    SELECT event_id, user_id,
+           ROUND(list_sum([vals[i] * pow(0.5, len(vals) - i)
+                           for i in range(1, len(vals) + 1)]), 4) AS ema8
+    FROM fr
+    """,
+    survey="W1,X8",
+    doc="8-row exponential moving average per user (decay 0.5, newest "
+    "weight 1). The frame state is an explicit collect_list; weights "
+    "are exact powers of two over an integer-cents domain, so the "
+    "weighted sum is a dyadic rational — bit-identical across engines "
+    "and partitionings (the reason decay=0.5 and floor(x*100+0.5) "
+    "quantization are chosen over round()).",
+)
+def events_ema_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("cents"),
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("cents").over(w8))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.expr(
+                    "aggregate(transform(vals, (x, i) -> "
+                    "x * pow(0.5D, size(vals) - 1 - i)), 0D, (acc, v) -> acc + v)"
+                ),
+                4,
+            ).alias("ema8"),
+        )
     )
