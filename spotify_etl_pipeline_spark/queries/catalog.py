@@ -140,6 +140,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "mixture_reweighting",
     "events_ema_value",
+    "logistic_quality_fit",
+    "ols_price_on_quantity",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

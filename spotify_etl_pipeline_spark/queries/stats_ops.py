@@ -446,3 +446,122 @@ def events_ema_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ema8"),
         )
     )
+
+
+# --- in-engine model fits ----------------------------------------------------
+def _logistic_oracle(iterations: int) -> str:
+    """Unrolled batch-GD logistic regression in SQL, term-for-term with
+    operators/ml.py (zero init, lr=0.5, mean gradient, left-assoc z)."""
+    parts = [
+        """
+    WITH feats AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             n_chars / 1000.0 AS x1,
+             (length(text) - length(replace(text, ' ', ''))) / length(text) AS x2
+      FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats),
+    wi0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)
+    """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+    , p{i} AS (
+      SELECT y, x1, x2,
+             1.0 / (1.0 + EXP(-((SELECT w0 FROM wi{i - 1})
+                    + (SELECT w1 FROM wi{i - 1}) * x1
+                    + (SELECT w2 FROM wi{i - 1}) * x2))) AS p
+      FROM feats
+    ), g{i} AS (
+      SELECT SUM(p - y) AS g0, SUM((p - y) * x1) AS g1,
+             SUM((p - y) * x2) AS g2
+      FROM p{i}
+    ), wi{i} AS (
+      SELECT (SELECT w0 FROM wi{i - 1})
+               - 0.5 * (SELECT g0 FROM g{i}) / (SELECT n FROM nn) AS w0,
+             (SELECT w1 FROM wi{i - 1})
+               - 0.5 * (SELECT g1 FROM g{i}) / (SELECT n FROM nn) AS w1,
+             (SELECT w2 FROM wi{i - 1})
+               - 0.5 * (SELECT g2 FROM g{i}) / (SELECT n FROM nn) AS w2
+    )
+    """
+        )
+    parts.append(
+        f"""
+    SELECT 'bias' AS feature, ROUND(w0, 6) AS weight FROM wi{iterations}
+    UNION ALL
+    SELECT 'x_chars_k' AS feature, ROUND(w1, 6) AS weight FROM wi{iterations}
+    UNION ALL
+    SELECT 'x_space_frac' AS feature, ROUND(w2, 6) AS weight FROM wi{iterations}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "logistic_quality_fit",
+    oracle=_logistic_oracle(3),
+    survey="X4,A3",
+    doc="In-engine quality-classifier training (the fastText-style filter "
+    "of curation pipelines): 3 full-batch gradient steps of logistic "
+    "regression predicting lang='en' from char-count and space-fraction "
+    "features. Each step is ONE ungrouped partial-merge aggregation "
+    "(operators/ml.py); the weight vector is k+1 driver scalars, like "
+    "k-means centroids. The oracle replays the identical steps in "
+    "unrolled SQL.",
+)
+def logistic_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import logistic_fit
+
+    feats = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, ' ', '')")))
+            / F.length("text")
+        ).alias("x2"),
+    )
+    w = logistic_fit(feats, ["x1", "x2"], "y", iterations=3, lr=0.5)
+    out = spark.createDataFrame(
+        list(zip(["bias", "x_chars_k", "x_space_frac"], w)),
+        "feature string, weight double",
+    )
+    return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
+@register(
+    "ols_price_on_quantity",
+    oracle="""
+    WITH s AS (
+      SELECT covar_pop(l_quantity, l_extendedprice) AS cxy,
+             var_pop(l_quantity) AS vx,
+             AVG(l_quantity) AS mx, AVG(l_extendedprice) AS my,
+             corr(l_quantity, l_extendedprice) AS r
+      FROM lineitem
+    )
+    SELECT ROUND(cxy / vx, 6) AS slope,
+           ROUND(my - cxy / vx * mx, 4) AS intercept,
+           ROUND(r * r, 6) AS r2
+    FROM s
+    """,
+    survey="A2,X6",
+    doc="Closed-form simple OLS (slope = covar_pop/var_pop, intercept from "
+    "the means, R^2 = corr^2) — a model fit as a single co-moment "
+    "aggregation pass, no iteration at all.",
+)
+def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "lineitem").agg(
+        F.covar_pop("l_quantity", "l_extendedprice").alias("cxy"),
+        F.var_pop("l_quantity").alias("vx"),
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.corr("l_quantity", "l_extendedprice").alias("r"),
+    )
+    return s.select(
+        F.round(F.col("cxy") / F.col("vx"), 6).alias("slope"),
+        F.round(
+            F.col("my") - F.col("cxy") / F.col("vx") * F.col("mx"), 4
+        ).alias("intercept"),
+        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+    )
