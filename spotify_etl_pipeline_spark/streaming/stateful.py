@@ -21,6 +21,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -156,4 +157,88 @@ def running_user_totals_tws(
         outputStructType=OUTPUT_SCHEMA,
         outputMode="update",
         timeMode="none",
+    )
+
+
+# --- per-user rolling EMA (order-sensitive frame state) ----------------------
+EMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ema8", DoubleType()),
+    ]
+)
+
+EMA_STATE_SCHEMA = "vals ARRAY<DOUBLE>"
+
+
+def _make_ema_update_fn(n_window: int, idle_timeout_ms: int | None):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        hist = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # order-sensitive operator: impose (ts, event_id) order inside the
+        # batch; cross-batch correctness holds when batch boundaries are
+        # event-time ordered (exact under availableNow replay, and under a
+        # watermarked source that releases batches in order)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ids: list[int] = []
+        emas: list[float] = []
+        for ev, cents in zip(pdf["event_id"], pdf["cents"]):
+            hist.append(float(cents))
+            if len(hist) > n_window:
+                hist = hist[-n_window:]
+            n = len(hist)
+            # oldest->newest fold, weight 0.5^(n-1-i): same order and the
+            # same exact dyadic terms as the batch twin's aggregate(); the
+            # sum is exact, so stream==batch is byte-identical
+            ema = 0.0
+            for i, v in enumerate(hist):
+                ema += v * 2.0 ** (i + 1 - n)
+            ids.append(int(ev))
+            emas.append(ema)
+        state.update((hist,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"event_id": ids, "user_id": [key[0]] * len(ids), "ema8": emas}
+        )
+
+    return update
+
+
+def rolling_user_ema(
+    events: DataFrame, n_window: int = 8, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming twin of the ``events_ema_value`` catalog query: per-user
+    finite-window EMA (decay 0.5, newest weight 1) as an arbitrary-stateful
+    operator whose state is the last ``n_window`` quantized values.
+
+    The frame state is O(n_window) doubles per active user —
+    ``idle_timeout_ms`` bounds the keyspace exactly like
+    :func:`running_user_totals`. Quantization (``floor(value*100 + 0.5)``)
+    happens Spark-side before the Python boundary so both twins consume
+    identical doubles.
+    """
+    prepped = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.floor(F.col("value") * 100 + F.lit(0.5))).cast("double").alias("cents"),
+    )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _make_ema_update_fn(n_window, idle_timeout_ms),
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
     )

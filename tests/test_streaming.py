@@ -251,3 +251,50 @@ def test_chunking_stream_matches_batch(spark, sf_dir):
         for r in chunk_windows(batch_docs).collect()
     }
     assert got == want
+
+
+def test_rolling_ema_stream_matches_batch(spark, sf_dir, events_stream):
+    """Order-sensitive stateful EMA over an availableNow stream must equal
+    the batch window-frame formulation byte-for-byte: the dyadic weights
+    (decay 0.5 over integer cents) make the weighted sum exact, so even a
+    float smoothing op admits an exact stream==batch check."""
+    from pyspark.sql.window import Window
+
+    from spotify_etl_pipeline_spark.streaming.stateful import rolling_user_ema
+
+    out = rolling_user_ema(events_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_ema")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("stream_ema").select("event_id", "user_id", "ema8")
+
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double").alias("cents"),
+    )
+    batch = (
+        ev.withColumn("vals", F.collect_list("cents").over(w8))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "aggregate(transform(vals, (x, i) -> "
+                "x * pow(0.5D, size(vals) - 1 - i)), 0D, (acc, v) -> acc + v)"
+            ).alias("ema8"),
+        )
+    )
+    assert streamed.count() == batch.count()
+    diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert diff == 0
