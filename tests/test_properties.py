@@ -232,3 +232,77 @@ def test_interval_overlap_equals_bruteforce(spark, a_rows, b_rows):
             if sa <= eb and sb <= ea:
                 expect.add((i, j, min(ea, eb) - max(sa, sb)))
     assert got == expect
+
+
+# --- PageRank vs brute-force power iteration --------------------------------
+_edges = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 9)),
+    min_size=1, max_size=20, unique_by=lambda e: (e[0], e[1]),
+)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_pagerank_equals_bruteforce(spark, edges):
+    from spotify_etl_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3, damping=0.85, weight="w").collect()
+    }
+    # brute force in plain python
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + float(w)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += ranks[s] * float(w) / outw[s]
+        dm = sum(ranks[v] for v in nodes if v not in outw)
+        ranks = {
+            v: 0.15 / n + 0.85 * (contrib[v] + dm / n) for v in nodes
+        }
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # mass conservation: damping + dangling redistribution keep sum(rank)=1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# --- rolling EMA stream-state fold vs direct formula ------------------------
+_vals = st.lists(st.integers(-1000, 1000), min_size=1, max_size=30)
+
+
+@given(vals=_vals)
+@settings(**_SETTINGS)
+def test_rolling_ema_batch_equals_bruteforce(spark, vals):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, 1, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, cents double")
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["ema8"]
+        for r in df.withColumn("vals", F.collect_list("cents").over(w8))
+        .select(
+            "event_id",
+            F.expr(
+                "aggregate(transform(vals, (x, i) -> "
+                "x * pow(0.5D, size(vals) - 1 - i)), 0D, (acc, v) -> acc + v)"
+            ).alias("ema8"),
+        )
+        .collect()
+    }
+    for i in range(len(vals)):
+        frame = vals[max(0, i - 7) : i + 1]
+        exp = sum(float(v) * 2.0 ** (j + 1 - len(frame)) for j, v in enumerate(frame))
+        assert got[i] == exp, (i, got[i], exp)  # dyadic => exact equality
