@@ -142,6 +142,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "events_ema_value",
     "logistic_quality_fit",
     "ols_price_on_quantity",
+    "dedup_canonical_by_quality",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

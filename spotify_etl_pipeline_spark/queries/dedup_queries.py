@@ -10,6 +10,7 @@ possible at all without any global vocabulary sort on the Spark side.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..schemas import load_fixture
@@ -239,3 +240,97 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return resolve_duplicates(docs.select("doc_id"), pairs, id_col="doc_id")
+
+
+# --- capstone: quality-aware canonical selection -----------------------------
+@register(
+    "dedup_canonical_by_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_EDGE_SQL},
+    reach(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    cl AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    dd AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2
+    ),
+    bgq AS (
+      SELECT doc_id,
+             unnest([substring(t, CAST(x AS INTEGER), 2)
+                     for x in range(1, length(t))]) AS bg
+      FROM dd
+    ),
+    lmq AS (SELECT bg, COUNT(*) AS c FROM bgq GROUP BY bg),
+    totq AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM lmq),
+    score AS (
+      SELECT b.doc_id, ROUND(AVG(LN(lmq.c / totq.tc)), 4) AS score
+      FROM bgq b JOIN lmq ON b.bg = lmq.bg CROSS JOIN totq
+      GROUP BY b.doc_id
+    ),
+    j AS (
+      SELECT cl.doc_id, cl.cluster_id,
+             COALESCE(s.score, -999999.0) AS score
+      FROM cl LEFT JOIN score s ON cl.doc_id = s.doc_id
+    )
+    SELECT doc_id, cluster_id, score,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY score DESC, doc_id) = 1 AS is_canonical
+    FROM j
+    """,
+    survey="X1,X2,X4",
+    doc="Round-3 capstone chaining the dedup and quality tiers: near-dup "
+    "clusters (3-gram Jaccard >= 0.8 -> iterative min-label components) "
+    "with the canonical document per cluster chosen by char-bigram LM "
+    "score instead of min-id — the policy real curation uses (keep the "
+    "best-written copy, not the lowest key). Scores are rounded BEFORE "
+    "the argmax so the cross-engine ordering is decided at 4dp with a "
+    "doc_id tiebreak, never by last-ulp float noise. The oracle "
+    "recomputes blocking, the component fixpoint, the LM fit, and the "
+    "argmax in one recursive-CTE statement.",
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.components import resolve_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = resolve_duplicates(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select("doc_id", "cluster_id")
+
+    dd = docs.filter(F.length("text") >= 2).select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    bg = dd.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("bg"),
+    )
+    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").cast("double").alias("tc"))
+    score = (
+        bg.join(F.broadcast(lm), "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("tc"))), 4).alias("score"))
+    )
+    j = clusters.join(score, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("score", F.lit(-999999.0)).alias("score"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
