@@ -42,7 +42,9 @@ LSH_ANN_A = (317, 367, 409, 449, 491, 547, 593, 631, 673, 727, 769, 823, 863, 91
 LSH_ANN_B = (337, 401, 463, 547, 613, 677, 757, 829, 911, 991, 1061, 1129, 1223, 1297, 1399, 1471, 1549, 1613, 1699, 1787, 1877, 1979, 2053, 2131, 2237, 2309, 2383, 2467, 2579, 2671, 2729, 2803, 2903, 3001, 3089, 3203, 3301, 3371, 3467, 3547, 3631, 3719, 3821, 3911, 4003, 4091, 4177, 4261, 4363, 4463, 4561, 4651, 4751, 4861, 4951, 5021, 5113, 5231, 5333, 5431, 5507, 5623, 5693, 5801)
 
 
-def _as_double(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def _as_double(
+    df: DataFrame, id_col: str = "vec_id", keep: tuple[str, ...] = ()
+) -> DataFrame:
     # zero-norm guard: a 0-vector's cosine is undefined; 0/0 throws
     # DIVIDE_BY_ZERO under Spark 4's default ANSI mode (and yields NaN,
     # which Spark sorts ABOVE every real value in DESC order, with ANSI
@@ -51,8 +53,9 @@ def _as_double(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).select(id_col, "v", F.when(norm > 0, norm).alias("nrm"))
+    ).select(id_col, *keep, "v", F.when(norm > 0, norm).alias("nrm"))
 
 
 def _cosine(a_v, b_v, a_n, b_n):
@@ -80,6 +83,47 @@ def brute_force_topk(
             cos.alias("cos"),
         )
         .filter(F.col("cos").isNotNull())  # zero-norm pairs have no cosine
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    match_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Filtered (hybrid) vector search: exact top-k cosine among ONLY the
+    candidates matching the query's metadata on ``match_cols``.
+
+    The predicate is part of the join condition, so candidates are pruned
+    BEFORE pairwise scoring — pre-filtering. The alternative (post-filter
+    an ANN shortlist) silently under-fills top-k when the filter is
+    selective; with an equality predicate the filter also acts as a
+    blocking key, so at corpus scale this join shuffles on
+    ``match_cols`` (hash-partitioned per metadata bucket) instead of
+    broadcasting every query against every vector.
+    """
+    keep = tuple(match_cols)
+    c = _as_double(widen_narrow_scan(corpus), keep=keep).alias("c")
+    q = _as_double(queries, keep=keep).alias("q")
+    cond = F.col("q.vec_id") != F.col("c.vec_id")
+    for m in keep:
+        cond = cond & (F.col(f"q.{m}") == F.col(f"c.{m}"))
+    cos = _cosine(F.col("q.v"), F.col("c.v"), F.col("q.nrm"), F.col("c.nrm"))
+    scored = (
+        q.join(c, cond)
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -143,6 +143,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "logistic_quality_fit",
     "ols_price_on_quantity",
     "dedup_canonical_by_quality",
+    "knn_filtered_topk",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

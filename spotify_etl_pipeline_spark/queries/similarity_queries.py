@@ -328,3 +328,48 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_rerank_topk(
         emb, codes, queries, books, k=K, shortlist=PQ_SHORTLIST
     )
+
+
+@register(
+    "knn_filtered_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v,
+             NULLIF(sqrt(list_sum(list_transform(v, x -> x * x))), 0) AS nrm
+      FROM e
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id != c.vec_id AND q.label = c.label
+      WHERE q.vec_id < {N_QUERIES}
+        AND q.nrm IS NOT NULL AND c.nrm IS NOT NULL
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rank <= {K}
+    """,
+    survey="X3",
+    doc="Filtered (hybrid) vector search: top-5 cosine neighbors sharing "
+    "the query's label. The metadata equality is part of the join "
+    "condition — candidates are pruned BEFORE scoring and the label "
+    "doubles as the shuffle/blocking key, avoiding the post-filter "
+    "pitfall where a selective predicate under-fills an ANN shortlist.",
+)
+def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "label", "embedding"
+    )
+    return S.filtered_topk(emb, queries, k=K, match_cols=("label",))
