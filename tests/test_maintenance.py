@@ -96,3 +96,56 @@ def test_export_training_shards_layout_and_order(spark, tmp_path):
         map(tuple, spark.read.parquet(out2).select("doc_id", "shard", "pos_in_shard").collect())
     )
     assert a == b
+
+
+def test_zorder_clustering_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs 1-D range clustering on (o_custkey, o_totalprice):
+    the linear layout gives perfect skipping on the cluster column and
+    NONE on the other; the Morton layout must give usable skipping on
+    BOTH — the reason to pay the interleave."""
+    import pyarrow.parquet as pq
+
+    from spotify_etl_pipeline_spark.sources.maintenance import (
+        write_zorder_clustered,
+    )
+
+    o = load_fixture(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    lin = str(tmp_path / "linear")
+    zo = str(tmp_path / "zorder")
+    write_range_clustered(o, lin, "o_custkey", n_files=16)
+    write_zorder_clustered(o, zo, "o_custkey", "o_totalprice", n_files=16)
+
+    def stats(path, col):
+        out = []
+        for f in _parquet_files(path):
+            md = pq.ParquetFile(str(f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                idx = md.schema.names.index(col)
+                s = md.row_group(rg).column(idx).statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    def skip_fraction(ranges, point):
+        n_skip = sum(1 for lo, hi in ranges if point < lo or point > hi)
+        return n_skip / len(ranges)
+
+    # probe points at the middle of each domain
+    ck = o.agg(F.expr("percentile(o_custkey, 0.5)")).first()[0]
+    tp = o.agg(F.expr("percentile(o_totalprice, 0.5)")).first()[0]
+
+    lin_ck = skip_fraction(stats(lin, "o_custkey"), ck)
+    lin_tp = skip_fraction(stats(lin, "o_totalprice"), tp)
+    zo_ck = skip_fraction(stats(zo, "o_custkey"), ck)
+    zo_tp = skip_fraction(stats(zo, "o_totalprice"), tp)
+
+    # linear: near-perfect on the cluster col, useless on the other
+    assert lin_ck >= 0.8
+    assert lin_tp <= 0.2
+    # z-order: real skipping on BOTH dimensions
+    assert zo_ck >= 0.4
+    assert zo_tp >= 0.4
+    # row preservation
+    assert spark.read.parquet(zo).count() == o.count()

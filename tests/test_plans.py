@@ -43,6 +43,9 @@ SCALAR_ATTACH_OK = {
     "q11_important_parts",  # 1-row (total, n_parts) HAVING threshold
     "heavy_hitters_check",  # 1-row total + 1-row freqItems sketch attach
     "data_quality_expectations",  # 1-row n_checked × 1-row orphan count
+    "text_lm_score",  # 1-row LM total-count attach (broadcast)
+    "dedup_canonical_by_quality",  # same LM total attach inside the capstone
+    "pagerank_nation_trade",  # 1-row dangling-mass attach per iteration
 }
 
 
