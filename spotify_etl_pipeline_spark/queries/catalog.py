@@ -144,6 +144,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ols_price_on_quantity",
     "dedup_canonical_by_quality",
     "knn_filtered_topk",
+    "winsorize_prices",
+    "target_encode_loo",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -565,3 +565,94 @@ def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(F.col("r") * F.col("r"), 6).alias("r2"),
     )
+
+
+# --- robust preprocessing / feature encoding ---------------------------------
+@register(
+    "winsorize_prices",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p05,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice < b.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped_low,
+           CAST(SUM(CASE WHEN l.l_extendedprice > b.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped_high,
+           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, b.p05), b.p95)), 4)
+             AS avg_capped
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    survey="A4,X6",
+    doc="Winsorization (outlier capping at the per-group p05/p95 band) — "
+    "the robust-preprocessing step before any mean-sensitive training "
+    "statistic. Exact interpolated percentiles per group (|groups| "
+    "rows, broadcast back to the fact table), then clip + re-aggregate; "
+    "two shuffles total, both keyed on the group column.",
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bands = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    j = li.join(F.broadcast(bands), "l_returnflag")
+    capped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)
+        ).alias("n_capped_low"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)
+        ).alias("n_capped_high"),
+        F.round(F.avg(capped), 4).alias("avg_capped"),
+    )
+
+
+@register(
+    "target_encode_loo",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND((SUM(cents) OVER (PARTITION BY o_orderpriority) - cents)
+                 / (COUNT(*) OVER (PARTITION BY o_orderpriority) - 1), 2)
+             AS loo_mean_cents
+    FROM o
+    """,
+    survey="W1,A4",
+    doc="Leave-one-out target encoding: each order's priority category is "
+    "replaced by the mean total price of the OTHER orders in that "
+    "category — the leakage-free categorical encoding for training "
+    "(plain per-category means would leak each row's own label). One "
+    "window over the category: group sums broadcast within partitions, "
+    "row value subtracted out. Integer-cents domain: the float "
+    "formulation landed on a half-ulp ROUND boundary at sf0.001 (group "
+    "sums differ by 1 ulp between engines); exact integer sums make the "
+    "quotient bit-identical before rounding.",
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("cents", cents)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.sum("cents").over(w) - F.col("cents"))
+                / (F.count(F.lit(1)).over(w) - 1),
+                2,
+            ).alias("loo_mean_cents"),
+        )
+    )
