@@ -146,6 +146,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_filtered_topk",
     "winsorize_prices",
     "target_encode_loo",
+    "knn_pq_recall",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

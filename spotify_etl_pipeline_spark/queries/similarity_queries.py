@@ -373,3 +373,53 @@ def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     return S.filtered_topk(emb, queries, k=K, match_cols=("label",))
+
+
+@register(
+    "knn_pq_recall",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries, TRUE AS recall_ok
+    """,
+    survey="X3",
+    doc="Driver-checkable recall gate for PQ ANN (upgrade of the rows-only "
+    "knn_pq_topk, same pattern as knn_ivf_recall): Spark computes the "
+    "exact L2 top-k AND the ADC+rerank top-k in one plan and emits "
+    "aggregate recall >= 0.5 as a boolean the oracle asserts TRUE "
+    "(floor mirrors tests/test_similarity.py, measured ~0.75). "
+    "n_queries hash-checks that every query produced a full result.",
+)
+def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import (
+        brute_force_l2_topk,
+        pq_adc_rerank_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    exact = brute_force_l2_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    books = pq_fit(emb, m=PQ_M, k=PQ_K)
+    codes = pq_encode(emb, books).persist()
+    approx = pq_adc_rerank_topk(
+        emb, codes, queries, books, k=K, shortlist=PQ_SHORTLIST
+    ).select("query_id", F.col("neighbor_id").alias("pq_neighbor_id"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.pq_neighbor_id),
+        "left_semi",
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.countDistinct("query_id").alias("n_queries"),
+            )
+        )
+        .select(
+            "n_queries",
+            (F.col("n_hits") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
