@@ -147,6 +147,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "winsorize_prices",
     "target_encode_loo",
     "knn_pq_recall",
+    "text_bm25_topk",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

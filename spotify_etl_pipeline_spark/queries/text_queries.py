@@ -6,6 +6,7 @@ shared rounding)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import text as T
 from ..schemas import load_fixture
@@ -255,3 +256,94 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return salted.select("doc_id", redacted.alias("redacted"))
+
+
+# --- BM25 retrieval scoring --------------------------------------------------
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS total_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dl
+    ),
+    dft AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY tok
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(LN(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                   / (stats.total_len / stats.n_docs))))
+               AS s
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dft ON tf.tok = dft.tok
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, ROUND(s, 4) AS score,
+             ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT rank, doc_id, score FROM ranked WHERE rank <= 10
+    """,
+    survey="X4",
+    doc="BM25 ranking (Robertson/Sparck Jones; k1=1.2, b=0.75, Lucene-style "
+    "smoothed idf) for a fixed 3-term query over whitespace tokens — the "
+    "retrieval-grade upgrade of tf-idf with document-length "
+    "normalization. Corpus stats (N, avgdl, per-term df) are tiny "
+    "aggregates broadcast back to the (doc, term) tf rows; ranking is "
+    "decided on the 4dp-rounded score with a doc_id tiebreak so "
+    "cross-engine ordering never rests on last-ulp float noise.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("total_len"), F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    dft = hits.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tf = hits.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2
+            * (0.25 + 0.75 * F.col("dl") / (F.col("total_len") / F.col("n_docs")))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+    )
+    w = Window.orderBy(F.desc(F.round("s", 4)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", F.round("s", 4).alias("score"))
+    )
