@@ -129,3 +129,49 @@ def test_prefix_clusters_short_docs_cluster_on_full_prefix(spark):
     rows = prefix_duplicate_clusters(df, prefix_len=16).collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert all(r["cluster_size"] == 2 for r in rows)
+
+
+def test_filtered_topk_unmatched_label_yields_no_rows_for_query(spark):
+    """A query whose label no candidate shares simply produces no result
+    rows — never an error, never cross-label neighbors."""
+    from spotify_etl_pipeline_spark.operators.similarity import filtered_topk
+
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "b", [1.0, 0.1]),
+        (2, "b", [0.9, 0.2]),
+        (3, "zzz", [0.5, 0.5]),  # lone label: no same-label candidates
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = filtered_topk(df, df, k=2, match_cols=("label",)).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert 3 not in by_query  # lone label -> no rows
+    assert 0 not in by_query  # label 'a' has one vector -> no candidates
+    assert sorted(by_query[1]) == [2] and sorted(by_query[2]) == [1]
+
+
+def test_zorder_constant_column_degenerates_gracefully(spark, tmp_path):
+    """A zero-span dimension collapses to bucket 0 everywhere: the write
+    must still succeed and preserve rows (layout quality degrades to the
+    1-D case, correctness does not)."""
+    from spotify_etl_pipeline_spark.sources.maintenance import (
+        write_zorder_clustered,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 7.0, float(i)) for i in range(100)], "id long, const double, x double"
+    )
+    out = str(tmp_path / "zconst")
+    write_zorder_clustered(df, out, "const", "x", n_files=4)
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_pagerank_self_loop_only_graph(spark):
+    """A single node with a self-loop keeps all rank mass on itself."""
+    from spotify_etl_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "a")], ["src", "dst"])
+    r = pagerank(edges, iterations=3).collect()
+    assert len(r) == 1 and abs(r[0]["rank"] - 1.0) < 1e-12
