@@ -33,6 +33,7 @@ PAIRWISE_OK = {
     "knn_quantized_topk",
     "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
     "knn_ivf_recall",  # embeds brute_force_topk (the recall reference)
+    "knn_pq_recall",  # embeds brute_force_l2_topk (the recall reference)
     "knn_l2_brute_force",  # the exact L2 baseline (PQ recall reference)
     "dedup_embedding_cosine",
 }
@@ -46,6 +47,7 @@ SCALAR_ATTACH_OK = {
     "text_lm_score",  # 1-row LM total-count attach (broadcast)
     "dedup_canonical_by_quality",  # same LM total attach inside the capstone
     "pagerank_nation_trade",  # 1-row dangling-mass attach per iteration
+    "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats attach
 }
 
 
