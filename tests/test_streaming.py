@@ -298,3 +298,69 @@ def test_rolling_ema_stream_matches_batch(spark, sf_dir, events_stream):
     assert streamed.count() == batch.count()
     diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
     assert diff == 0
+
+
+def test_curation_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed quality-filter + cross-batch exact dedup over an ordered
+    finite input must equal the batch twin (score, threshold, min-doc_id
+    survivor per fingerprint): the LM is frozen so batching can't change
+    any score, and first-arrival == lowest doc_id when files are written
+    in doc_id order."""
+    from pyspark.sql.window import Window
+
+    from spotify_etl_pipeline_spark.operators.curation import content_fingerprint
+    from spotify_etl_pipeline_spark.streaming.curation_stream import (
+        run_curation_stream,
+        score_documents,
+        train_char_lm,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    # duplicate some texts across the id space so cross-batch dedup fires
+    dupes = (
+        docs.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    corpus = docs.unionByName(dupes)
+    lm, total = train_char_lm(docs)
+
+    scored = score_documents(corpus, lm, total)
+    min_logp = float(
+        scored.agg(F.expr("percentile(lm_logp, 0.5)")).first()[0]
+    )
+
+    # three files in doc_id order -> stream arrival order == doc_id order
+    src = str(tmp_path / "src")
+    n = corpus.count()
+    (
+        corpus.withColumn(
+            "bucket", F.ntile(3).over(Window.orderBy("doc_id"))
+        )
+        .repartitionByRange(3, "bucket")
+        .sortWithinPartitions("doc_id")
+        .drop("bucket")
+        .write.parquet(src)
+    )
+
+    out = str(tmp_path / "curated")
+    seen = str(tmp_path / "seen")
+    ckpt = str(tmp_path / "ckpt")
+    run_curation_stream(
+        spark, src, out, seen, ckpt, lm, total, min_logp,
+        max_files_per_trigger=1,
+    )
+    streamed = spark.read.parquet(out).select("doc_id", "lm_logp")
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        scored.filter(F.col("lm_logp") >= min_logp)
+        .withColumn("fp", content_fingerprint())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lm_logp")
+    )
+    assert streamed.count() == batch.count() > 0
+    diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert diff == 0
+    # the duplicated texts must have been deduped to their first arrival
+    assert streamed.filter(F.col("doc_id") >= 100000).count() == 0
