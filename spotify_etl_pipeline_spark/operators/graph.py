@@ -1,5 +1,8 @@
 """Iterative graph operators expressed as DataFrame fixpoint loops.
 
+Public algorithm per Page, Brin, Motwani, Winograd, "The PageRank
+Citation Ranking" (Stanford tech report, 1999), weighted variant.
+
 The reference has no graph engine; connected components (operators/
 components.py) arrived with the dedup tier because near-dup resolution IS
 a graph problem. PageRank completes the family: corpus-curation pipelines
@@ -85,11 +88,11 @@ def pagerank(
     teleport = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
         # Each iteration references ranks twice (contribution join + dangling
-        # anti-join): without a lineage cut the plan doubles per pass
-        # (2^iterations subtree copies — observed as 154 broadcast joins at 3
-        # iterations on the trade graph). persist() makes the second
-        # reference a cache read; the cached vectors are |V| thin rows per
-        # pass and follow the repo convention of harness-level clearCache().
+        # anti-join): without a lineage cut the plan tree doubles per pass
+        # (2^iterations copies of every upstream subtree). persist() makes
+        # the second reference a cache read; the cached vectors are |V| thin
+        # rows per pass, following the repo convention of harness-level
+        # clearCache().
         ranks = ranks.persist()
         contrib = (
             ranks.join(e, ranks["node"] == e["src"], "inner")
