@@ -341,6 +341,17 @@ def test_curation_stream_matches_batch(spark, sf_dir, tmp_path):
         .drop("bucket")
         .write.parquet(src)
     )
+    # FileStreamSource orders files by modification time, which a parallel
+    # parquet write assigns in task-COMPLETION order — nondeterministic.
+    # Pin arrival order to doc_id order (part index == range-partition
+    # index == bucket) with strictly increasing mtimes.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    base = _time.time()
+    for i, p in enumerate(sorted(_glob.glob(f"{src}/part-*.parquet"))):
+        _os.utime(p, (base + 2 * i, base + 2 * i))
 
     out = str(tmp_path / "curated")
     seen = str(tmp_path / "seen")
