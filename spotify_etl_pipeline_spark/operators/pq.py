@@ -222,38 +222,31 @@ def pq_query_lut(
 ) -> DataFrame:
     """(query_id, sub, code, d2): squared distance from each query's
     subvector to every codeword — |Q|·m·k rows, the broadcast side of ADC
-    scoring."""
+    scoring.
+
+    One data-level expression (the same shape as :func:`pq_encode`'s
+    argmin: loops over the sub and codeword axes are ``transform``s over
+    the constant-folded codebook literal), then two posexplodes. The
+    previous form — m unioned selects, each an ``array()`` of k separate
+    fold expressions — generated m·k copies of the fold chain and spent
+    whole seconds in Janino before touching a row; the arithmetic and the
+    fold order here are element-identical, only the generated-code size
+    changes."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
     q = _as_double_vec(queries, id_col)
-    per_sub = []
-    for sub, book in enumerate(codebooks):
-        sv = _sub_slice(F.col("v"), sub, sub_d)
-        d2s = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sv,
-                        F.array(*[F.lit(float(x)) for x in cw]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for cw in book
-            ]
+    dists = _sub_dists_sql(
+        _books_literal_sql(codebooks), f"slice(v, s * {sub_d} + 1, {sub_d})", "s"
+    )
+    return (
+        q.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(
+                F.expr(f"transform(sequence(0, {m - 1}), s -> {dists})")
+            ).alias("sub", "d2s"),
         )
-        per_sub.append(
-            q.select(
-                F.col(id_col).alias("query_id"),
-                F.lit(sub).alias("sub"),
-                F.posexplode(d2s).alias("code", "d2"),
-            )
-        )
-    out = per_sub[0]
-    for p in per_sub[1:]:
-        out = out.unionByName(p)
-    return out
+        .select("query_id", "sub", F.posexplode("d2s").alias("code", "d2"))
+    )
 
 
 def pq_adc_topk(
