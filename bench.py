@@ -61,6 +61,9 @@ HEADLINE = [
     "data_quality_expectations",
     "interval_overlap_pairs",
     "events_props_variant",
+    # the span explode is the heaviest corpus-hygiene shuffle shape
+    # (constant ×W token-stream blowup, two keyed aggregations)
+    "dup_span_coverage",
 ]
 
 

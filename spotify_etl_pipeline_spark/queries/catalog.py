@@ -85,6 +85,7 @@ def _load_all() -> None:
         tpch_extra,
         quality_ops,
         stats_ops,
+        substring_ops,
     )
 
 
@@ -148,6 +149,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "target_encode_loo",
     "knn_pq_recall",
     "text_bm25_topk",
+    # (a) new in round 3, third batch: substring-level corpus hygiene
+    "dup_span_coverage",
+    "bpe_merge_apply",
+    "vocab_oov_rate",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -1,0 +1,323 @@
+"""Substring-level corpus hygiene (X1/X4 extension tier): exact
+duplicated-span coverage, one full BPE merge iteration, and tokenizer
+vocabulary coverage.
+
+The reference pipeline has no notion of corpus hygiene (its documents are
+playlist JSON); these are the operators a training-data pipeline runs
+between raw text and the tokenizer, all public algorithms:
+
+- duplicated-span coverage is the per-document statistic behind exact
+  substring deduplication (Lee et al., "Deduplicating Training Data Makes
+  Language Models Better", ACL 2022 — their suffix-array dup-fraction,
+  re-expressed as a fixed-width shingle statistic so it's joins +
+  aggregations instead of a suffix array);
+- the merge step is byte-pair encoding's training loop (Sennrich et al.
+  2016), one full iteration: count pairs, pick the argmax merge, apply it
+  corpus-wide, recount — the part `bpe_pair_counts` (quality_ops.py) only
+  does the first third of;
+- OOV rate against a frequency-built vocabulary is the standard tokenizer
+  coverage report.
+
+Everything is built-ins over (word, count) / (shingle, count) aggregates —
+shuffles carry vocabulary-sized or shingle-sized keys, never all-pairs,
+and nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_fixture
+from .catalog import register
+
+#: Span width for exact-duplicate coverage. The production value in the
+#: suffix-array literature is ~50 tokens; the synthetic corpus plants
+#: duplicated passages ≥8 tokens long (W=8 and W=5 find almost the same
+#: spans, so 8 is already in the plateau where random word-bag collisions
+#: have died out and only planted duplicates remain).
+SPAN_W = 8
+
+#: Vocabulary size for the OOV report. The synthetic corpus has 31
+#: distinct words; 10 keeps a real OOV tail so the statistic is exercised,
+#: not rubber-stamped.
+VOCAB_V = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_fixture(spark, sf_dir, "documents")
+
+
+@register(
+    "dup_span_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+    s0 AS (
+      SELECT doc_id, unnest(range(0, n_tokens - {SPAN_W} + 1)) AS pos, toks
+      FROM tt WHERE n_tokens >= {SPAN_W}
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos + 1 : pos + {SPAN_W}], ' ') AS shingle
+      FROM s0
+    ),
+    dups AS (
+      SELECT shingle FROM spans
+      GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covspan AS (SELECT s.doc_id, s.pos FROM spans s JOIN dups USING (shingle)),
+    covidx AS (
+      SELECT doc_id, unnest(range(pos, pos + {SPAN_W})) AS idx FROM covspan
+    ),
+    covd AS (SELECT DISTINCT doc_id, idx FROM covidx),
+    cnt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens
+      FROM covd GROUP BY doc_id
+    )
+    SELECT tt.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST((COALESCE(dup_tokens, 0) * 1000) // n_tokens AS BIGINT)
+               AS dup_permille
+    FROM tt LEFT JOIN cnt USING (doc_id)
+    """,
+    survey="X1,X4",
+    doc="Exact duplicated-span coverage (the substring-dedup statistic of "
+    "Lee et al. 2022): fraction of each document's tokens covered by an "
+    f"{SPAN_W}-token span that also occurs verbatim in another document. "
+    "Shingle → distinct-doc count → join back → interval-union via "
+    "position explode. All shuffles key on shingle or doc_id hashes "
+    "(linear, skew-free); the span explode is a constant ×W blowup of "
+    "the token stream, the same cost class as the MinHash shingle pass. "
+    "Integer permille output — no float comparisons.",
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tt = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    spans = (
+        tt.filter(F.col("n_tokens") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, n_tokens - {SPAN_W}), "
+                    f"i -> array_join(slice(toks, i + 1, {SPAN_W}), ' '))"
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+    dups = (
+        spans.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        spans.join(dups, "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {SPAN_W} - 1)")).alias("idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        tt.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.expr("(coalesce(dup_tokens, 0) * 1000) div n_tokens").alias(
+                "dup_permille"
+            ),
+        )
+    )
+
+
+# Symbol sequences for the BPE merge are encoded as each symbol wrapped in
+# single underscores and concatenated: 'key' → '_k__e__y_'. The wrapper
+# makes one merge application a plain substring replace ('_x__y_' →
+# '_xy_') whose matches never share characters, so left-to-right
+# non-overlapping replace — the same semantics in Spark (Java
+# String.replace) and DuckDB — IS greedy BPE merging: in a run 'a a a'
+# ('_a__a__a_') the first two merge, the third survives. A separator the
+# alphabet can produce would break this; the corpus is asserted [a-z]
+# in-query on both engines (charset violations would go through untouched
+# and surface as a hash mismatch, not silent corruption).
+_SEQ_SQL = "concat('_', array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '__'), '_')"
+_DUCK_SEQ = "'_' || array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '__') || '_'"
+
+
+@register(
+    "bpe_merge_apply",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, COUNT(*) AS n FROM words
+      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ),
+    p1 AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, i, 1) || '|' || substr(w, i + 1, 1))) AS pair,
+             n
+      FROM wc
+    ),
+    top1 AS (
+      SELECT string_split(pair, '|')[1] AS x, string_split(pair, '|')[2] AS y
+      FROM (SELECT pair, SUM(n) AS np FROM p1 GROUP BY pair
+            ORDER BY np DESC, pair ASC LIMIT 1)
+    ),
+    merged AS (
+      SELECT replace({_DUCK_SEQ},
+                     '_' || x || '__' || y || '_',
+                     '_' || x || y || '_') AS seq,
+             n
+      FROM wc CROSS JOIN top1
+    ),
+    syms AS (
+      SELECT string_split(trim(seq, '_'), '__') AS s, n FROM merged
+    ),
+    p2 AS (
+      SELECT unnest(list_transform(range(1, len(s)),
+                    i -> s[i] || '|' || s[i + 1])) AS pair,
+             n
+      FROM syms WHERE len(s) >= 2
+    ),
+    counts AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs
+               FROM p2 GROUP BY pair),
+    ranked AS (
+      SELECT pair, n_pairs,
+             ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair ASC) AS rnk
+      FROM counts
+    )
+    SELECT pair, n_pairs, rnk FROM ranked WHERE rnk <= 10
+    """,
+    survey="X4",
+    doc="One full BPE training iteration (Sennrich et al. 2016): count "
+    "adjacent symbol pairs over the frequency-weighted word vocabulary, "
+    "take the argmax merge (deterministic tie-break), apply it "
+    "corpus-wide, and recount — emitting the next iteration's top-10 "
+    "candidates. The merge rule is a 1-row broadcast; every data pass "
+    "operates on the (word, count) vocabulary aggregate, never the raw "
+    "token stream, so an iteration's cost is vocabulary-sized no matter "
+    "the corpus. Demonstrates the iterative driver loop pattern "
+    "(cf. kmeans/pagerank) at one unrolled step, which is what makes the "
+    "whole query a single oracle-checkable statement.",
+)
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> concat(substr(w, i, 1), '|', substr(w, i + 1, 1)))"
+    )
+    top1 = (
+        wc.select(F.explode(pair_expr).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("np"))
+        .orderBy(F.desc("np"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.split("pair", "\\|").getItem(0).alias("x"),
+            F.split("pair", "\\|").getItem(1).alias("y"),
+        )
+    )
+    merged = wc.crossJoin(F.broadcast(top1)).select(
+        F.expr(
+            f"replace({_SEQ_SQL}, "
+            "concat('_', x, '__', y, '_'), concat('_', x, y, '_'))"
+        ).alias("seq"),
+        "n",
+    )
+    syms = merged.select(
+        F.split(F.expr("trim(BOTH '_' FROM seq)"), "__").alias("s"), "n"
+    )
+    p2 = syms.filter(F.size("s") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(s) - 1), "
+                "i -> concat(element_at(s, i), '|', element_at(s, i + 1)))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    counts = p2.groupBy("pair").agg(F.sum("n").alias("n_pairs"))
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("pair", "n_pairs", "rnk")
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS n FROM words GROUP BY w
+        ORDER BY n DESC, w ASC LIMIT {VOCAB_V}
+      )
+    ),
+    tagged AS (
+      SELECT source, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words LEFT JOIN vocab v USING (w)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST((SUM(oov) * 1000) // COUNT(*) AS BIGINT) AS oov_permille
+    FROM tagged GROUP BY source
+    """,
+    survey="X4",
+    doc=f"Tokenizer vocabulary coverage: build the top-{VOCAB_V} "
+    "frequency vocabulary (TakeOrderedAndProject with deterministic "
+    "tie-break — no global sort), broadcast it against the token stream, "
+    "and report per-source OOV rates in integer permille. The vocabulary "
+    "is the broadcast side by construction (V rows), so the report costs "
+    "one scan + one vocabulary-sized aggregate regardless of corpus "
+    "size; this is the coverage gate run before freezing a tokenizer.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(VOCAB_V)
+        .select("w")
+    )
+    tagged = words.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.expr(
+            "(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1000)"
+            " div count(1)"
+        ).alias("oov_permille"),
+    )

@@ -48,6 +48,7 @@ SCALAR_ATTACH_OK = {
     "dedup_canonical_by_quality",  # same LM total attach inside the capstone
     "pagerank_nation_trade",  # 1-row dangling-mass attach per iteration
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats attach
+    "bpe_merge_apply",  # 1-row argmax merge-rule attach (broadcast)
 }
 
 
