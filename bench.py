@@ -104,16 +104,22 @@ def main() -> None:
     for name in names:
         try:
             all_queries[name](spark, sf_dir).count()
-            best = None
-            for _ in range(2):
+            samples: list[float] = []
+            # 2 timed runs, plus a 3rd only when the first two disagree
+            # >1.8× — external contention (another process, a GC storm)
+            # can span both timed runs and survive a plain min-of-2
+            # (observed: a 1.3s query recorded at 19.5s), while tripling
+            # every query would add ~1/3 to bench wall for nothing.
+            while len(samples) < 2 or (
+                len(samples) == 2 and max(samples) > 1.8 * min(samples)
+            ):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 df = all_queries[name](spark, sf_dir)
                 n = df.count() if df.isStreaming is False else -1
                 assert n >= 0
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 3)
+                samples.append(time.perf_counter() - t0)
+            times[name] = round(min(samples), 3)
         except Exception as exc:  # noqa: BLE001 — report, don't die
             times[name] = None  # JSON null — errored queries carry no time
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
