@@ -76,20 +76,126 @@ def connected_components(
     return comp
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star contraction
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", ACM SoCC 2014 — public
+    algorithm). Same contract as :func:`connected_components`; converges
+    in O(log² n) rounds *independent of graph diameter*, which is the
+    variant to reach for when the duplicate graph is adversarially deep
+    (long chains of pairwise near-dups — e.g. versioned documents) rather
+    than the shallow stars/cliques near-dup candidates usually form.
+
+    One round =
+
+    - **large-star**: every node connects its strictly-larger neighbors
+      to the minimum of its closed neighborhood;
+    - **small-star** on the result (held canonical, larger→smaller):
+      every node connects its smaller neighbors and itself to their
+      minimum.
+
+    Both are one groupBy(min) + one join over the edge set — the same
+    two-shuffle round cost as a propagation round, but the edge set
+    *contracts* toward min-centered stars instead of carrying labels
+    across one hop per round. Fixpoint = edge set unchanged (checked by
+    count + order-insensitive hash aggregate, one tiny job); every round
+    ``localCheckpoint``s so lineage stays flat.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical (x, y), x > y; self-loops contribute nodes only
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("x"),
+            F.least(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-insensitive over the (distinct) edge set and
+        # cannot overflow under ANSI mode, unlike a hash SUM
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(x, y))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(e)
+    converged = sig[0] == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        # large-star over full neighbor lists
+        both = e.select("x", "y").unionByName(
+            e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        mins = both.groupBy("x").agg(F.min("y").alias("mn"))
+        m = F.least(F.col("x"), F.col("mn"))
+        large = (
+            both.join(mins, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("x"), m.alias("y"))
+            .distinct()
+        )
+        # small-star on the canonical result (every y < x here)
+        mins2 = large.groupBy("x").agg(F.min("y").alias("m2"))
+        part1 = (
+            large.join(mins2, "x")
+            .filter(F.col("y") != F.col("m2"))
+            .select(F.col("y").alias("x"), F.col("m2").alias("y"))
+        )
+        part2 = mins2.select("x", F.col("m2").alias("y"))
+        new_e = part1.unionByName(part2).distinct().localCheckpoint()
+        new_sig = _sig(new_e)
+        converged = new_sig == sig
+        e, sig = new_e, new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    # fixpoint edges are (member, center) stars; centers + isolated nodes
+    # label themselves
+    return (
+        nodes.join(e, nodes.node == e.x, "left")
+        .select("node", F.coalesce("y", F.col("node")).alias("component"))
+    )
+
+
 def resolve_duplicates(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     pair_a: str = "doc_a",
     pair_b: str = "doc_b",
+    algo: str = "propagation",
 ) -> DataFrame:
     """Full-corpus dedup verdict: every row gets its duplicate-cluster id
     (min member id; singletons are their own cluster) and a survivor flag.
 
+    ``algo``: ``"propagation"`` (min-label, O(diameter) rounds — right for
+    the shallow star/clique graphs near-dup candidates form) or ``"star"``
+    (large-star/small-star contraction, O(log² n) rounds — right when the
+    duplicate graph can be adversarially deep). Identical output by
+    construction; equivalence is regression-tested.
+
     Downstream keeps ``is_survivor`` rows — the canonical LLM-corpus dedup
     output shape.
     """
-    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    cc = {
+        "propagation": connected_components,
+        "star": connected_components_star,
+    }[algo]
+    comp = cc(pairs, src=pair_a, dst=pair_b)
     return (
         df.join(comp, df[id_col] == comp.node, "left")
         .select(

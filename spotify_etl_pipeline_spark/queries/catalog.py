@@ -153,6 +153,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "dup_span_coverage",
     "bpe_merge_apply",
     "vocab_oov_rate",
+    "dedup_resolve_clusters_logstar",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -213,9 +213,7 @@ _EDGE_SQL = f"""
 """
 
 
-@register(
-    "dedup_resolve_clusters",
-    oracle=f"""
+_RESOLVE_ORACLE = f"""
     WITH RECURSIVE {_SHINGLES_CTE}, {_EDGE_SQL},
     reach(node, lbl) AS (
       SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -227,7 +225,12 @@ _EDGE_SQL = f"""
            COALESCE(c.component, d.doc_id) AS cluster_id,
            d.doc_id = COALESCE(c.component, d.doc_id) AS is_survivor
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    """,
+    """
+
+
+@register(
+    "dedup_resolve_clusters",
+    oracle=_RESOLVE_ORACLE,
     survey="X1,X2",
     doc="End-to-end dedup verdict: near-dup pairs (3-gram Jaccard ≥ 0.8) → "
     "connected components via iterative min-label propagation "
@@ -240,6 +243,28 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return resolve_duplicates(docs.select("doc_id"), pairs, id_col="doc_id")
+
+
+@register(
+    "dedup_resolve_clusters_logstar",
+    oracle=_RESOLVE_ORACLE,
+    survey="X1,X2",
+    doc="Same dedup verdict computed with large-star/small-star "
+    "contraction (Kiveris et al., SoCC 2014) instead of min-label "
+    "propagation: O(log² n) rounds independent of graph diameter — the "
+    "variant for adversarially deep duplicate chains (e.g. versioned "
+    "documents). Components are algorithm-independent, so the SAME "
+    "recursive-CTE oracle hash-checks both; the driver row here is what "
+    "verifies the contraction against an external fixpoint.",
+)
+def dedup_resolve_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import resolve_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return resolve_duplicates(
+        docs.select("doc_id"), pairs, id_col="doc_id", algo="star"
+    )
 
 
 # --- capstone: quality-aware canonical selection -----------------------------

@@ -48,3 +48,64 @@ def test_nonconvergence_raises(spark):
     # and with enough rounds the same graph resolves fine
     comp = {r["node"]: r["component"] for r in connected_components(deep_chain).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_star_contraction_matches_propagation_on_random_graphs(spark):
+    """large-star/small-star must produce the identical (node, component)
+    map as min-label propagation — components are algorithm-independent."""
+    import random
+
+    from spotify_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25 + 10 * trial)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {
+            r["node"]: r["component"]
+            for r in connected_components(df, max_iter=50).collect()
+        }
+        b = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b, f"trial {trial}: {a} != {b}"
+
+
+def test_star_contraction_handles_adversarial_diameter(spark):
+    """A 200-edge path has diameter 200: min-label propagation needs ~200
+    rounds (it moves labels one hop per round), while star contraction
+    halves component height per round pair — 12 rounds must suffice. This
+    is the documented reason the variant exists (SCALE.md dedup tier)."""
+    from spotify_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components_star(path, max_iter=12).collect()
+    }
+    assert len(comp) == 201
+    assert set(comp.values()) == {0}
+
+
+def test_star_contraction_self_loops_and_empty(spark):
+    from spotify_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    # self-loops only: every node is its own singleton component
+    loops = spark.createDataFrame([(3, 3), (9, 9)], "src long, dst long")
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components_star(loops).collect()
+    }
+    assert comp == {3: 3, 9: 9}
