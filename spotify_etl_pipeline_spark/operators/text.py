@@ -174,7 +174,9 @@ def _rolling_hash_expr(list_sql: str) -> str:
     )
 
 
-def chunk_windows(df: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+def chunk_windows(
+    df: DataFrame, size: int = 64, stride: int = 48, keep_tokens: bool = False
+) -> DataFrame:
     """RAG/training-prep chunking: overlapping ``size``-token windows every
     ``stride`` tokens, with per-chunk offsets and content hash.
 
@@ -197,6 +199,17 @@ def chunk_windows(df: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
             f"stride={stride} size={size}"
         )
     chunk = f"slice(toks, start_tok + 1, {size})"
+    cols = [
+        F.col("doc_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(F.expr(chunk)).cast("long").alias("n_toks"),
+        F.expr(_rolling_hash_expr(chunk)).alias("chunk_hash"),
+    ]
+    if keep_tokens:
+        # downstream per-chunk featurization (e.g. the RAG bucket index)
+        # needs the token array itself, not just its hash
+        cols.append(F.expr(chunk).alias("chunk"))
     return (
         df.select("doc_id", F.split("text", " ").alias("toks"))
         .select(
@@ -206,13 +219,7 @@ def chunk_windows(df: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
                 "chunk_id", "start_tok"
             ),
         )
-        .select(
-            "doc_id",
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.col("start_tok").cast("long").alias("start_tok"),
-            F.size(F.expr(chunk)).cast("long").alias("n_toks"),
-            F.expr(_rolling_hash_expr(chunk)).alias("chunk_hash"),
-        )
+        .select(*cols)
     )
 
 

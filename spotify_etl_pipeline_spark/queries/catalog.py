@@ -154,6 +154,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "bpe_merge_apply",
     "vocab_oov_rate",
     "dedup_resolve_clusters_logstar",
+    "rag_bucket_index",
+    "lang_source_chi2",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -403,3 +403,80 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_fixture(spark, sf_dir, "documents")
     return seeded_shuffle(docs, n_shards=8, seed=0)
+
+
+# RAG ingestion capstone constants: D hash-feature dims per chunk, B index
+# buckets. Tiny here; at production scale D~256/B~2^18 with the identical
+# plan shape (all per-chunk work is narrow, the index build is one groupBy).
+RAG_D = 8
+RAG_B = 64
+
+# md5-prefix bigint of an expression — the cross-engine hash family shared
+# with operators.dedup.shingle_sid (DuckDB rederives it bit-for-bit)
+_SID = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+_DUCK_SID = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+@register(
+    "rag_bucket_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c0 AS (SELECT doc_id, unnest(range(0, len(toks), 48)) AS s, toks FROM t),
+    c1 AS (SELECT doc_id, toks[s + 1 : s + 64] AS chunk FROM c0),
+    emb AS (
+      SELECT doc_id,
+             {{chunk_hash}} AS chunk_hash,
+             array_to_string(list_transform(range(0, {RAG_D}), b ->
+               len(list_filter(chunk, t ->
+                 {_DUCK_SID.format(x='t')} % {RAG_D} = b))), ',') AS vec
+      FROM c1
+    )
+    SELECT {_DUCK_SID.format(x='vec')} % {RAG_B} AS bucket_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(chunk_hash) AS min_chunk_hash
+    FROM emb GROUP BY 1
+    """.format(chunk_hash=list_rolling_hash_sql("chunk")),
+    survey="X3,X4,X1",
+    doc="RAG ingestion capstone — chunk → featurize → index, end to end: "
+    "64/48 overlapping chunks (chunk_windows), a deterministic "
+    f"{RAG_D}-dim hash-feature embedding per chunk (token → md5-bucket "
+    "counts — the feature-hashing trick, Weinberger et al. 2009, standing "
+    "in for a model embedder exactly like the multimodal tier's "
+    "deterministic fake decoder), and an inverted bucket index keyed by "
+    "the vector's content hash. Every per-chunk step is a narrow "
+    "projection; the index build is ONE groupBy on bucket_id — the same "
+    "plan at 100 TB with model vectors and real IVF/LSH bucket ids "
+    "(both already implemented in operators/similarity.py). Integer "
+    "everything, so the full capstone is value-hash-checked.",
+)
+def rag_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    chunks = chunk_windows(docs, size=64, stride=48, keep_tokens=True)
+    sid_t = _SID.format(x="t")
+    sid_vec = _SID.format(x="vec")
+    # md5 once per token: bind the sid array through a single-element
+    # transform (Spark SQL has no let; same trick as operators/pq._argmin_sql)
+    emb = chunks.select(
+        "doc_id",
+        "chunk_hash",
+        F.expr(
+            f"element_at(transform("
+            f"array(transform(chunk, t -> {sid_t} % {RAG_D})), sids -> "
+            f"array_join(transform(sequence(0, {RAG_D - 1}), b -> "
+            f"size(filter(sids, s -> s = b))), ',')), 1)"
+        ).alias("vec"),
+    )
+    return (
+        emb.select(
+            "doc_id",
+            "chunk_hash",
+            F.expr(f"{sid_vec} % {RAG_B}").alias("bucket_id"),
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("chunk_hash").alias("min_chunk_hash"),
+        )
+    )

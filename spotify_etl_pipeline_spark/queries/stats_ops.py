@@ -656,3 +656,79 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_mean_cents"),
         )
     )
+
+
+@register(
+    "lang_source_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM o),
+    grid AS (
+      SELECT r.lang, c.source, r.rn, c.cn, tot.nn,
+             COALESCE(o.n, 0) AS obs
+      FROM r CROSS JOIN c CROSS JOIN tot
+      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+    ),
+    cell AS (
+      SELECT CAST(FLOOR(
+               (CAST(obs * nn - rn * cn AS DOUBLE)
+                * CAST(obs * nn - rn * cn AS DOUBLE))
+               / CAST((nn * rn) * cn AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro_cell
+      FROM grid
+    )
+    SELECT CAST(SUM(chi2_micro_cell) AS BIGINT) AS chi2_micro,
+           CAST((SELECT COUNT(*) - 1 FROM r)
+                * (SELECT COUNT(*) - 1 FROM c) AS BIGINT) AS dof,
+           (SELECT nn FROM tot) AS n
+    FROM cell
+    """,
+    survey="A4,X4,W1",
+    doc="Chi-square test of independence over the lang × source "
+    "contingency table — the drift/imbalance gate a corpus ingest runs "
+    "per batch. The grid is the CROSS of the two margin aggregates "
+    "(|langs| × |sources| rows — margin-sized, never corpus-sized) left-"
+    "joined to observed counts so zero cells contribute their full "
+    "expected mass. Per-cell statistic in exact integer arithmetic up "
+    "to one IEEE division, floored to micro units, then SUMmed as "
+    "bigints — bit-identical across engines, no float aggregation "
+    "order-dependence. dof and N ride along for the report.",
+)
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    r = o.groupBy("lang").agg(F.sum("n").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").alias("cn"))
+    tot = o.agg(F.sum("n").alias("nn"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tot))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "rn", "cn", "nn", F.coalesce("n", F.lit(0)).alias("obs")
+        )
+    )
+    cell = grid.select(
+        F.expr(
+            "cast(floor("
+            "  (cast(obs * nn - rn * cn as double)"
+            "   * cast(obs * nn - rn * cn as double))"
+            "  / cast((nn * rn) * cn as double)"
+            "  * 1000000.0 + 0.5) as bigint)"
+        ).alias("chi2_micro_cell")
+    )
+    dof = (
+        r.agg(F.count(F.lit(1)).alias("nl"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("ns")))
+        .select(((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"))
+    )
+    return (
+        cell.agg(F.sum("chi2_micro_cell").alias("chi2_micro"))
+        .crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(tot.select(F.col("nn").alias("n"))))
+    )

@@ -49,6 +49,7 @@ SCALAR_ATTACH_OK = {
     "pagerank_nation_trade",  # 1-row dangling-mass attach per iteration
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats attach
     "bpe_merge_apply",  # 1-row argmax merge-rule attach (broadcast)
+    "lang_source_chi2",  # margin-sized grid cross (|langs|×|sources|) + 1-row attaches
 }
 
 
