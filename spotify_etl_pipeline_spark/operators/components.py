@@ -96,12 +96,13 @@ def connected_components_star(
       every node connects its smaller neighbors and itself to their
       minimum.
 
-    Both are one groupBy(min) + one join over the edge set — the same
-    two-shuffle round cost as a propagation round, but the edge set
-    *contracts* toward min-centered stars instead of carrying labels
-    across one hop per round. Fixpoint = edge set unchanged (checked by
-    count + order-insensitive hash aggregate, one tiny job); every round
-    ``localCheckpoint``s so lineage stays flat.
+    Each half-round is a groupBy(min) + join over the edge set (plus a
+    distinct and, per full round, one tiny count+bit_xor signature job) —
+    roughly 2× the shuffle work of a propagation round, but the edge set
+    *contracts* toward min-centered stars instead of carrying labels one
+    hop per round, so total work is O(log² n) rounds × shrinking edges
+    versus O(diameter) rounds × constant edges. Fixpoint = edge set
+    unchanged; every round ``localCheckpoint``s so lineage stays flat.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -191,10 +192,15 @@ def resolve_duplicates(
     Downstream keeps ``is_survivor`` rows — the canonical LLM-corpus dedup
     output shape.
     """
-    cc = {
+    algos = {
         "propagation": connected_components,
         "star": connected_components_star,
-    }[algo]
+    }
+    if algo not in algos:
+        raise ValueError(
+            f"unknown algo {algo!r}; expected one of {sorted(algos)}"
+        )
+    cc = algos[algo]
     comp = cc(pairs, src=pair_a, dst=pair_b)
     return (
         df.join(comp, df[id_col] == comp.node, "left")

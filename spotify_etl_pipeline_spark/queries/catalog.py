@@ -149,7 +149,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "target_encode_loo",
     "knn_pq_recall",
     "text_bm25_topk",
-    # (a) new in round 3, third batch: substring-level corpus hygiene
+    # (a) new in round 3, fourth batch (COVERAGE.md numbering):
+    # substring-level corpus hygiene (substring_ops.py), the log-star
+    # components twin (dedup_queries.py), the RAG index capstone
+    # (pipeline_ops.py), and the chi-square gate (stats_ops.py)
     "dup_span_coverage",
     "bpe_merge_apply",
     "vocab_oov_rate",

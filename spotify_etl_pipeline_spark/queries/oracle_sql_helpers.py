@@ -118,3 +118,12 @@ def fingerprint_sql() -> str:
     """DuckDB twin of ``operators.text.fingerprint_expr``: the rolling-hash
     content fingerprint as a scalar SQL expression over ``text``."""
     return list_rolling_hash_sql("string_split(text, ' ')")
+
+
+# The md5-prefix bigint hash pair (first 60 digest bits as a non-negative
+# BIGINT) — the cross-engine content-hash family of operators.dedup
+# .shingle_sid, as .format(x=...) templates for oracles that need the raw
+# (un-modded) value. Bit-parity between the two strings is load-bearing:
+# change them together or not at all.
+MD5_SID_SPARK = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+MD5_SID_DUCK = "('0x' || substring(md5({x}), 1, 15))::BIGINT"

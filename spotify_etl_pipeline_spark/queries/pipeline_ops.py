@@ -412,9 +412,10 @@ RAG_D = 8
 RAG_B = 64
 
 # md5-prefix bigint of an expression — the cross-engine hash family shared
-# with operators.dedup.shingle_sid (DuckDB rederives it bit-for-bit)
-_SID = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
-_DUCK_SID = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+# with operators.dedup.shingle_sid (DuckDB rederives it bit-for-bit);
+# single source of truth in oracle_sql_helpers
+from .oracle_sql_helpers import MD5_SID_DUCK as _DUCK_SID  # noqa: E402
+from .oracle_sql_helpers import MD5_SID_SPARK as _SID  # noqa: E402
 
 
 @register(

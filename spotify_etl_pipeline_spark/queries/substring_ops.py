@@ -220,7 +220,10 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        # \A/\z anchor end-of-TEXT in Java regex ($ would also match
+        # before a trailing newline, where DuckDB's RE2 '$' would not —
+        # a latent cross-engine divergence if tokens ever carry one)
+        .filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )

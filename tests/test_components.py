@@ -109,3 +109,6 @@ def test_star_contraction_self_loops_and_empty(spark):
         for r in connected_components_star(loops).collect()
     }
     assert comp == {3: 3, 9: 9}
+    # empty edge set: converged at entry, no nodes, no rounds
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).collect() == []
