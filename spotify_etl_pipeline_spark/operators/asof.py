@@ -39,19 +39,37 @@ def asof_join(
     right_values: list[str],
     tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Latest-at-or-before join.
+    """Point-in-time join (pandas ``merge_asof`` surface).
+
+    ``direction='backward'`` (default): latest right row at-or-before the
+    left timestamp. ``direction='forward'``: earliest right row
+    at-or-after it. ``tolerance`` bounds the match gap — in microseconds
+    for timestamp keys, in the column's own units for numeric keys; an
+    over-tolerance match behaves as no match.
 
     Returns all left columns plus ``right_values`` (null-filled for
     unmatched left rows when ``how='left'``; unmatched rows dropped when
     ``how='inner'``). ``tiebreak`` orders simultaneous right rows (the one
     sorting LAST wins) so results are deterministic under ts collisions.
+
+    Either direction is the same single-shuffle union+window plan — the
+    forward pass just orders the window by descending timestamp, so the
+    running ``last()`` sees the *smallest* at-or-after right row.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
 
     lcols = left.columns
-    payload = F.struct(*[F.col(c) for c in right_values]).alias("_rv")
+    rv_cols = [F.col(c) for c in right_values]
+    if tolerance is not None:
+        # carry the matched right timestamp for the gap check
+        rv_cols.append(F.col(right_ts).alias("__rts"))
+    payload = F.struct(*rv_cols).alias("_rv")
     seq = F.col(tiebreak) if tiebreak else F.lit(0)
 
     # side: right=0 sorts before left=1 at equal ts ⇒ '<=' semantics.
@@ -71,9 +89,10 @@ def asof_join(
         F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_side", "_seq")
+        .orderBy(ts_order, "_side", "_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (
@@ -81,6 +100,18 @@ def asof_join(
         .withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        lt, rt = F.col("_ts"), F.col("_match").getField("__rts")
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        ts_type = merged.schema["_ts"].dataType
+        if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+            lt = F.unix_micros(lt.cast("timestamp"))
+            rt = F.unix_micros(rt.cast("timestamp"))
+        gap = (lt - rt) if direction == "backward" else (rt - lt)
+        merged = merged.withColumn(
+            "_match", F.when(gap <= F.lit(tolerance), F.col("_match"))
+        )
     if how == "inner":
         merged = merged.filter(F.col("_match").isNotNull())
     out_left = [F.col(f"_l_{c}").alias(c) for c in lcols]

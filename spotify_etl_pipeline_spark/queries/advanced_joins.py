@@ -257,3 +257,76 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = base.filter(F.col("user_id") % 10 == 0).drop("user_id")
     b = base.filter(F.col("user_id") % 10 == 5).drop("user_id")
     return interval_overlap_join(a, b, max_len_sec=INTERVAL_LEN_SEC)
+
+
+@register(
+    "asof_next_purchase_after_click",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value,
+             event_id AS pid
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.event_id, c.user_id, c.cts, p.pts, p.value, p.pid
+      FROM c JOIN p ON c.user_id = p.user_id
+                   AND p.pts >= c.cts
+                   AND p.pts <= c.cts + INTERVAL 1 HOUR
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY pts ASC, pid DESC) AS rn
+      FROM j
+    )
+    SELECT event_id, user_id,
+           strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           ROUND(value, 4) AS purchase_value,
+           CAST(FLOOR(epoch_us(pts - cts) / 60000000) AS BIGINT)
+               AS minutes_until
+    FROM r WHERE rn = 1
+    """,
+    survey="J1,F6",
+    doc="Forward as-of join WITH tolerance (the other half of the pandas "
+    "merge_asof surface): each click gets the earliest purchase at-or-"
+    "after it per user, but only within 1 hour — an over-tolerance match "
+    "is no match. Identical single-shuffle union+window plan as the "
+    "backward pass, window ordered by descending timestamp; the oracle "
+    "is an explicit bounded range join + ROW_NUMBER because DuckDB's "
+    "native ASOF does not express the tolerance or the tie-break "
+    "(same-instant purchases resolve to the highest event id on both "
+    "sides).",
+)
+def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_fixture(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"), "event_id"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        right_values=["purchase_value", "ts"],
+        tiebreak="event_id",
+        how="inner",
+        direction="forward",
+        tolerance=3_600_000_000,  # 1 hour in µs
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("click_ts")) / 60_000_000
+        ).alias("minutes_until"),
+    )

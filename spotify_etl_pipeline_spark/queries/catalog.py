@@ -159,6 +159,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_resolve_clusters_logstar",
     "rag_bucket_index",
     "lang_source_chi2",
+    "asof_next_purchase_after_click",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

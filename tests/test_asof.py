@@ -69,3 +69,41 @@ def test_asof_plans_single_shuffle(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_forward_asof_matches_earliest_at_or_after(spark):
+    left, right = _fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_values=["v"], tiebreak="seq", how="inner",
+        direction="forward",
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    # id 1 (10:00) has no right row at-or-after; id 2 (08:30) → 09:00 v=20;
+    # id 3 (07:00) → 08:00 v=10; id 4 ties at 09:00 → tiebreak picks
+    # seq=103 (sorting last wins, same rule as backward); id 5: no rights.
+    assert got == {2: 20.0, 3: 10.0, 4: 40.0}
+
+
+def test_asof_tolerance_drops_distant_matches(spark):
+    left, right = _fixture(spark)
+    # backward with 30-minute tolerance: id 1 (10:00 ← 09:00, 60 min) is
+    # now out of range; id 2 (08:30 ← 08:00, 30 min) is exactly at it.
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_values=["v"], tiebreak="seq", how="left",
+        tolerance=30 * 60 * 1_000_000,
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: None, 2: 10.0, 3: None, 4: 40.0, 5: None}
+
+
+def test_forward_asof_still_single_shuffle(spark):
+    left, right = _fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_values=["v"], how="inner", direction="forward",
+        tolerance=3_600_000_000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
