@@ -266,3 +266,61 @@ def word_frequency(df: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def dup_span_coverage(df: DataFrame, w: int = 8) -> DataFrame:
+    """Per-document exact duplicated-span coverage: the fraction (integer
+    permille) of each document's tokens covered by a ``w``-token span
+    that occurs verbatim in at least one OTHER document — the statistic
+    behind exact substring deduplication (Lee et al., ACL 2022),
+    re-expressed at fixed width so it is joins + aggregations instead of
+    a suffix array.
+
+    Plan: constant ×w span explode of the token stream → (shingle →
+    distinct-doc count) aggregate → join back → interval union via
+    position explode + distinct. Every shuffle keys on shingle or doc_id
+    hashes; no all-pairs stage. Documents shorter than ``w`` tokens have
+    zero duplicated coverage by definition.
+    """
+    tt = df.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    spans = tt.filter(F.col("n_tokens") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_tokens - {w}), "
+                f"i -> array_join(slice(toks, i + 1, {w}), ' '))"
+            )
+        ).alias("pos", "shingle"),
+    )
+    dups = (
+        spans.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        spans.join(dups, "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        tt.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.expr("(coalesce(dup_tokens, 0) * 1000) div n_tokens").alias(
+                "dup_permille"
+            ),
+        )
+    )

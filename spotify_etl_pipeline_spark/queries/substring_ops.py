@@ -94,53 +94,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Integer permille output — no float comparisons.",
 )
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    tt = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
-    spans = (
-        tt.filter(F.col("n_tokens") >= SPAN_W)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, n_tokens - {SPAN_W}), "
-                    f"i -> array_join(slice(toks, i + 1, {SPAN_W}), ' '))"
-                )
-            ).alias("pos", "shingle"),
-        )
-    )
-    dups = (
-        spans.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("shingle")
-    )
-    covered = (
-        spans.join(dups, "shingle")
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {SPAN_W} - 1)")).alias("idx"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
-    )
-    return (
-        tt.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
-        .join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
-                "dup_tokens"
-            ),
-            F.expr("(coalesce(dup_tokens, 0) * 1000) div n_tokens").alias(
-                "dup_permille"
-            ),
-        )
-    )
+    from ..operators.text import dup_span_coverage as _op
+
+    return _op(_docs(spark, sf_dir), w=SPAN_W)
 
 
 # Symbol sequences for the BPE merge are encoded as each symbol wrapped in

@@ -306,3 +306,54 @@ def test_rolling_ema_batch_equals_bruteforce(spark, vals):
         frame = vals[max(0, i - 7) : i + 1]
         exp = sum(float(v) * 2.0 ** (j + 1 - len(frame)) for j, v in enumerate(frame))
         assert got[i] == exp, (i, got[i], exp)  # dyadic => exact equality
+
+
+# documents as lists of token-lists over a tiny alphabet so duplicated
+# spans actually occur; W small so short docs still participate
+_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_corpus)
+@settings(**_SETTINGS)
+def test_dup_span_coverage_equals_bruteforce(spark, docs):
+    from spotify_etl_pipeline_spark.operators.text import dup_span_coverage
+
+    w = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs) if toks]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute force: spans per doc, cross-doc duplicated spans, position union
+    spans = {
+        i: [tuple(toks[p : p + w]) for p in range(len(toks) - w + 1)]
+        for i, toks in enumerate(docs)
+        if toks
+    }
+    owners: dict[tuple, set] = {}
+    for i, ss in spans.items():
+        for s in ss:
+            owners.setdefault(s, set()).add(i)
+    expected = {}
+    for i, toks in enumerate(docs):
+        if not toks:
+            continue
+        covered = set()
+        for p, s in enumerate(spans.get(i, [])):
+            if len(owners.get(s, ())) >= 2:
+                covered.update(range(p, p + w))
+        expected[i] = (
+            len(toks),
+            len(covered),
+            (len(covered) * 1000) // len(toks),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_permille"])
+        for r in dup_span_coverage(df, w=w).collect()
+    }
+    assert got == expected
