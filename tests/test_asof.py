@@ -107,3 +107,14 @@ def test_forward_asof_still_single_shuffle(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_zero_tolerance_is_exact_ts_match(spark):
+    left, right = _fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_values=["v"], tiebreak="seq", how="inner", tolerance=0,
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    # only id 4 has a right row at exactly its timestamp (ties → seq 103)
+    assert got == {4: 40.0}

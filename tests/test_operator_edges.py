@@ -175,3 +175,26 @@ def test_pagerank_self_loop_only_graph(spark):
     edges = spark.createDataFrame([("a", "a")], ["src", "dst"])
     r = pagerank(edges, iterations=3).collect()
     assert len(r) == 1 and abs(r[0]["rank"] - 1.0) < 1e-12
+
+
+def test_chunk_windows_keep_tokens_matches_hash(spark):
+    """keep_tokens adds the token array WITHOUT perturbing the contract
+    columns, and the carried array re-hashes to the emitted chunk_hash."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.text import (
+        _rolling_hash_expr,
+        chunk_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y")], "doc_id long, text string"
+    )
+    plain = chunk_windows(df, size=4, stride=3).collect()
+    kept = chunk_windows(df, size=4, stride=3, keep_tokens=True)
+    assert kept.columns == [c for c in kept.columns if c != "chunk"] + ["chunk"]
+    rehashed = kept.withColumn("h2", F.expr(_rolling_hash_expr("chunk")))
+    assert rehashed.filter("h2 != chunk_hash").count() == 0
+    assert sorted(r["chunk_hash"] for r in plain) == sorted(
+        r["chunk_hash"] for r in rehashed.collect()
+    )
