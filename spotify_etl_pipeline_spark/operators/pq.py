@@ -122,6 +122,12 @@ def pq_fit(
     :func:`.kmeans.kmeans_fit`: init = each subspace's k lowest-id
     subvectors, argmin ties toward the lower code id, empty clusters
     keep their previous centroid.
+
+    Measured dead end, do not re-try: binding the codebook from a
+    broadcast-joined COLUMN instead of the literal (to reuse codegen
+    across iterations) is ~40% SLOWER at this size — the per-iteration
+    createDataFrame + broadcast round-trip costs more than the literal's
+    recompile.
     """
     d = _as_double_vec(vectors, id_col)
     init_rows = d.orderBy(id_col).limit(k).select("v").collect()

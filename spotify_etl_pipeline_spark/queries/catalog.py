@@ -160,6 +160,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "rag_bucket_index",
     "lang_source_chi2",
     "asof_next_purchase_after_click",
+    "key_skew_profile",
     # (b) never driver-checked (no lifetime row)
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -413,3 +413,47 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("pair", "n_pairs", "rnk")
     )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows
+      FROM k
+    )
+    SELECT total, n_keys, max_key_rows,
+           CAST((max_key_rows * 1000000) // total AS BIGINT) AS top_share_ppm,
+           CAST((total + n_keys - 1) // n_keys AS BIGINT) AS mean_key_rows
+    FROM s
+    """,
+    survey="A4,X6",
+    doc="Shuffle-key skew profile for orders.o_custkey — the observability "
+    "row a 100 TB job reads BEFORE choosing salting/AQE-skew settings: "
+    "total rows, distinct keys, the heaviest key's row count, and its "
+    "share in integer ppm. One keyed aggregate + one 1-row rollup; "
+    "the statistic that decides whether salted_priority_totals' "
+    "two-stage shape is worth its extra shuffle.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_fixture(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return k.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+    ).select(
+        "total",
+        "n_keys",
+        "max_key_rows",
+        F.expr("(max_key_rows * 1000000) div total").alias("top_share_ppm"),
+        F.expr("(total + n_keys - 1) div n_keys").alias("mean_key_rows"),
+    )
