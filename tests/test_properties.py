@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -68,12 +69,20 @@ _edges = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "cc_fn", ["connected_components", "connected_components_star"]
+)
 @given(edges=_edges)
 @settings(**_SETTINGS)
-def test_components_equal_union_find(spark, edges):
+def test_components_equal_union_find(spark, cc_fn, edges):
+    """Both components engines — min-label propagation and the large-star/
+    small-star contraction — must agree with brute-force union-by-min."""
+    import spotify_etl_pipeline_spark.operators.components as C
+
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = {
-        r["node"]: r["component"] for r in connected_components(edf).collect()
+        r["node"]: r["component"]
+        for r in getattr(C, cc_fn)(edf).collect()
     }
     # brute-force union-find
     parent: dict[int, int] = {}
