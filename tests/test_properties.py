@@ -15,7 +15,6 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from spotify_etl_pipeline_spark.operators.asof import asof_join
-from spotify_etl_pipeline_spark.operators.components import connected_components
 
 BASE = datetime(2024, 1, 1)
 
