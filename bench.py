@@ -53,6 +53,10 @@ HEADLINE = [
     "lsh_blocking_stats",
     "knn_quantized_ivf",
     "knn_pq_topk",
+    # IVFADC: same PQ machinery with IVF-routed candidates — the bench
+    # pair (knn_pq_topk vs knn_ivfadc_topk) records the candidate-fraction
+    # win directly
+    "knn_ivfadc_topk",
     "events_sessionize",
     "events_sliding_counts",
     "text_word_frequency",
@@ -62,8 +66,15 @@ HEADLINE = [
     "interval_overlap_pairs",
     "events_props_variant",
     # the span explode is the heaviest corpus-hygiene shuffle shape
-    # (constant ×W token-stream blowup, two keyed aggregations)
+    # (constant ×W token-stream blowup, now a single keyed window pass)
     "dup_span_coverage",
+    # round-4 breadth (VERDICT r3 item 5): the iterative/graph tier and
+    # the curation capstone were test-covered but bench-blind — a
+    # regression in their loop counts or shuffle shapes now moves BENCH
+    "pagerank_nation_trade",
+    "dedup_resolve_clusters_logstar",
+    "corpus_curation_decontaminated",
+    "bpe_merge_apply",
 ]
 
 

@@ -63,6 +63,10 @@ def asof_join(
         raise ValueError(f"unsupported how={how!r}")
     if direction not in ("backward", "forward"):
         raise ValueError(f"unsupported direction={direction!r}")
+    if tolerance is not None and tolerance < 0:
+        # gap >= 0 always holds, so a negative bound would silently match
+        # nothing; fail loudly like pandas merge_asof does
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
 
     lcols = left.columns
     rv_cols = [F.col(c) for c in right_values]

@@ -157,7 +157,13 @@ def connected_components_star(
         part2 = mins2.select("x", F.col("m2").alias("y"))
         new_e = part1.unionByName(part2).distinct().localCheckpoint()
         new_sig = _sig(new_e)
-        converged = new_sig == sig
+        # Signature equality is the cheap screen; confirm with an exact
+        # set compare so a (count, bit_xor) collision between distinct
+        # consecutive edge sets (~2^-64/round) can never declare a false
+        # fixpoint. Both sides are distinct and the counts already match,
+        # so an empty exceptAll proves set equality; the exact job runs
+        # only on candidate-fixpoint rounds (typically once per call).
+        converged = new_sig == sig and new_e.exceptAll(e).isEmpty()
         e, sig = new_e, new_sig
     if not converged:
         raise RuntimeError(

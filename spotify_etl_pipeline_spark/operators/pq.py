@@ -292,29 +292,18 @@ def pq_adc_topk(
     )
 
 
-def pq_adc_rerank_topk(
+def _exact_rerank(
+    short: DataFrame,
     corpus: DataFrame,
-    corpus_codes: DataFrame,
     queries: DataFrame,
-    codebooks: list[list[list[float]]],
-    k: int = 5,
-    shortlist: int = 50,
+    k: int,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ADC shortlist → exact rerank (the production PQ pattern, e.g.
-    Faiss ``IndexRefine``): the compressed index ranks a ``shortlist`` of
-    candidates per query with approximate distances, then ONLY those
-    (|Q|·shortlist) pairs are scored with exact L2 against the float
-    vectors. The exact scan touches shortlist/n of the corpus — the
-    recall of near-exact search at the memory cost of the PQ index plus
-    a bounded refine read.
-
-    Returns the :func:`brute_force_l2_topk` schema (query_id, neighbor_id,
-    rank, d2_micro) — exact distances, approximate candidate set.
-    """
-    short = pq_adc_topk(
-        corpus_codes, queries, codebooks, k=shortlist, id_col=id_col
-    ).select("query_id", "neighbor_id")
+    """Exact-L2 rerank of shortlisted (query_id, neighbor_id) pairs —
+    the refine stage shared by every PQ search variant. Only the
+    |Q|·shortlist pairs touch the float vectors; output is the
+    :func:`brute_force_l2_topk` schema (query_id, neighbor_id, rank,
+    d2_micro)."""
     c = _as_double_vec(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")
     )
@@ -340,6 +329,102 @@ def pq_adc_rerank_topk(
             F.floor(F.col("d2") * 1_000_000).alias("d2_micro"),
         )
     )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC shortlist → exact rerank (the production PQ pattern, e.g.
+    Faiss ``IndexRefine``): the compressed index ranks a ``shortlist`` of
+    candidates per query with approximate distances, then ONLY those
+    (|Q|·shortlist) pairs are scored with exact L2 against the float
+    vectors. The exact scan touches shortlist/n of the corpus — the
+    recall of near-exact search at the memory cost of the PQ index plus
+    a bounded refine read.
+
+    Candidate generation here is the FULL corpus (every code row meets
+    every query's LUT) — exhaustive-ADC, Faiss ``IndexPQ``. For corpora
+    past RAM scale compose with IVF routing instead:
+    :func:`pq_ivfadc_topk` scores only probed clusters.
+
+    Returns the :func:`brute_force_l2_topk` schema (query_id, neighbor_id,
+    rank, d2_micro) — exact distances, approximate candidate set.
+    """
+    short = pq_adc_topk(
+        corpus_codes, queries, codebooks, k=shortlist, id_col=id_col
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(short, corpus, queries, k, id_col)
+
+
+def pq_ivfadc_topk(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    n_probe: int = 3,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): IVF probe routing generates the
+    candidates, ADC scores ONLY those, exact L2 reranks the shortlist —
+    the composition that removes exhaustive-ADC's one scale-killer.
+
+    Per stage at corpus scale (n vectors, C clusters, |Q| queries):
+
+    - **route** — query × C-row centroid table, broadcast by construction
+      (:func:`..similarity.ivf_probe_routing`);
+    - **candidates** — probes ⋈ cluster membership on cluster id: an
+      equi-join emitting ~|Q|·n·(n_probe/C) pairs, never |Q|·n;
+    - **ADC** — candidate pairs ⋈ exploded codes on neighbor_id (shuffle
+      keys on vector id — scale-correct), then the broadcast per-query
+      LUT join on (query_id, sub, code) and a groupBy sum. The heavy
+      groupBy now carries |cand|·m rows instead of |Q|·n·m — the
+      n_probe/C fraction is the whole point;
+    - **rerank** — exact L2 on |Q|·shortlist pairs only.
+
+    Recall loses only mass outside probed clusters (vs exhaustive ADC's
+    codebook error alone); floors are gated in tests and by the
+    ``knn_ivfadc_recall`` driver query.
+    """
+    from .similarity import ivf_probe_routing
+
+    probes = ivf_probe_routing(corpus, queries, n_probe, cluster_col)
+    member = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(cluster_col).alias("cluster")
+    )
+    cand = (
+        probes.join(member, "cluster")
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    lut = pq_query_lut(queries, codebooks, id_col)
+    exploded = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("pq_codes").alias("sub", "code"),
+    )
+    scored = (
+        cand.join(exploded, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, corpus, queries, k, id_col)
 
 
 def brute_force_l2_topk(

@@ -37,10 +37,14 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     exchange of a small input unlocks every core for the compute-bound map.
     """
     try:
-        # plan-conversion probe, no job; Spark Connect has no RDD/sparkContext
-        # API, so there we skip widening rather than fail five operators
+        # JVM-side physical-plan probe, no job: toRdd() is the InternalRow
+        # RDD, so unlike df.rdd there is no Python Row-serializer layer to
+        # build per call. Spark Connect has no _jdf/sparkContext API, so
+        # there we skip widening rather than fail five operators
         target = df.sparkSession.sparkContext.defaultParallelism
-        narrow = df.rdd.getNumPartitions() < target
+        narrow = (
+            df._jdf.queryExecution().toRdd().getNumPartitions() < target
+        )
     except Exception:
         return df
     return df.repartition(target) if narrow else df

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
 # Intersected with the fixture vocabulary on purpose — the operator shape
@@ -276,9 +277,14 @@ def dup_span_coverage(df: DataFrame, w: int = 8) -> DataFrame:
     re-expressed at fixed width so it is joins + aggregations instead of
     a suffix array.
 
-    Plan: constant ×w span explode of the token stream → (shingle →
-    distinct-doc count) aggregate → join back → interval union via
-    position explode + distinct. Every shuffle keys on shingle or doc_id
+    Plan: constant ×w span explode of the token stream → ONE shuffle on
+    shingle where min/max window aggregates flag cross-document spans
+    (``min(doc_id) != max(doc_id)`` ⟺ distinct-doc count ≥ 2 — no set
+    buffering, no countDistinct) → interval union via position explode +
+    distinct. The explode — the heaviest intermediate, |tokens|×1 rows —
+    is computed exactly once; the earlier aggregate-then-join-back shape
+    referenced it in two plan branches and recomputed the full explode
+    and upstream scan twice. Every shuffle keys on shingle or doc_id
     hashes; no all-pairs stage. Documents shorter than ``w`` tokens have
     zero duplicated coverage by definition.
     """
@@ -294,14 +300,11 @@ def dup_span_coverage(df: DataFrame, w: int = 8) -> DataFrame:
             )
         ).alias("pos", "shingle"),
     )
-    dups = (
-        spans.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("shingle")
-    )
+    wsh = Window.partitionBy("shingle")
     covered = (
-        spans.join(dups, "shingle")
+        spans.withColumn("_mn", F.min("doc_id").over(wsh))
+        .withColumn("_mx", F.max("doc_id").over(wsh))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select(
             "doc_id",
             F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("idx"),

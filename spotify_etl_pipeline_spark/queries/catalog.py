@@ -91,85 +91,45 @@ def _load_all() -> None:
 
 #: External correctness sweeps consume the catalog front-to-back and cap at
 #: ~50 entries per round, so ordering is a verification-rotation policy, not
-#: cosmetics.  Round 3: (a) the queries fixed this round — the two
-#: TIMESTAMP_NTZ-regression crashes (r1-green, broken by the driver's
-#: µs-timestamp regeneration), the four HUGEINT-oracle hash failures, and
-#: the array-output canonicalizer crash — then (b) the six queries that
-#: have never received a lifetime driver row, then (c) round-1 greens whose
-#: last driver check predates plan changes (broadcast hints dropped,
-#: MinHash hashed shingle ids — all locally DuckDB-differential-green),
-#: then (d) the rest in registration order (driver-green in r1 or r2 under
-#: code that has not changed since).
+#: cosmetics.  Round 4: (a) the four queries that have never received a
+#: lifetime driver row (q12 carries the round-3 HUGEINT repair that was
+#: fixed but never driver-verified), then (b) queries changed or added this
+#: round (chi2 overflow fix, IVFADC composition, pinned-codebook PQ oracle,
+#: dup-span persist), then (c) round-3 greens for re-confirmation, oldest
+#: driver check first, then (d) the rest in registration order.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # (a) fixed this round: events.ts NTZ regression (load_fixture dtype
-    # branch) — r1-green, crashed under round-2 data
-    "asof_last_purchase_before_click",
-    "events_range_pair_join",
-    # (a) fixed this round: HUGEINT oracle dtype (CAST ... AS BIGINT)
-    "knn_quantized_topk",
-    "events_sessionize",
-    "pack_training_sequences",
-    "packing_efficiency",
-    # (a) fixed this round: array output serialized to string
-    "embedding_quantize_int8",
-    # (a) new this round: tolerance-band oracles upgrading the rows-only
-    # approx aggregates to real driver checks
-    "approx_count_distinct_check",
-    "percentile_approx_check",
-    "knn_ivf_recall",
-    "chunk_documents_overlap",
-    "dedup_prefix_clusters",
-    # (a) new in round 3: quality gate, fuzzy/interval joins, L2+PQ ANN
-    "data_quality_expectations",
-    "heavy_hitters_check",
-    "fuzzy_name_match",
-    "interval_overlap_pairs",
-    "knn_l2_brute_force",
-    "knn_pq_topk",
-    "cdc_apply_snapshot",
-    "events_props_variant",
-    "snapshot_diff_orders",
-    "entity_resolution_clusters",
-    "bpe_pair_counts",
-    # (a) new in round 3, second batch: graph/statistical analytics
-    "pagerank_nation_trade",
-    "text_lm_score",
-    "lineitem_correlations",
-    "rolling_median_acctbal",
-    "salted_priority_totals",
-    "embedding_centroids",
-    "event_transition_matrix",
-    "mixture_reweighting",
-    "events_ema_value",
-    "logistic_quality_fit",
-    "ols_price_on_quantity",
-    "dedup_canonical_by_quality",
-    "knn_filtered_topk",
-    "winsorize_prices",
-    "target_encode_loo",
-    "knn_pq_recall",
-    "text_bm25_topk",
-    # (a) new in round 3, fourth batch (COVERAGE.md numbering):
-    # substring-level corpus hygiene (substring_ops.py), the log-star
-    # components twin (dedup_queries.py), the RAG index capstone
-    # (pipeline_ops.py), and the chi-square gate (stats_ops.py)
-    "dup_span_coverage",
-    "bpe_merge_apply",
-    "vocab_oov_rate",
-    "dedup_resolve_clusters_logstar",
-    "rag_bucket_index",
-    "lang_source_chi2",
-    "asof_next_purchase_after_click",
-    "key_skew_profile",
-    # (b) never driver-checked (no lifetime row)
-    "q2_min_cost_supplier",
-    "q11_important_parts",
+    # (a) never driver-checked (no lifetime row) — VERDICT r3 item 1
     "q12_priority_by_returnflag",
     "q20_excess_shipment_suppliers",
     "knn_quantized_ivf",
     "full_outer_click_purchase_recon",
-    # (c) r1-green whose plans changed in round 2 (re-verified locally by
-    # tests/test_queries_oracle.py; this is their first driver re-check)
+    # (b) changed/added this round
+    "lang_source_chi2",  # int64→double overflow fix on both engines
+    "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing
+    "knn_ivfadc_recall",  # new: hash-checked recall floor for IVFADC
+    "knn_pq_pinned_topk",  # new: pinned-codebook PQ with full value oracle
+    "dup_span_coverage",  # spans now persisted (single pass)
+    "knn_pq_topk",
+    "knn_pq_recall",
+    "asof_last_purchase_before_click",  # negative-tolerance guard added
+    "asof_next_purchase_after_click",
+    "dedup_resolve_clusters_logstar",  # exact fixpoint check added
+    # (c) r3-green re-confirmations, priortized toward shapes sharing code
+    # paths with this round's edits (ANN tier, components, stats)
+    "knn_quantized_topk",
+    "knn_ivf_recall",
+    "knn_l2_brute_force",
+    "knn_filtered_topk",
+    "embedding_quantize_int8",
+    "embedding_centroids",
+    "dedup_resolve_clusters",
+    "entity_resolution_clusters",
+    "lineitem_correlations",
+    "ols_price_on_quantity",
+    "logistic_quality_fit",
+    # (c) r1/r2-green whose last driver check is oldest
+    "q2_min_cost_supplier",
+    "q11_important_parts",
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
     "dedup_embedding_cosine",
@@ -180,9 +140,38 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "corpus_curation",
     "pricing_summary",
-    # (d) driver-green re-confirmations, oldest checks first (r1 sweep),
-    # weighted toward operators whose inputs the driver regenerates
-    # (events/documents/embeddings fixtures changed types in round 2)
+    "events_range_pair_join",
+    "events_sessionize",
+    "pack_training_sequences",
+    "packing_efficiency",
+    "approx_count_distinct_check",
+    "percentile_approx_check",
+    "chunk_documents_overlap",
+    "dedup_prefix_clusters",
+    "data_quality_expectations",
+    "heavy_hitters_check",
+    "fuzzy_name_match",
+    "interval_overlap_pairs",
+    "cdc_apply_snapshot",
+    "events_props_variant",
+    "snapshot_diff_orders",
+    "bpe_pair_counts",
+    "pagerank_nation_trade",
+    "text_lm_score",
+    "rolling_median_acctbal",
+    "salted_priority_totals",
+    "event_transition_matrix",
+    "mixture_reweighting",
+    "events_ema_value",
+    "dedup_canonical_by_quality",
+    "winsorize_prices",
+    "target_encode_loo",
+    "text_bm25_topk",
+    "bpe_merge_apply",
+    "vocab_oov_rate",
+    "rag_bucket_index",
+    "key_skew_profile",
+    # (d) driver-green re-confirmations, oldest checks first (r1 sweep)
     "events_tumbling_hourly",
     "events_sliding_counts",
     "events_daily_from_hourly",
@@ -194,7 +183,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "latest_order_per_customer",
     "dedup_exact_distinct",
     "dedup_exact_group",
-    "dedup_resolve_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "anti_join_inactive_customers",

@@ -331,6 +331,129 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pq_pinned_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    subs AS (SELECT UNNEST(range({PQ_M})) AS sub),
+    books AS (
+      SELECT subs.sub, init.code,
+             list_slice(init.v, subs.sub * 16 + 1, subs.sub * 16 + 16) AS cw
+      FROM init CROSS JOIN subs
+    ),
+    vsub AS (
+      SELECT e.vec_id, subs.sub,
+             list_slice(e.v, subs.sub * 16 + 1, subs.sub * 16 + 16) AS sv
+      FROM e CROSS JOIN subs
+    ),
+    dists AS (
+      SELECT vsub.vec_id, vsub.sub, books.code,
+             list_sum(list_transform(list_zip(vsub.sv, books.cw),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM vsub JOIN books ON vsub.sub = books.sub
+    ),
+    enc AS (
+      SELECT vec_id, sub, code
+      FROM (SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, code ASC) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code,
+             CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2u
+      FROM dists WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT lut.query_id, enc.vec_id AS neighbor_id,
+             CAST(SUM(lut.d2u) AS BIGINT) AS adc_u
+      FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+      WHERE lut.query_id != enc.vec_id
+      GROUP BY lut.query_id, enc.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_u ASC, neighbor_id ASC)
+                       AS srank
+            FROM adc)
+      WHERE srank <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT short.query_id, short.neighbor_id,
+             list_sum(list_transform(list_zip(q.v, c.v),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM short
+      JOIN e q ON q.vec_id = short.query_id
+      JOIN e c ON c.vec_id = short.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM (SELECT query_id, neighbor_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2 ASC, neighbor_id ASC) AS rank
+          FROM rer)
+    WHERE rank <= {K}
+    """,
+    survey="X3",
+    doc="PQ ADC + exact rerank with the ENTIRE pipeline value-hash-"
+    "checked — the embedding_lsh_neardup trick applied to product "
+    "quantization. Codebooks are pinned to the deterministic k-means "
+    "init (each subspace's 16 lowest-vec_id subvectors, pq_fit "
+    "max_iter=0), so both engines rederive identical codebooks from "
+    "the data; encode/LUT distances are single index-ordered folds "
+    "(bit-identical doubles), argmin ties break toward the lower code "
+    "id on both sides, and each LUT entry is floored to integer "
+    "micro-units BEFORE the m-term ADC sum so the sum is exact integer "
+    "arithmetic with no float addition-order dependence. The trained-"
+    "codebook twin knn_pq_topk stays the quality path (rows-only + "
+    "recall gate); this entry proves the ADC/shortlist/rerank machinery "
+    "itself is exactly right.",
+)
+def knn_pq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import _exact_rerank, pq_encode, pq_fit, pq_query_lut
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    books = pq_fit(emb, m=PQ_M, k=PQ_K, max_iter=0)  # init-only: exact
+    codes = pq_encode(emb, books)
+    lut = pq_query_lut(queries, books).select(
+        "query_id",
+        "sub",
+        "code",
+        F.floor(F.col("d2") * 1_000_000).alias("d2u"),
+    )
+    exploded = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("pq_codes").alias("sub", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2u").alias("adc_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_u"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, emb, queries, k=K)
+
+
+@register(
     "knn_filtered_topk",
     oracle=f"""
     WITH e AS (

@@ -160,6 +160,91 @@ def lsh_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivfadc_topk",
+    oracle=None,  # probe routing rides on float centroid means (engine
+    # summation order) → rows-only; the hash-checked twin is
+    # knn_ivfadc_recall, and the machinery itself is value-hash-proven
+    # by knn_pq_pinned_topk.
+    survey="X3",
+    doc="IVFADC (Jégou et al. 2011 §IV) — the composition VERDICT r3 "
+    "flagged as the one remaining ANN scale gap: PQ candidate "
+    "generation routed through IVF probing (n_probe=3 of 10) so ADC "
+    "scores only probed clusters' code rows instead of the full "
+    "corpus, then exact rerank of the 50-pair shortlist. The heavy "
+    "ADC groupBy carries |cand|*m rows (~n_probe/n_clusters of "
+    "exhaustive ADC's |Q|*n*m) — the plan that stands at 10^9 "
+    "vectors.",
+)
+def knn_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_fit, pq_ivfadc_topk
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, k=16)
+    # the PQ index is the stored artifact (same role as the persisted
+    # int8 index above) — materialize the encode pass once
+    codes = pq_encode(emb, books).persist()
+    return pq_ivfadc_topk(
+        emb, codes, queries, books, k=5, shortlist=50, n_probe=3
+    )
+
+
+@register(
+    "knn_ivfadc_recall",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok
+    """,
+    survey="X3",
+    doc="Driver-checkable recall gate for IVFADC (same pattern as "
+    "knn_ivf_recall / knn_pq_recall): Spark computes the exact L2 "
+    "top-k AND the IVFADC top-k in one plan and emits aggregate "
+    "recall >= 0.2 as a boolean the oracle asserts TRUE. Fixture "
+    "labels are random clusters, so n_probe=3/10 bounds recall near "
+    "the searched fraction (~0.3 expected; the exhaustive-ADC tier "
+    "measures ~0.75) — 0.2 is the searched-fraction floor, matching "
+    "knn_ivf_recall's. n_queries hash-checks that every query "
+    "produced a result.",
+)
+def knn_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import (
+        brute_force_l2_topk,
+        pq_encode,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    exact = brute_force_l2_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    books = pq_fit(emb, m=4, k=16)
+    codes = pq_encode(emb, books).persist()
+    approx = pq_ivfadc_topk(
+        emb, codes, queries, books, k=5, shortlist=50, n_probe=3
+    ).select("query_id", F.col("neighbor_id").alias("ivfadc_neighbor_id"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.ivfadc_neighbor_id),
+        "left_semi",
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.countDistinct("query_id").alias("n_queries"),
+            )
+        )
+        .select(
+            "n_queries",
+            (F.col("n_hits") >= 0.2 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+@register(
     "knn_quantized_ivf",
     oracle=None,  # probe routing depends on float centroid means (engine
     # summation order) → rows-only; recall floor vs the exact quantized

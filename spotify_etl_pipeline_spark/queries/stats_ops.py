@@ -676,9 +676,12 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cell AS (
       SELECT CAST(FLOOR(
-               (CAST(obs * nn - rn * cn AS DOUBLE)
-                * CAST(obs * nn - rn * cn AS DOUBLE))
-               / CAST((nn * rn) * cn AS DOUBLE)
+               ((CAST(obs AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))
+                * (CAST(obs AS DOUBLE) * CAST(nn AS DOUBLE)
+                   - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)))
+               / ((CAST(nn AS DOUBLE) * CAST(rn AS DOUBLE))
+                  * CAST(cn AS DOUBLE))
                * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro_cell
       FROM grid
     )
@@ -694,10 +697,14 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per batch. The grid is the CROSS of the two margin aggregates "
     "(|langs| × |sources| rows — margin-sized, never corpus-sized) left-"
     "joined to observed counts so zero cells contribute their full "
-    "expected mass. Per-cell statistic in exact integer arithmetic up "
-    "to one IEEE division, floored to micro units, then SUMmed as "
-    "bigints — bit-identical across engines, no float aggregation "
-    "order-dependence. dof and N ride along for the report.",
+    "expected mass. Per-cell statistic promotes every count to double "
+    "BEFORE any multiplication (obs*nn and (nn*rn)*cn overflow int64 "
+    "once the corpus passes ~2e6 rows, which under Spark ANSI mode "
+    "would throw ARITHMETIC_OVERFLOW at exactly the batch scale this "
+    "gate targets); the products and the one division are identically "
+    "ordered on both engines so the IEEE results stay bit-equal, then "
+    "floored to micro units and SUMmed as bigints. dof and N ride "
+    "along for the report.",
 )
 def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -716,9 +723,12 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = grid.select(
         F.expr(
             "cast(floor("
-            "  (cast(obs * nn - rn * cn as double)"
-            "   * cast(obs * nn - rn * cn as double))"
-            "  / cast((nn * rn) * cn as double)"
+            "  ((cast(obs as double) * cast(nn as double)"
+            "    - cast(rn as double) * cast(cn as double))"
+            "   * (cast(obs as double) * cast(nn as double)"
+            "      - cast(rn as double) * cast(cn as double)))"
+            "  / ((cast(nn as double) * cast(rn as double))"
+            "     * cast(cn as double))"
             "  * 1000000.0 + 0.5) as bigint)"
         ).alias("chi2_micro_cell")
     )

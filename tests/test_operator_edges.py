@@ -198,3 +198,22 @@ def test_chunk_windows_keep_tokens_matches_hash(spark):
     assert sorted(r["chunk_hash"] for r in plain) == sorted(
         r["chunk_hash"] for r in rehashed.collect()
     )
+
+
+def test_asof_negative_tolerance_raises(spark):
+    """A negative tolerance can never match (gap >= 0 always), so it must
+    fail loudly like pandas merge_asof, not return an all-null join."""
+    from spotify_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 9, 99)], "k long, ts long, v long")
+    with pytest.raises(ValueError, match="non-negative"):
+        asof_join(
+            left,
+            right,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["v"],
+            tolerance=-1,
+        )

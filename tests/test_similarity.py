@@ -230,6 +230,83 @@ def test_pq_rerank_recall_floor(spark, sf_dir):
     assert len(exact & adc) / len(exact) >= 0.1
 
 
+def test_ivfadc_full_probe_equals_exhaustive_adc(spark, sf_dir):
+    """IVFADC with n_probe == n_clusters probes everything, so its
+    candidate set is exactly exhaustive ADC's (all pairs minus self) and
+    the whole output — shortlist AND rerank — must match
+    pq_adc_rerank_topk tuple-for-tuple. Validates the routing/candidate
+    plumbing carries zero scoring drift; the scale win is then purely the
+    n_probe/n_clusters candidate fraction."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.pq import (
+        pq_adc_rerank_topk,
+        pq_encode,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, k=16)
+    codes = pq_encode(emb, books).persist()
+    n_clusters = emb.select("label").distinct().count()
+    exhaustive = {
+        tuple(r)
+        for r in pq_adc_rerank_topk(
+            emb, codes, qs, books, k=5, shortlist=50
+        ).collect()
+    }
+    full_probe = {
+        tuple(r)
+        for r in pq_ivfadc_topk(
+            emb, codes, qs, books, k=5, shortlist=50, n_probe=n_clusters
+        ).collect()
+    }
+    codes.unpersist()
+    assert full_probe == exhaustive
+
+
+def test_ivfadc_partial_probe_recall(spark, sf_dir):
+    """n_probe=3/10 over random-label clusters reaches ~30% of the corpus;
+    recall vs exact L2 must clear the searched-fraction floor (measured
+    0.32–0.34 at sf0.01/sf0.1) — the gate knn_ivfadc_recall drives."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL["knn_l2_brute_force"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL["knn_ivfadc_topk"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVFADC recall below searched fraction: {recall:.2f}"
+
+
+def test_pq_fit_zero_iter_is_exact_init(spark, sf_dir):
+    """max_iter=0 must return exactly the deterministic init — each
+    subspace's k lowest-vec_id subvector slices — because the
+    knn_pq_pinned_topk oracle rederives THESE codebooks in SQL; any
+    drift here silently breaks the pinned value-hash contract."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.pq import pq_fit
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=16, max_iter=0)
+    first = (
+        emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )
+    for sub in range(4):
+        for code, row in enumerate(first):
+            assert books[sub][code] == list(row["v"][sub * 16 : (sub + 1) * 16])
+
+
 def test_fused_band_buckets_match_reference_bits(spark):
     """The fused single-expression signature stage must produce exactly the
     (id, band, bucket) tuples of the per-plane reference formulation —
