@@ -95,7 +95,8 @@ Fetcher = Callable[[str, dict[str, Any]], dict[str, Any]]
 def _no_network_fetcher(endpoint: str, params: dict[str, Any]) -> dict[str, Any]:
     raise NotImplementedError(
         "no network access in this environment — inject a fetcher "
-        "(tests use fixtures.fake_fetcher; production uses spotipy/requests)"
+        "(tests use fixtures.fake_fetcher; production uses "
+        "sources.live_fetcher.make_live_fetcher)"
     )
 
 

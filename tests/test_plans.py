@@ -32,8 +32,10 @@ PAIRWISE_OK = {
     "knn_ivf",
     "knn_quantized_topk",
     "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
+    "knn_ivfadc_topk",  # same k-row centroid crossJoin (ivf_probe_routing)
     "knn_ivf_recall",  # embeds brute_force_topk (the recall reference)
     "knn_pq_recall",  # embeds brute_force_l2_topk (the recall reference)
+    "knn_ivfadc_recall",  # embeds brute_force_l2_topk (the recall reference)
     "knn_l2_brute_force",  # the exact L2 baseline (PQ recall reference)
     "dedup_embedding_cosine",
 }
