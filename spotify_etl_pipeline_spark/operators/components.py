@@ -32,6 +32,12 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
     id reachable. Undirected. Converges in O(diameter) rounds."""
+    # Materialize the (narrow) edge projection ONCE before fanning out into
+    # the two union branches: ``edges`` is typically the output of an
+    # expensive candidate generator (the full shingle/LSH pipeline), and
+    # every downstream branch that re-reads an unmaterialized plan re-runs
+    # that whole pipeline.
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint()
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -104,6 +110,11 @@ def connected_components_star(
     versus O(diameter) rounds × constant edges. Fixpoint = edge set
     unchanged; every round ``localCheckpoint``s so lineage stays flat.
     """
+    # One materialization of the (narrow) edge projection before it fans
+    # out into THREE consumers (both node-union branches + the canonical
+    # edge set) — otherwise the candidate-generator pipeline feeding this
+    # runs three times (see connected_components).
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))

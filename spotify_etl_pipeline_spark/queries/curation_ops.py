@@ -211,9 +211,15 @@ def corpus_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id")
         .join(docs, "doc_id")
         .select("doc_id", "lang", "text")
+        # consumed twice (decontam shingles + the anti-join's left side):
+        # persist so the quality pipeline runs once
+        .persist()
     )
     contaminated = benchmark_ngram_hits(corpus0, bench, n=DECONTAM_N).select("doc_id")
-    curated = corpus0.join(contaminated, "doc_id", "left_anti")
+    # consumed three times (pair generation, the node set inside
+    # resolve_duplicates, and the final survivor join) — without persist
+    # the whole quality+decontamination subtree re-executes per consumer
+    curated = corpus0.join(contaminated, "doc_id", "left_anti").persist()
     pairs = D.ngram_jaccard_pairs(curated, n=3, threshold=0.8)
     survivors = (
         resolve_duplicates(curated.select("doc_id"), pairs, id_col="doc_id")
