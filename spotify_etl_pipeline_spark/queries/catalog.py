@@ -103,7 +103,16 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q20_excess_shipment_suppliers",
     "knn_quantized_ivf",
     "full_outer_click_purchase_recon",
-    # (b) changed/added this round
+    # (b) changed/added this round — components input now materialized
+    # once (affects every resolve/cluster query) and the decontamination
+    # capstone persists its fan-out frontiers
+    "dedup_resolve_clusters_logstar",  # exact fixpoint + single-run input
+    "dedup_resolve_clusters",
+    "entity_resolution_clusters",
+    "corpus_curation_decontaminated",  # corpus0/curated now persisted
+    "dedup_canonical_by_quality",
+    "corpus_curation",
+    # (b) changed/added this round — ANN tier + overflow fixes
     "lang_source_chi2",  # int64→double overflow fix on both engines
     "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing
     "knn_ivfadc_recall",  # new: hash-checked recall floor for IVFADC
@@ -113,7 +122,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_pq_recall",
     "asof_last_purchase_before_click",  # negative-tolerance guard added
     "asof_next_purchase_after_click",
-    "dedup_resolve_clusters_logstar",  # exact fixpoint check added
     # (c) r3-green re-confirmations, priortized toward shapes sharing code
     # paths with this round's edits (ANN tier, components, stats)
     "knn_quantized_topk",
@@ -122,8 +130,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_filtered_topk",
     "embedding_quantize_int8",
     "embedding_centroids",
-    "dedup_resolve_clusters",
-    "entity_resolution_clusters",
     "lineitem_correlations",
     "ols_price_on_quantity",
     "logistic_quality_fit",
@@ -138,7 +144,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q8_brand_market_share",
     "multimodal_features",
-    "corpus_curation",
     "pricing_summary",
     "events_range_pair_join",
     "events_sessionize",
@@ -163,7 +168,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "mixture_reweighting",
     "events_ema_value",
-    "dedup_canonical_by_quality",
     "winsorize_prices",
     "target_encode_loo",
     "text_bm25_topk",

@@ -56,7 +56,20 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast thresholds are split by evidence quality. The STATIC
+        # planner only has size ESTIMATES (file size × projection ratio),
+        # which underestimate the built HashedRelation by several × — at an
+        # sf10 tiling it happily broadcast a 15M-row orders projection and
+        # flagship ran 2.6× slower than the shuffle plan. So the static
+        # threshold stays conservative (16 MB). AQE re-plans joins at stage
+        # boundaries from MEASURED shuffle sizes, so its threshold is the
+        # generous one (64 MB): small-at-runtime sides still broadcast,
+        # growing tables demote to sort-merge without any per-query hints.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
