@@ -31,6 +31,18 @@ Decomposition (all public Spark API, no UDFs):
 Approximate by construction (codebooks are k-means fits) → rows-only
 driver checks; recall floors vs the exact L2 baseline are asserted in
 tests/test_similarity.py.
+
+Measured dead end, do not re-try: replacing the per-query top-k window
+with a two-phase grouped top-k (local ``slice(array_sort(collect_list))``
+per (spark_partition_id, query), then a tiny merge — shuffle ≤
+keys·partitions·k rows) benched 6× SLOWER on a persisted 30 M-row scored
+set at the sf10 tile (12.6 s vs the window's 2.1 s), even with
+``objectHashAggregate.sortBased.fallbackThreshold`` raised so the hash
+path never degraded to sort. ObjectHashAggregate's per-row struct
+allocation and unbounded list buffers cost more than the window's single
+linear re-shuffle + tight radix-ish sort. The window IS the fast per-key
+top-k on Spark; shrink its INPUT (IVF probing, shortlists) rather than
+re-plumbing the operator.
 """
 
 from __future__ import annotations
@@ -107,6 +119,7 @@ def pq_fit(
     id_col: str = "vec_id",
     max_iter: int = 4,
     tol: float = 1e-6,
+    max_points_per_centroid: int = 256,
 ) -> list[list[list[float]]]:
     """Fit ``m`` codebooks of ``k`` codewords each. Returns
     codebooks[sub][code] = centroid (length d/m).
@@ -129,7 +142,17 @@ def pq_fit(
     createDataFrame + broadcast round-trip costs more than the literal's
     recompile.
     """
-    d = _as_double_vec(vectors, id_col)
+    from .kmeans import train_sample
+
+    # Faiss-style training cap (max_points_per_centroid * k rows via a
+    # deterministic hash-stride sample): codebook quality saturates at a
+    # few hundred points per codeword, so the fit loop must not scale with
+    # the corpus — encode/serve passes see every vector, training doesn't.
+    # Does not bind at driver fixture scale (≤2 K vectors): codebooks
+    # there are identical to the uncapped fit.
+    d = _as_double_vec(
+        train_sample(vectors, max_points_per_centroid * k, id_col), id_col
+    )
     init_rows = d.orderBy(id_col).limit(k).select("v").collect()
     if len(init_rows) < k:
         raise ValueError(f"k={k} exceeds the number of input vectors")
@@ -203,22 +226,31 @@ def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, pq_codes array<int> length m): nearest codeword per subspace,
-    ties toward the lower code id. Narrow map against the constant-folded
-    codebook literal — the index build's only data pass, no shuffle; the
-    whole m-subspace argmin is one data-level expression (loops over sub
-    and codeword axes are `transform`s, not expression-tree copies)."""
+    """(id, *keep_cols, pq_codes array<int> length m): nearest codeword
+    per subspace, ties toward the lower code id. Narrow map against the
+    constant-folded codebook literal — the index build's only data pass,
+    no shuffle; the whole m-subspace argmin is one data-level expression
+    (loops over sub and codeword axes are `transform`s, not
+    expression-tree copies). ``keep_cols`` rides extra columns through
+    (e.g. the IVF coarse-cell id, so the stored index needs no
+    membership join at query time — the IVFADC layout)."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
-    d = _as_double_vec(widen_narrow_scan(vectors), id_col)
+    src = widen_narrow_scan(vectors)
+    d = src.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
     dists = _sub_dists_sql(
         _books_literal_sql(codebooks), f"slice(v, s * {sub_d} + 1, {sub_d})", "s"
     )
     codes = F.expr(
         f"transform(sequence(0, {m - 1}), s -> {_argmin_sql(dists)})"
     )
-    return d.select(id_col, codes.alias("pq_codes"))
+    return d.select(id_col, *keep_cols, codes.alias("pq_codes"))
 
 
 def pq_query_lut(
@@ -381,14 +413,27 @@ def pq_ivfadc_topk(
 
     - **route** — query × C-row centroid table, broadcast by construction
       (:func:`..similarity.ivf_probe_routing`);
-    - **candidates** — probes ⋈ cluster membership on cluster id: an
-      equi-join emitting ~|Q|·n·(n_probe/C) pairs, never |Q|·n;
-    - **ADC** — candidate pairs ⋈ exploded codes on neighbor_id (shuffle
-      keys on vector id — scale-correct), then the broadcast per-query
-      LUT join on (query_id, sub, code) and a groupBy sum. The heavy
-      groupBy now carries |cand|·m rows instead of |Q|·n·m — the
-      n_probe/C fraction is the whole point;
+    - **ADC** — ONE broadcast join, the same plan shape as exhaustive
+      :func:`pq_adc_topk` but with cluster-restricted fan-out: the
+      routing table and the per-query LUT pre-join into a
+      (cluster, query_id, sub, code, d2) broadcast side (|Q|·n_probe·m·k
+      rows — KBs for any sane query batch), and the cluster-tagged
+      exploded codes stream through it straight into the map-side
+      partial aggregate. Each code row fans out only to queries probing
+      its cluster, so the groupBy input is |Q|·n·(n_probe/C)·m rows,
+      never |Q|·n·m — and there are ZERO extra shuffles vs the
+      exhaustive plan. (A first cut materialized a (query_id,
+      neighbor_id) candidate table via probes ⋈ membership and re-joined
+      codes on neighbor_id — two added shuffles that made probing
+      SLOWER than exhaustive ADC at 200 K × 500 queries, 72 s vs 39 s;
+      this fused form is the measured fix.) For |Q| past broadcast
+      range, chunk the query batch — each chunk is this same plan;
     - **rerank** — exact L2 on |Q|·shortlist pairs only.
+
+    ``corpus_codes`` may already carry ``cluster_col`` (the stored-index
+    layout — encode once, store codes WITH their coarse cell as
+    :func:`pq_encode` ``keep_cols`` does); otherwise one linear join
+    against ``corpus`` attaches it.
 
     Recall loses only mass outside probed clusters (vs exhaustive ADC's
     codebook error alone); floors are gated in tests and by the
@@ -397,22 +442,24 @@ def pq_ivfadc_topk(
     from .similarity import ivf_probe_routing
 
     probes = ivf_probe_routing(corpus, queries, n_probe, cluster_col)
-    member = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(cluster_col).alias("cluster")
-    )
-    cand = (
-        probes.join(member, "cluster")
-        .select("query_id", "neighbor_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
     lut = pq_query_lut(queries, codebooks, id_col)
-    exploded = corpus_codes.select(
+    probe_lut = probes.join(lut, "query_id").select(
+        F.col("cluster"), "query_id", "sub", "code", "d2"
+    )
+    if cluster_col in corpus_codes.columns:
+        coded = corpus_codes
+    else:
+        coded = corpus_codes.join(
+            corpus.select(id_col, cluster_col), id_col
+        )
+    exploded = coded.select(
         F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
         F.posexplode("pq_codes").alias("sub", "code"),
     )
     scored = (
-        cand.join(exploded, "neighbor_id")
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        exploded.join(F.broadcast(probe_lut), ["cluster", "sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )

@@ -182,8 +182,9 @@ def knn_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
     books = pq_fit(emb, m=4, k=16)
     # the PQ index is the stored artifact (same role as the persisted
-    # int8 index above) — materialize the encode pass once
-    codes = pq_encode(emb, books).persist()
+    # int8 index above) — materialize the encode pass once, carrying the
+    # coarse-cell id so query time needs no membership join
+    codes = pq_encode(emb, books, keep_cols=("label",)).persist()
     return pq_ivfadc_topk(
         emb, codes, queries, books, k=5, shortlist=50, n_probe=3
     )
@@ -219,7 +220,7 @@ def knn_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     books = pq_fit(emb, m=4, k=16)
-    codes = pq_encode(emb, books).persist()
+    codes = pq_encode(emb, books, keep_cols=("label",)).persist()
     approx = pq_ivfadc_topk(
         emb, codes, queries, books, k=5, shortlist=50, n_probe=3
     ).select("query_id", F.col("neighbor_id").alias("ivfadc_neighbor_id"))

@@ -61,3 +61,35 @@ def test_ivf_over_kmeans_clusters_recall(spark, sf_dir):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.6
+
+
+def test_train_sample_cap_and_determinism(spark, sf_dir):
+    """Hash-stride training sample: no-op under the cap, ~cap rows and
+    bit-stable across invocations when it binds."""
+    from spotify_etl_pipeline_spark.operators.kmeans import train_sample
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    # cap above n: identity (same object, zero extra plan nodes)
+    assert train_sample(vecs, n + 1, "vec_id") is vecs
+    # binding cap: expected size ~= cap (hash stride, +/- sampling noise)
+    cap = max(10, n // 5)
+    s1 = train_sample(vecs, cap, "vec_id")
+    ids1 = sorted(r["vec_id"] for r in s1.select("vec_id").collect())
+    assert 0 < len(ids1) < n
+    assert len(ids1) < 2 * cap
+    ids2 = sorted(
+        r["vec_id"]
+        for r in train_sample(vecs, cap, "vec_id").select("vec_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_fit_unchanged_when_cap_not_binding(spark, sf_dir):
+    """Centroids with the default Faiss-style cap == uncapped fit at
+    fixture scale — the guarantee that driver correctness rows are
+    untouched by the training cap."""
+    vecs = _vectors(spark, sf_dir)
+    capped = kmeans_fit(vecs, k=3, max_iter=2)
+    uncapped = kmeans_fit(vecs, k=3, max_iter=2, max_points_per_centroid=0)
+    assert capped == uncapped
