@@ -5,9 +5,18 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is materialized with a count-style action (collect of the final,
-already-small result) — the driver's comparison does its own collect, this
-file measures end-to-end plan execution wall time per query.
+Each query is materialized with a ``noop``-format write — Spark's
+benchmarking sink, which evaluates EVERY output column of every row and
+discards them executor-side (no driver transfer). Rounds 1–3 timed
+``.count()`` instead, which lets Catalyst column-prune trailing
+projections and eliminate final left-outer joins whose aggregated right
+side isn't referenced — so projection-heavy queries (JSON extraction, LM
+scoring, dup-span coverage) recorded near-scan times rather than their
+real cost (measured gap at the sf10 tile: dup_span_coverage 0.19 s under
+count() vs 220 s materialized). Per-query times from round 4 on are
+therefore honest full-evaluation costs; where they exceed earlier rounds'
+numbers, the meter changed, not the plan — SCALE.md §"Measured action"
+records the per-query count-vs-noop audit.
 """
 
 from __future__ import annotations
@@ -112,9 +121,15 @@ def main() -> None:
     # noise, they must not pre-build the work being measured.
     times: dict[str, object] = {}
     errors: dict[str, str] = {}
+    def materialize(df) -> None:
+        # noop write = full evaluation of every column, zero driver
+        # transfer; .count() is NOT equivalent (Catalyst prunes unused
+        # trailing projections/joins under it — see module docstring)
+        df.write.format("noop").mode("overwrite").save()
+
     for name in names:
         try:
-            all_queries[name](spark, sf_dir).count()
+            materialize(all_queries[name](spark, sf_dir))
             samples: list[float] = []
             # 2 timed runs, plus a 3rd only when the first two disagree
             # >1.8× — external contention (another process, a GC storm)
@@ -126,9 +141,7 @@ def main() -> None:
             ):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                df = all_queries[name](spark, sf_dir)
-                n = df.count() if df.isStreaming is False else -1
-                assert n >= 0
+                materialize(all_queries[name](spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
             times[name] = round(min(samples), 3)
         except Exception as exc:  # noqa: BLE001 — report, don't die
