@@ -53,6 +53,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_lsh_candidates",
     "knn_brute_force",
+    # the Arrow matmul twin of the entry above: the (knn_brute_force,
+    # knn_brute_force_arrow) pair records the HOF-vs-Arrow kernel gap —
+    # at bench scale the fixed mapInPandas worker cost masks most of it;
+    # the sf10 tile (SCALE.md) is where the kernel win shows
+    "knn_brute_force_arrow",
     # embedding_lsh_neardup (the shallow recall-first LSH twin) stays
     # oracle-checked in the catalog — and sits in this round's correctness
     # sweep window (catalog._SWEEP_PRIORITY) — but is not a headline: at

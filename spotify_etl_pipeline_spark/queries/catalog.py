@@ -117,7 +117,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing
     "knn_ivfadc_recall",  # new: hash-checked recall floor for IVFADC
     "knn_pq_pinned_topk",  # new: pinned-codebook PQ with full value oracle
-    "dup_span_coverage",  # spans now persisted (single pass)
+    "knn_brute_force_arrow_agree",  # new: Arrow matmul kernel vs HOF exact
+    "knn_brute_force_arrow",  # new: rows-only twin of the gate above
+    "dup_span_coverage",  # interval union now a sweep-line lag window
     "knn_pq_topk",
     "knn_pq_recall",
     "asof_last_purchase_before_click",  # negative-tolerance guard added

@@ -546,3 +546,65 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "knn_brute_force_arrow",
+    oracle=None,  # exact ranking, but float64 matmul sums in a different
+    # order than the JVM fold — 4dp-rounded cosines can land on opposite
+    # sides of a half-ulp, so the value hash is not cross-engine stable;
+    # the _agree gate below carries the hash-checked evidence.
+    survey="X3",
+    doc="Arrow-batched exact top-5 cosine: numpy matmul inside mapInPandas "
+    "emitting per-batch top-(k+1) survivors, one thin global rank window — "
+    "the throughput twin of knn_brute_force (HOF dot products are "
+    "interpreted per element; the matmul kernel is the 100 TB rerank path).",
+)
+def knn_brute_force_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.arrow_knn import brute_force_topk_arrow
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    return brute_force_topk_arrow(emb, queries, k=K)
+
+
+@register(
+    "knn_brute_force_arrow_agree",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries, TRUE AS agree_ok
+    """,
+    survey="X3",
+    doc="Driver-checkable agreement gate for the Arrow kernel (same pattern "
+    "as knn_ivf_recall): Spark computes the HOF and matmul top-k in one "
+    "plan and asserts neighbor-set agreement >= 0.9 — both are exact, so "
+    "disagreement is bounded by rank flips between cosines within ~1 ulp; "
+    "n_queries hash-checks that every query produced a full result.",
+)
+def knn_brute_force_arrow_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.arrow_knn import brute_force_topk_arrow
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    exact = S.brute_force_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    arrow = brute_force_topk_arrow(emb, queries, k=K).select(
+        "query_id", F.col("neighbor_id").alias("arrow_neighbor_id")
+    )
+    hits = exact.join(
+        arrow,
+        (exact.query_id == arrow.query_id)
+        & (exact.neighbor_id == arrow.arrow_neighbor_id),
+        "left_semi",
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.countDistinct("query_id").alias("n_queries"),
+            )
+        )
+        .select(
+            "n_queries",
+            (F.col("n_hits") >= 0.9 * F.col("n_exact")).alias("agree_ok"),
+        )
+    )

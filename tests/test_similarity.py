@@ -346,3 +346,44 @@ def test_fused_band_buckets_match_reference_bits(spark):
         for band in range(n_bands)
     }
     assert fused == ref
+
+
+def test_arrow_brute_force_matches_jvm_exact(spark, sf_dir):
+    """Both kernels are exact; on the fixture no cosine gap sits within a
+    ulp of another, so the full (query, neighbor, rank) sets must agree —
+    stronger than the 0.9 driver gate."""
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ALL["knn_brute_force"](spark, sf_dir).collect()
+    }
+    arrow = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ALL["knn_brute_force_arrow"](spark, sf_dir).collect()
+    }
+    assert arrow == exact
+
+
+def test_arrow_brute_force_zero_norm_and_guard(spark, sf_dir):
+    """Zero-norm corpus rows never appear as neighbors (cosine undefined),
+    and the bounded-|Q| contract raises instead of collecting unbounded."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.arrow_knn import (
+        brute_force_topk_arrow,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.range(1).select(
+        F.lit(999_999).alias("vec_id"),
+        F.array(*[F.lit(0.0)] * dim).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    queries = corpus.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    out = brute_force_topk_arrow(corpus, queries, k=5).collect()
+    assert all(r["neighbor_id"] != 999_999 for r in out)
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk_arrow(corpus, queries, k=5, max_queries=2)
