@@ -73,6 +73,8 @@ def brute_force_topk_arrow(
     qn = np.sqrt((Q * Q).sum(axis=1))
     keep_q = qn > 0  # zero-norm query ⇒ cosine undefined ⇒ no results
     qids, Q, qn = qids[keep_q], Q[keep_q], qn[keep_q]
+    if qids.size == 0:
+        raise ValueError("every query vector has zero norm — cosine undefined")
     Qhat = Q / qn[:, None]
     kk = k + 1  # +1: a batch slot may be lost to the self-match
 

@@ -114,6 +114,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "corpus_curation",
     # (b) changed/added this round — ANN tier + overflow fixes
     "lang_source_chi2",  # int64→double overflow fix on both engines
+    "hll_sketch_merge_check",  # new: mergeable Datasketches HLL per-shard union
     "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing
     "knn_ivfadc_recall",  # new: hash-checked recall floor for IVFADC
     "knn_pq_pinned_topk",  # new: pinned-codebook PQ with full value oracle

@@ -483,6 +483,54 @@ def percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_sketch_merge_check",
+    oracle="""
+    SELECT CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer) AS BIGINT)
+             AS n_shards,
+           CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT)
+             AS exact_customers,
+           TRUE AS within_2pct
+    """,
+    survey="X6",
+    doc="Mergeable-sketch distinct counting with the Datasketches HLL "
+    "functions (hll_sketch_agg / hll_union_agg / hll_sketch_estimate, "
+    "Spark >= 3.5): each shard — here one per nation, standing in for one "
+    "per executor/partition at cluster scale — builds a fixed-size binary "
+    "sketch independently, and the global cardinality comes from MERGING "
+    "the sketches, never from re-scanning or shuffling raw keys. This is "
+    "how a 1000-executor job counts distincts over 100 TB: partial "
+    "sketches are bytes, so the merge input is |shards| rows regardless "
+    "of data volume, and sketches persisted per-partition stay mergeable "
+    "across days/sources (unlike approx_count_distinct, whose sketch "
+    "never leaves the aggregation). The exact count is hash-checked "
+    "against DuckDB; the merged estimate's accuracy emits as an "
+    "oracle-asserted boolean (lgConfigK=14 -> ~0.8% RSE, so the 2% band "
+    "is a ~2.5-sigma gate, not a tautology).",
+)
+def hll_sketch_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    # Stage 1 (per shard): one fixed-size sketch per nation.
+    shards = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk")
+    )
+    # Stage 2 (merge): union the binary sketches -> global estimate.
+    merged = shards.agg(
+        F.count("*").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = cust.agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    # 1-row x 1-row scalar attach (allowlisted by the cartesian guard).
+    return merged.crossJoin(exact).select(
+        "n_shards",
+        "exact_customers",
+        (
+            F.abs(F.col("_est") - F.col("exact_customers"))
+            <= 0.02 * F.col("exact_customers")
+        ).alias("within_2pct"),
+    )
+
+
+@register(
     "percentile_exact",
     oracle="""
     SELECT l_returnflag,

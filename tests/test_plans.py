@@ -52,6 +52,8 @@ SCALAR_ATTACH_OK = {
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats attach
     "bpe_merge_apply",  # 1-row argmax merge-rule attach (broadcast)
     "lang_source_chi2",  # margin-sized grid cross (|langs|×|sources|) + 1-row attaches
+    "hll_sketch_merge_check",  # 1-row merged estimate × 1-row exact count
+    "knn_brute_force_arrow_agree",  # 1-row hit count × 1-row exact totals
 }
 
 

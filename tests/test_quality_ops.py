@@ -239,3 +239,35 @@ def test_heavy_hitters_sketch_captures_exact(spark, sf_dir):
     rows = queries()["heavy_hitters_check"](spark, sf_dir).collect()
     assert rows, "support 0.2 should produce at least one heavy hitter"
     assert all(r["found_by_sketch"] for r in rows)
+
+
+def test_hll_sketches_merge_across_persisted_shards(spark, sf_dir, tmp_path):
+    """Sketches-as-data: the 100 TB pattern is to PERSIST per-partition /
+    per-day HLL sketches and answer later cardinality questions by merging
+    the stored bytes — never rescanning raw keys. Round-trip the binary
+    sketch column through parquet and assert (a) the merged estimate
+    matches the estimate from a single-pass sketch exactly (HLL union is
+    lossless over disjoint register sets of the same lgConfigK), and
+    (b) it lands within the configured error band of the exact count."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    cust = load_fixture(spark, sf_dir, "customer")
+    shard_path = str(tmp_path / "daily_sketches")
+    (
+        cust.groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"))
+        .write.parquet(shard_path)
+    )
+    merged = (
+        spark.read.parquet(shard_path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    single_pass = cust.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey", F.lit(14))).alias("est")
+    ).first()["est"]
+    exact = cust.select("c_custkey").distinct().count()
+    assert merged == single_pass
+    assert abs(merged - exact) <= 0.02 * exact

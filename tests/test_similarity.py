@@ -387,3 +387,24 @@ def test_arrow_brute_force_zero_norm_and_guard(spark, sf_dir):
     assert {r["query_id"] for r in out} == {0, 1, 2}
     with pytest.raises(ValueError, match="max_queries"):
         brute_force_topk_arrow(corpus, queries, k=5, max_queries=2)
+
+
+def test_arrow_brute_force_all_zero_queries_raise(spark, sf_dir):
+    """All-zero query batch fails fast at submit time, not with an opaque
+    numpy error inside an executor."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.arrow_knn import (
+        brute_force_topk_arrow,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    zq = spark.range(2).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.0)] * dim).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="zero norm"):
+        brute_force_topk_arrow(emb, zq, k=3)
