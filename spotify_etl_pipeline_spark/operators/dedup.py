@@ -465,3 +465,79 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.45) -> DataFrame
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def semdedup_dropped(
+    df: DataFrame, n_centroids: int = 8, threshold: float = 0.45
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    embedding dedup — k-means-partition the space, compare pairs ONLY
+    within a cluster, drop all but the lowest-id member of each near-dup
+    pair.
+
+    This is the scale answer to :func:`embedding_neardup_pairs`'s a<b
+    brute force: pairwise cost collapses from O(n²) to
+    O(Σ_c n_c²) — with n/C points per cluster that is a C× reduction, and
+    C grows with the corpus (the paper runs 50k clusters on LAION).
+    Assignment is a narrow map against a literal centroid array (zero
+    shuffle, same as :mod:`.kmeans`); the pairwise stage shuffles once on
+    ``cluster``, an equi-key, so no cartesian ever plans.
+
+    Centroids here are PINNED to the ``n_centroids`` lowest-id vectors
+    (the deterministic k-means init convention of ``pq_fit(max_iter=0)``)
+    so an external SQL oracle rederives the identical partition — the
+    trained-centroid path swaps in :func:`.kmeans.kmeans_fit` output
+    without touching anything downstream.
+
+    Returns (cluster, kept_id, dropped_id, cosine): one row per dropped
+    vector, paired with its lowest-id retained witness. Ties in the
+    centroid argmin break toward the lower centroid index on both engines
+    (``array_position`` finds the FIRST minimum).
+    """
+    from .kmeans import assign_clusters
+
+    e = widen_narrow_scan(df).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # bounded collect: n_centroids rows, the same sanctioned pattern as the
+    # k-means codebook init (kmeans.py) — NOT a data-sized driver transfer
+    cents = [
+        list(r["v"]) for r in e.orderBy("vec_id").limit(n_centroids).collect()
+    ]
+    asg = assign_clusters(e, cents).select("vec_id", "cluster", "v")
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    n = asg.select(
+        "vec_id", "cluster", "v", F.when(norm > 0, norm).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("kept_id"),
+            F.col("b.vec_id").alias("dropped_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    # one row per dropped vector: its lowest-id witness (deterministic)
+    w = Window.partitionBy("dropped_id").orderBy(F.asc("kept_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster", "kept_id", "dropped_id", F.round("cos", 4).alias("cosine")
+        )
+    )

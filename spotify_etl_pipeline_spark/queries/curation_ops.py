@@ -238,3 +238,52 @@ def corpus_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def _bloom_oracle() -> str:
+    from ..operators.bloom import BLOOM_K, bloom_position_sql_duck
+
+    bp = bloom_position_sql_duck("shingle")
+    pos_list = ", ".join(bp)
+    return f"""
+    WITH bench AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
+    bsh AS (SELECT DISTINCT shingle
+            FROM ({shingle_select_sql(DECONTAM_N, "bench")})),
+    bits AS (SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bsh),
+    csh AS ({shingle_select_sql(DECONTAM_N, "corpus")}),
+    cpos AS (SELECT doc_id, shingle, unnest([{pos_list}]) AS pos FROM csh),
+    bloom_pos AS (
+      SELECT doc_id, shingle FROM cpos JOIN bits USING (pos)
+      GROUP BY doc_id, shingle HAVING COUNT(*) = {BLOOM_K}
+    ),
+    bl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom
+           FROM bloom_pos GROUP BY doc_id),
+    ex AS (SELECT csh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM csh JOIN bsh USING (shingle) GROUP BY csh.doc_id)
+    SELECT bl.doc_id, n_bloom,
+           CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact
+    FROM bl LEFT JOIN ex USING (doc_id)
+    """
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=_bloom_oracle(),
+    survey="X2,X4,X6",
+    doc="Bloom-filter benchmark decontamination: the exact pass "
+    "(decontaminate_against_benchmark) broadcasts the benchmark's raw "
+    "shingle strings, which stops being free when the eval union carries "
+    "10^8+ n-grams; this variant broadcasts a fixed 2^16-bit position set "
+    "instead (m-bit Bloom array as a ≤m-row DISTINCT table) at a bounded, "
+    "measured false-positive cost — n_bloom vs n_exact per doc IS the FP "
+    "overhang. Hash family = md5 hex slices mod m, bit-identical in "
+    "DuckDB; FPs only over-flag (conservative drop), misses impossible.",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_contamination
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return bloom_contamination(corpus, bench, n=DECONTAM_N)

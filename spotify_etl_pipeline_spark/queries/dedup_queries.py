@@ -359,3 +359,66 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+_SEMDEDUP_C = 8
+_SEMDEDUP_THR = 0.45
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_C})
+    ),
+    d AS (
+      SELECT e.vec_id, cents.cid,
+             list_sum(list_transform(list_zip(e.v, cents.cv),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM e CROSS JOIN cents
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    n AS (
+      SELECT e.vec_id, asg.cid, e.v,
+             NULLIF(sqrt(list_sum(list_transform(e.v, x -> x * x))), 0) AS nrm
+      FROM e JOIN asg USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.cid AS cluster, a.vec_id AS kept_id, b.vec_id AS dropped_id,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT cluster, kept_id, dropped_id, ROUND(cos, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dropped_id
+                                       ORDER BY kept_id ASC) AS rn
+          FROM pairs WHERE cos >= {_SEMDEDUP_THR})
+    WHERE rn = 1
+    """,
+    survey="X2,X3",
+    doc="SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — "
+    "pairwise cosine is computed ONLY within a k-means cell, collapsing "
+    "the O(n²) brute force to O(Σ n_c²); the cell count grows with the "
+    "corpus (50k clusters on LAION in the paper), making this the "
+    "embedding-dedup scale path. Centroids pinned to the 8 lowest-id "
+    "vectors (deterministic k-means init) so DuckDB rederives the "
+    "identical partition; assignment is a narrow literal-array map, the "
+    "pairwise stage shuffles once on the cluster equi-key.",
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.semdedup_dropped(
+        load_fixture(spark, sf_dir, "embeddings"),
+        n_centroids=_SEMDEDUP_C,
+        threshold=_SEMDEDUP_THR,
+    )

@@ -1,0 +1,67 @@
+"""Property tests for the round-4 additions: SemDeDup and Bloom
+decontamination.
+
+- SemDeDup only ever *restricts* the brute-force pair set: every
+  (kept, dropped) pair it emits must also be an above-threshold pair under
+  the exact all-pairs cosine (cluster scoping can miss cross-cluster dups —
+  that is the accepted recall trade of Abbas et al. 2023 — but it must
+  never invent a pair).
+- Bloom filters have NO false negatives by construction: every document
+  with an exact benchmark hit must appear in the bloom output with
+  ``n_bloom >= n_exact``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_etl_pipeline_spark.operators.bloom import bloom_contamination
+from spotify_etl_pipeline_spark.operators.curation import benchmark_ngram_hits
+from spotify_etl_pipeline_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    semdedup_dropped,
+)
+from spotify_etl_pipeline_spark.schemas import load_fixture
+
+THR = 0.45
+
+
+def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    sem = semdedup_dropped(emb, n_centroids=8, threshold=THR)
+    brute = embedding_neardup_pairs(emb, threshold=THR)
+    sem_pairs = {
+        (r["kept_id"], r["dropped_id"]) for r in sem.collect()
+    }
+    brute_pairs = {(r["vec_a"], r["vec_b"]) for r in brute.collect()}
+    assert sem_pairs <= brute_pairs
+    # each dropped id appears exactly once (lowest-id witness is unique)
+    dropped = [r["dropped_id"] for r in sem.collect()]
+    assert len(dropped) == len(set(dropped))
+
+
+def test_semdedup_never_drops_its_own_witness(spark, sf_dir):
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    sem = semdedup_dropped(emb, n_centroids=8, threshold=THR).collect()
+    dropped = {r["dropped_id"] for r in sem}
+    for r in sem:
+        assert r["kept_id"] < r["dropped_id"]
+        # a kept witness may itself be dropped only by a STRICTLY lower id
+        # (min-id chains terminate); verify no 2-cycles
+        assert (r["dropped_id"], r["kept_id"]) not in {
+            (s["kept_id"], s["dropped_id"]) for s in sem
+        }
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    bloom = bloom_contamination(corpus, bench, n=5).collect()
+    exact = benchmark_ngram_hits(corpus, bench, n=5).collect()
+    bloom_by_doc = {r["doc_id"]: (r["n_bloom"], r["n_exact"]) for r in bloom}
+    for r in exact:
+        assert r["doc_id"] in bloom_by_doc, "exact hit missing from bloom"
+        n_bloom, n_exact = bloom_by_doc[r["doc_id"]]
+        assert n_exact == r["n_hits"], "exact count drifted from exact pass"
+        assert n_bloom >= n_exact, "bloom under-flagged (false negative)"
