@@ -89,6 +89,10 @@ HEADLINE = [
     "dedup_resolve_clusters_logstar",
     "corpus_curation_decontaminated",
     "bpe_merge_apply",
+    # late round-4 additions: cluster-scoped semantic dedup (the embedding
+    # dedup scale path) and the Bloom-prefilter decontamination shape
+    "dedup_semdedup_clusters",
+    "bloom_decontaminate",
 ]
 
 
