@@ -467,8 +467,49 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.45) -> DataFrame
     )
 
 
+def _semdedup_assign(
+    e: DataFrame, n_centroids: int, assign: str
+) -> DataFrame:
+    """Nearest-pinned-centroid assignment for :func:`semdedup_dropped` —
+    adds ``cluster`` to ``e`` (columns ``vec_id``, ``v``). See that
+    docstring for the literal-vs-join regime split."""
+    if assign not in ("auto", "literal", "join"):
+        raise ValueError(f"assign must be auto|literal|join, got {assign!r}")
+    if assign == "auto":
+        assign = "literal" if n_centroids <= 32 else "join"
+    pinned = e.orderBy("vec_id").limit(n_centroids)
+    if assign == "literal":
+        from .kmeans import assign_clusters
+
+        # bounded collect: n_centroids rows, the same sanctioned pattern
+        # as the k-means codebook init (kmeans.py) — NOT data-sized
+        cents = [list(r["v"]) for r in pinned.collect()]
+        return assign_clusters(e, cents)
+    wc = Window.orderBy("vec_id")
+    ce = pinned.select(
+        (F.row_number().over(wc) - 1).alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("ce.cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("cid"))
+    return (
+        e.alias("a")
+        .crossJoin(F.broadcast(ce.alias("ce")))
+        .select("a.vec_id", "a.v", "ce.cid", d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", F.col("cid").cast("int").alias("cluster"))
+    )
+
+
 def semdedup_dropped(
-    df: DataFrame, n_centroids: int = 8, threshold: float = 0.45
+    df: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.45,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     embedding dedup — k-means-partition the space, compare pairs ONLY
@@ -479,9 +520,24 @@ def semdedup_dropped(
     brute force: pairwise cost collapses from O(n²) to
     O(Σ_c n_c²) — with n/C points per cluster that is a C× reduction, and
     C grows with the corpus (the paper runs 50k clusters on LAION).
-    Assignment is a narrow map against a literal centroid array (zero
-    shuffle, same as :mod:`.kmeans`); the pairwise stage shuffles once on
-    ``cluster``, an equi-key, so no cartesian ever plans.
+    The pairwise stage shuffles once on ``cluster``, an equi-key, so no
+    cartesian ever plans.
+
+    Assignment has two regimes, selected by ``assign``:
+
+    - ``"literal"`` — narrow map against a literal centroid array (zero
+      shuffle, same as :mod:`.kmeans`). The argmin is one expression with
+      C distance folds, so per-row cost grows with C: measured at the sf1
+      tile (20 K vectors, 64-dim), C=64 runs 21 s but C=256 runs 74 s —
+      the expression tree, not the data, is the bottleneck.
+    - ``"join"`` — centroids stay a C-row DataFrame; each vector meets
+      them through one broadcast join + per-vector argmin window (the
+      :func:`..similarity.ivf_probe_routing` shape). Row count through
+      the join is n·C but per-row work is one fold — the regime that
+      holds to the paper's 50 K clusters. Same sf1 tile: C=256 16.7 s
+      (4.4× over literal), C=64 5.1 s (4.1×).
+
+    ``assign="auto"`` picks literal for C ≤ 32, join above.
 
     Centroids here are PINNED to the ``n_centroids`` lowest-id vectors
     (the deterministic k-means init convention of ``pq_fit(max_iter=0)``)
@@ -492,20 +548,16 @@ def semdedup_dropped(
     Returns (cluster, kept_id, dropped_id, cosine): one row per dropped
     vector, paired with its lowest-id retained witness. Ties in the
     centroid argmin break toward the lower centroid index on both engines
-    (``array_position`` finds the FIRST minimum).
+    and both assignment paths (``array_position`` finds the FIRST
+    minimum; the join path orders by (d2, cid)).
     """
-    from .kmeans import assign_clusters
-
     e = widen_narrow_scan(df).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # bounded collect: n_centroids rows, the same sanctioned pattern as the
-    # k-means codebook init (kmeans.py) — NOT a data-sized driver transfer
-    cents = [
-        list(r["v"]) for r in e.orderBy("vec_id").limit(n_centroids).collect()
-    ]
-    asg = assign_clusters(e, cents).select("vec_id", "cluster", "v")
+    asg = _semdedup_assign(e, n_centroids, assign).select(
+        "vec_id", "cluster", "v"
+    )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     n = asg.select(
         "vec_id", "cluster", "v", F.when(norm > 0, norm).alias("nrm")

@@ -299,3 +299,46 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_total"),
         F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
     )
+
+
+_RCTE_CHAIN_BODY = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey AS custkey, o_orderkey AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_key
+  FROM {orders}
+),
+chain(custkey, okey, depth, run_cents, next_key) AS (
+  SELECT custkey, okey, 1, cents, next_key FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.custkey, s.okey, c.depth + 1, c.run_cents + s.cents, s.next_key
+  FROM chain c JOIN seq s ON s.okey = c.next_key
+)
+SELECT custkey, okey AS orderkey, CAST(depth AS BIGINT) AS depth,
+       CAST(run_cents AS BIGINT) AS run_cents
+FROM chain
+"""
+
+
+@register(
+    "sql_recursive_order_chain",
+    oracle=_RCTE_CHAIN_BODY.format(orders="orders"),
+    survey="SQL+",
+    doc="Spark 4 recursive CTE (WITH RECURSIVE ... UNION ALL, the "
+    "iterative linked-list walk): each customer's orders form a "
+    "successor chain (LEAD over the date order); the recursive member "
+    "walks it accumulating depth and a running total in integer cents. "
+    "The SAME statement runs verbatim on both engines — only the table "
+    "name differs — exercising Spark's recursion execution (anchor + "
+    "iterated step under the cteRecursionLevelLimit guard; max chain "
+    "here is 24 orders, far under the 100-level default). The window "
+    "twin of this computation (window_running_sum / window_frames) is "
+    "the plan Spark SHOULD pick when the recursion is a linear chain — "
+    "this entry exists to prove the SQL surface, not to replace them.",
+)
+def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _view(spark, sf_dir, "orders", "rcte")
+    return spark.sql(_RCTE_CHAIN_BODY.format(orders=o))

@@ -65,3 +65,28 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
         n_bloom, n_exact = bloom_by_doc[r["doc_id"]]
         assert n_exact == r["n_hits"], "exact count drifted from exact pass"
         assert n_bloom >= n_exact, "bloom under-flagged (false negative)"
+
+
+def test_semdedup_assign_paths_agree(spark, sf_dir):
+    """literal vs join assignment must produce identical output (same
+    pinned centroids, same (d2, cid) tie-break) — the regime switch is a
+    cost decision, never a semantics change."""
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    for c in (8, 64):
+        lit = {
+            tuple(r)
+            for r in semdedup_dropped(emb, c, THR, assign="literal").collect()
+        }
+        jon = {
+            tuple(r)
+            for r in semdedup_dropped(emb, c, THR, assign="join").collect()
+        }
+        assert lit == jon, f"assign paths diverge at C={c}"
+
+
+def test_semdedup_rejects_unknown_assign(spark, sf_dir):
+    import pytest as _pytest
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="assign"):
+        semdedup_dropped(emb, 8, THR, assign="bogus")
