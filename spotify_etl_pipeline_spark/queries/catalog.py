@@ -116,6 +116,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_semdedup_clusters",  # new: SemDeDup cluster-scoped embedding dedup
     "bloom_decontaminate",  # new: Bloom-prefilter decontamination + FP audit
     "sql_recursive_order_chain",  # new: Spark 4 WITH RECURSIVE, verbatim twin
+    "sql_lateral_topn_orders",  # new: correlated LATERAL top-n, verbatim twin
     "lang_source_chi2",  # int64→double overflow fix on both engines
     "hll_sketch_merge_check",  # new: mergeable Datasketches HLL per-shard union
     "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing

@@ -342,3 +342,36 @@ FROM chain
 def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _view(spark, sf_dir, "orders", "rcte")
     return spark.sql(_RCTE_CHAIN_BODY.format(orders=o))
+
+
+_LATERAL_BODY = """
+SELECT c.c_custkey AS custkey, t.orderkey, t.cents
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey AS orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY cents DESC, o_orderkey ASC
+  LIMIT 3
+) t
+WHERE c.c_nationkey = 1
+"""
+
+
+@register(
+    "sql_lateral_topn_orders",
+    oracle=_LATERAL_BODY.format(customer="customer", orders="orders"),
+    survey="SQL+",
+    doc="Correlated LATERAL subquery with per-row ORDER BY ... LIMIT "
+    "(top-3 priciest orders per nation-1 customer) — the SQL-standard "
+    "top-n-per-group idiom, run verbatim on both engines. Catalyst "
+    "decorrelates it to a ranked window over one join (DomainJoin "
+    "rewrite), i.e. the same physical plan as the explicit row_number "
+    "formulation — proving the surface costs nothing over the idiom the "
+    "catalog already uses. Deterministic: cents DESC, orderkey ASC "
+    "tie-break; integer cents on both sides.",
+)
+def sql_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _view(spark, sf_dir, "customer", "lat")
+    o = _view(spark, sf_dir, "orders", "lat")
+    return spark.sql(_LATERAL_BODY.format(customer=c, orders=o))
