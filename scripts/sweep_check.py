@@ -19,13 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from spotify_etl_pipeline_spark.queries import catalog  # noqa: E402
+from spotify_etl_pipeline_spark.schemas import FIXTURE_TABLES  # noqa: E402
 from spotify_etl_pipeline_spark.session import get_spark  # noqa: E402
 from tests.oracle_compare import compare_results, frame_problems  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def main() -> int:
@@ -34,7 +30,7 @@ def main() -> int:
 
     spark = get_spark(app_name="sweep_check")
     duck = duckdb.connect()
-    for t in TABLES:
+    for t in FIXTURE_TABLES:
         duck.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )

@@ -73,9 +73,14 @@ def bloom_position_sql_duck(shingle_sql: str) -> list[str]:
 def bloom_bitset(bench: DataFrame, n: int = 5) -> DataFrame:
     """DISTINCT hash positions (column ``pos``) of the benchmark's n-gram
     shingles — the Bloom filter's set bits as a ≤ ``BLOOM_M``-row table."""
-    sh = doc_shingles(bench, n=n).select("shingle").distinct()
+    return _bitset_of(doc_shingles(bench, n=n).select("shingle").distinct())
+
+
+def _bitset_of(bench_sh: DataFrame) -> DataFrame:
+    """Set bits of an already-distinct ``shingle`` frame (lets a caller
+    that also needs the shingle set reuse one shingling pass)."""
     pos_arr = F.array(*[F.expr(e) for e in _position_exprs("shingle")])
-    return sh.select(F.explode(pos_arr).alias("pos")).distinct()
+    return bench_sh.select(F.explode(pos_arr).alias("pos")).distinct()
 
 
 def bloom_contamination(
@@ -88,8 +93,8 @@ def bloom_contamination(
     at least one bloom-positive shingle. ``n_bloom - n_exact`` is the
     measured FP overhang — the quantity you tune ``BLOOM_M`` against.
     """
-    bits = bloom_bitset(bench, n=n)
     bench_sh = doc_shingles(bench, n=n).select("shingle").distinct()
+    bits = _bitset_of(bench_sh)
     probe = doc_shingles(corpus, n=n)  # distinct per doc by construction
 
     pos_arr = F.array(*[F.expr(e) for e in _position_exprs("shingle")])

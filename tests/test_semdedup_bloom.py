@@ -43,14 +43,21 @@ def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
 def test_semdedup_never_drops_its_own_witness(spark, sf_dir):
     emb = load_fixture(spark, sf_dir, "embeddings")
     sem = semdedup_dropped(emb, n_centroids=8, threshold=THR).collect()
-    dropped = {r["dropped_id"] for r in sem}
+    witness = {r["dropped_id"]: r["kept_id"] for r in sem}
     for r in sem:
         assert r["kept_id"] < r["dropped_id"]
-        # a kept witness may itself be dropped only by a STRICTLY lower id
-        # (min-id chains terminate); verify no 2-cycles
-        assert (r["dropped_id"], r["kept_id"]) not in {
-            (s["kept_id"], s["dropped_id"]) for s in sem
-        }
+    # witness chains strictly descend (kept < dropped at every hop), so
+    # following one must reach an UNdropped survivor in bounded steps —
+    # this can actually fail if the witness selection ever stops being
+    # the per-dropped minimum (unlike a 2-cycle check, which kept<dropped
+    # already makes vacuous)
+    for start in witness:
+        node, hops = start, 0
+        while node in witness:
+            nxt = witness[node]
+            assert nxt < node, "witness chain failed to descend"
+            node, hops = nxt, hops + 1
+            assert hops <= len(witness), "witness chain cycled"
 
 
 def test_bloom_has_no_false_negatives(spark, sf_dir):
