@@ -375,3 +375,33 @@ def sql_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _view(spark, sf_dir, "customer", "lat")
     o = _view(spark, sf_dir, "orders", "lat")
     return spark.sql(_LATERAL_BODY.format(customer=c, orders=o))
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="SQL+",
+    doc="Spark 4 SQL pipe syntax (SPIP: |> operators — FROM ... |> WHERE "
+    "... |> AGGREGATE ... GROUP BY): the linear-dataflow SQL dialect, "
+    "parsed to the identical Catalyst plan as the standard formulation "
+    "the DuckDB oracle uses. Integer-cents SUM cast to BIGINT on both "
+    "sides (HUGEINT convention).",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _view(spark, sf_dir, "lineitem", "pipe")
+    return spark.sql(f"""
+      FROM {li}
+      |> WHERE l_quantity >= 30
+      |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+         GROUP BY l_returnflag, l_linestatus
+    """)
