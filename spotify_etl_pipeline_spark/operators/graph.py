@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -117,3 +118,72 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007,
+    deterministic variant): every node starts labeled with its own id;
+    each round it adopts the label carrying the largest total incident
+    edge weight among its neighbors, ties toward the SMALLER label.
+    Classic LPA breaks ties randomly; pinning ties (and running
+    synchronously for a fixed round count) makes the result exactly
+    reproducible — the property every oracle-checked query here relies
+    on, and the variant curation pipelines want anyway (re-runs must not
+    re-shuffle community assignments).
+
+    Community detection complements PageRank in the curation stack:
+    centrality ranks documents/domains, communities GROUP them (domain
+    clustering, topic sharding, per-community mixture caps).
+
+    Execution shape matches :func:`pagerank`: a driver loop over a fixed
+    round count, each round one equi-join (labels onto the edge list) +
+    one keyed aggregation (per-(node, label) weight) + one per-node argmax
+    window — all shuffles keyed by node id, no driver data. The edge list
+    is symmetrized once up front (undirected semantics); isolated nodes
+    keep their previous label via the left join.
+
+    Returns ``[node, label]``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    directed = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    )
+    und = directed.unionAll(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    # collapse parallel edges from symmetrization so each (a, b) carries
+    # one summed weight — keeps the per-round join fan-out minimal
+    eu = und.groupBy("a", "b").agg(F.sum("w").alias("w"))
+    eu = eu.persist()
+    nodes = eu.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    rank_w = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("lbl"))
+    for _ in range(iterations):
+        scores = (
+            eu.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.sum("w").alias("score"))
+        )
+        best = (
+            scores.withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+    return labels.select("node", F.col("lbl").alias("label"))

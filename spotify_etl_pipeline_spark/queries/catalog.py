@@ -118,6 +118,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "sql_recursive_order_chain",  # new: Spark 4 WITH RECURSIVE, verbatim twin
     "sql_lateral_topn_orders",  # new: correlated LATERAL top-n, verbatim twin
     "sql_pipe_syntax",  # new: Spark 4 |> pipe-SQL dialect, standard-SQL twin
+    "community_nation_trade",  # new: deterministic LPA, unrolled-round twin
     "lang_source_chi2",  # int64→double overflow fix on both engines
     "hll_sketch_merge_check",  # new: mergeable Datasketches HLL per-shard union
     "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing

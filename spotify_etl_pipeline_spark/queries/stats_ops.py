@@ -742,3 +742,121 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .crossJoin(F.broadcast(tot.select(F.col("nn").alias("n"))))
     )
+
+
+# --- community detection: deterministic label propagation --------------------
+def _lpa_oracle(iterations: int) -> str:
+    """Unrolled synchronous min-tie-break LPA as plain SQL — mirrors
+    operators/graph.py::label_propagation round for round (same
+    symmetrized edge list, same SUM(w) score, same (score DESC, lbl ASC)
+    argmax)."""
+    parts = [
+        """
+        WITH e0 AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        et AS (
+          SELECT src, dst, w FROM (
+            SELECT src, dst, w,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst ASC) AS rn
+            FROM e0)
+          WHERE rn <= 2
+        ),
+        eu AS (
+          SELECT a, b, SUM(w) AS w FROM (
+            SELECT src AS a, dst AS b, w FROM et
+            UNION ALL SELECT dst AS a, src AS b, w FROM et
+          ) GROUP BY a, b
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM eu),
+        l0 AS (SELECT node, node AS lbl FROM nodes)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+        , s{i} AS (
+          SELECT eu.a AS node, l.lbl, SUM(eu.w) AS score
+          FROM eu JOIN l{i - 1} l ON eu.b = l.node
+          GROUP BY eu.a, l.lbl
+        ),
+        b{i} AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY score DESC, lbl ASC) AS rn
+            FROM s{i})
+          WHERE rn = 1
+        ),
+        l{i} AS (
+          SELECT l.node, COALESCE(b{i}.lbl, l.lbl) AS lbl
+          FROM l{i - 1} l LEFT JOIN b{i} ON l.node = b{i}.node
+        )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT n.n_name, CAST(l{iterations}.lbl AS BIGINT) AS community
+        FROM l{iterations} JOIN nation n ON l{iterations}.node = n.n_nationkey
+        ORDER BY n_name
+        """
+    )
+    return "".join(parts)
+
+
+@register(
+    "community_nation_trade",
+    oracle=_lpa_oracle(3),
+    survey="J1,A4,X1",
+    doc="Deterministic weighted label propagation (Raghavan et al. 2007, "
+    "synchronous, min-label tie-break, 3 rounds) over the same "
+    "customer-nation -> supplier-nation trade graph PageRank ranks — "
+    "centrality orders nodes, communities GROUP them (domain "
+    "clustering / topic sharding in a curation stack). The dense trade "
+    "graph is sparsified to each nation's top-2 out-edges by weight "
+    "(deterministic tie-break) — on the complete graph LPA correctly "
+    "but uselessly collapses to one community; thresholding to the "
+    "strongest links is the standard preprocessing (and at 10^10 edges "
+    "it is also the cost control: the per-round join fan-out is the "
+    "retained degree, not the raw one). Each round is one equi-join + "
+    "one keyed aggregation + one per-node argmax window; pinned ties "
+    "make re-runs byte-stable, which is what lets an external engine "
+    "replay it exactly.",
+)
+def community_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    wtop = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    edges = (
+        e0.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= 2)
+        .select("src", "dst", "w")
+    )
+    labels = label_propagation(edges, iterations=3, weight="w")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        labels.join(F.broadcast(nation), labels["node"] == nation["n_nationkey"])
+        .select("n_name", F.col("label").cast("bigint").alias("community"))
+        .orderBy("n_name")
+    )

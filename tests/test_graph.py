@@ -57,3 +57,42 @@ def test_invalid_params_rejected(spark):
         pagerank(edges, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+def test_lpa_separates_disjoint_cliques(spark):
+    from spotify_etl_pipeline_spark.operators.graph import label_propagation
+
+    # two disjoint triangles: {1,2,3} and {10,11,12}
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri, ["src", "dst"])
+    out = {r["node"]: r["label"] for r in label_propagation(edges, iterations=3).collect()}
+    assert {out[1], out[2], out[3]} != {out[10], out[11], out[12]}
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[10], out[11], out[12]}) == 1
+    # min tie-break: every member of a triangle converges to its min id
+    assert out[1] == 1 and out[10] == 10
+
+
+def test_lpa_weight_beats_degree(spark):
+    from spotify_etl_pipeline_spark.operators.graph import label_propagation
+
+    # node 5 has two light edges into the {1,2} pair and one heavy edge
+    # to 9: the weighted majority must pull it to 9's label after round 1
+    edges = spark.createDataFrame(
+        [(1, 2, 10.0), (5, 1, 1.0), (5, 2, 1.0), (5, 9, 5.0)],
+        ["src", "dst", "w"],
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1, weight="w").collect()
+    }
+    assert out[5] == 9
+
+
+def test_lpa_rejects_zero_iterations(spark):
+    import pytest as _pytest
+    from spotify_etl_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError):
+        label_propagation(edges, iterations=0)
