@@ -90,9 +90,11 @@ HEADLINE = [
     "corpus_curation_decontaminated",
     "bpe_merge_apply",
     # late round-4 additions: cluster-scoped semantic dedup (the embedding
-    # dedup scale path) and the Bloom-prefilter decontamination shape
+    # dedup scale path), the Bloom-prefilter decontamination shape, and
+    # the second iterative-graph shape (LPA communities)
     "dedup_semdedup_clusters",
     "bloom_decontaminate",
+    "community_nation_trade",
 ]
 
 
