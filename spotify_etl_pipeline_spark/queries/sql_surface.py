@@ -337,7 +337,15 @@ FROM chain
     "here is 24 orders, far under the 100-level default). The window "
     "twin of this computation (window_running_sum / window_frames) is "
     "the plan Spark SHOULD pick when the recursion is a linear chain — "
-    "this entry exists to prove the SQL surface, not to replace them.",
+    "this entry exists to prove the SQL surface, not to replace them. "
+    "Measured scale cliff (sf1 tile, 1.5M orders): Spark's "
+    "spark.sql.cteRecursionRowLimit guard (default 1,000,000 TOTAL rows "
+    "across all recursion steps) aborts the walk with "
+    "RECURSION_ROW_LIMIT_EXCEEDED — the guard is row-count-based, not "
+    "depth-based, so ANY recursive CTE whose working set grows with the "
+    "data hits it at scale regardless of chain length. Raising the limit "
+    "trades the safety net for wall clock; the window formulation has "
+    "neither problem, which is the real scale lesson this pair records.",
 )
 def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _view(spark, sf_dir, "orders", "rcte")
