@@ -83,6 +83,26 @@ def _bitset_of(bench_sh: DataFrame) -> DataFrame:
     return bench_sh.select(F.explode(pos_arr).alias("pos")).distinct()
 
 
+def bloom_positive_shingles(probe: DataFrame, bits: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows whose ALL-k hash positions are set in
+    ``bits`` — the Bloom membership test as relational algebra. Shared by
+    the batch audit and the streaming filter (one definition, so the two
+    cannot drift). All-k-bits-set == k matched rows: each of the k
+    exploded rows either finds its bit or doesn't; duplicate positions
+    contribute one row each."""
+    pos_arr = F.array(*[F.expr(e) for e in _position_exprs("shingle")])
+    probe_pos = probe.select(
+        "doc_id", "shingle", F.explode(pos_arr).alias("pos")
+    )
+    return (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .select("doc_id", "shingle")
+    )
+
+
 def bloom_contamination(
     corpus: DataFrame, bench: DataFrame, n: int = 5
 ) -> DataFrame:
@@ -97,19 +117,7 @@ def bloom_contamination(
     bits = _bitset_of(bench_sh)
     probe = doc_shingles(corpus, n=n)  # distinct per doc by construction
 
-    pos_arr = F.array(*[F.expr(e) for e in _position_exprs("shingle")])
-    probe_pos = probe.select(
-        "doc_id", "shingle", F.explode(pos_arr).alias("pos")
-    )
-    # all-k-bits-set == k matched rows (each of the k exploded rows either
-    # finds its bit or doesn't; duplicate positions contribute one row each)
-    bloom_pos = (
-        probe_pos.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-        .filter(F.col("n_set") == BLOOM_K)
-    )
-    per_doc_bloom = bloom_pos.groupBy("doc_id").agg(
+    per_doc_bloom = bloom_positive_shingles(probe, bits).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bloom")
     )
     per_doc_exact = (

@@ -375,3 +375,42 @@ def test_curation_stream_matches_batch(spark, sf_dir, tmp_path):
     assert diff == 0
     # the duplicated texts must have been deduped to their first arrival
     assert streamed.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_decontam_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed Bloom decontamination over a finite input must equal the
+    batch filter exactly: the bit set is frozen, a doc's verdict depends
+    only on its own text, so micro-batching cannot change any outcome.
+    Also re-asserts no-false-negatives end to end: no admitted document
+    shares a 5-gram with the benchmark."""
+    from spotify_etl_pipeline_spark.operators.bloom import bloom_bitset
+    from spotify_etl_pipeline_spark.operators.curation import (
+        benchmark_ngram_hits,
+    )
+    from spotify_etl_pipeline_spark.streaming.decontam_stream import (
+        flag_bloom_contaminated,
+        run_decontam_stream,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    bits = bloom_bitset(bench, n=5).persist()
+
+    src = str(tmp_path / "src")
+    corpus.repartition(3).write.parquet(src)
+
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    run_decontam_stream(spark, src, out, ckpt, bits, n=5,
+                        max_files_per_trigger=1)
+    streamed = spark.read.parquet(out).select("doc_id")
+
+    flagged = flag_bloom_contaminated(corpus, bits, n=5).select("doc_id")
+    batch = corpus.join(flagged, "doc_id", "left_anti").select("doc_id")
+    assert streamed.count() == batch.count() > 0
+    diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert diff == 0
+    # bloom admits no truly-contaminated document (no false negatives)
+    exact_hits = benchmark_ngram_hits(corpus, bench, n=5).select("doc_id")
+    assert streamed.join(exact_hits, "doc_id").count() == 0
