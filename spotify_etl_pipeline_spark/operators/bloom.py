@@ -87,17 +87,25 @@ def bloom_positive_shingles(probe: DataFrame, bits: DataFrame) -> DataFrame:
     """(doc_id, shingle) rows whose ALL-k hash positions are set in
     ``bits`` — the Bloom membership test as relational algebra. Shared by
     the batch audit and the streaming filter (one definition, so the two
-    cannot drift). All-k-bits-set == k matched rows: each of the k
-    exploded rows either finds its bit or doesn't; duplicate positions
-    contribute one row each."""
+    cannot drift).
+
+    Membership = all ``k`` hash FUNCTIONS matched, counted as DISTINCT
+    matched hash indices (``posexplode`` tags each position with its
+    function index). A plain matched-row count would break two ways: a
+    duplicated (doc_id, shingle) probe row would double the count past k
+    (a FALSE NEGATIVE — the one failure mode Bloom promises impossible),
+    and two hash functions colliding onto one set position must still
+    count as two matches, which a distinct-position count would miss.
+    Output is distinct per (doc_id, shingle) regardless of probe
+    duplication."""
     pos_arr = F.array(*[F.expr(e) for e in _position_exprs("shingle")])
     probe_pos = probe.select(
-        "doc_id", "shingle", F.explode(pos_arr).alias("pos")
+        "doc_id", "shingle", F.posexplode(pos_arr).alias("hi", "pos")
     )
     return (
         probe_pos.join(F.broadcast(bits), "pos")
         .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("n_set"))
+        .agg(F.count_distinct("hi").alias("n_set"))
         .filter(F.col("n_set") == BLOOM_K)
         .select("doc_id", "shingle")
     )

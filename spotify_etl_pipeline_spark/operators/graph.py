@@ -146,10 +146,14 @@ def label_propagation(
     round count, each round one equi-join (labels onto the edge list) +
     one keyed aggregation (per-(node, label) weight) + one per-node argmax
     window — all shuffles keyed by node id, no driver data. The edge list
-    is symmetrized once up front (undirected semantics); isolated nodes
-    keep their previous label via the left join.
+    is symmetrized once up front (undirected semantics), which also makes
+    every node a neighbor-bearing ``a``-side key — the per-round argmax is
+    total over the node set, no isolated-node branch exists. A node with
+    NO edges cannot be represented in an edges-only input and is absent
+    from the output; callers needing self-labels for edgeless nodes union
+    them in afterwards.
 
-    Returns ``[node, label]``.
+    Returns ``[node, label]`` for every node appearing in ``edges``.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -172,18 +176,23 @@ def label_propagation(
     labels = nodes.select("node", F.col("node").alias("lbl"))
     rank_w = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("lbl"))
     for _ in range(iterations):
+        # lineage cut per round (pagerank convention): labels is referenced
+        # once per round so growth is linear, not exponential, but at high
+        # iteration counts the uncut plan still deepens per pass and a task
+        # retry would recompute the whole chain; the cached vector is |V|
+        # thin rows
+        labels = labels.persist()
         scores = (
             eu.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"), "lbl")
             .agg(F.sum("w").alias("score"))
         )
-        best = (
+        # total over the node set: symmetrization puts every node on the
+        # a-side of eu, so the argmax emits one row per node — no
+        # keep-previous branch is reachable
+        labels = (
             scores.withColumn("_rn", F.row_number().over(rank_w))
             .filter(F.col("_rn") == 1)
-            .select("node", F.col("lbl").alias("new_lbl"))
-        )
-        labels = (
-            labels.join(best, "node", "left")
-            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .select("node", "lbl")
         )
     return labels.select("node", F.col("lbl").alias("label"))

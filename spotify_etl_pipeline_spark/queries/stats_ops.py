@@ -96,6 +96,26 @@ def _pagerank_oracle(iterations: int) -> str:
     return "".join(parts)
 
 
+def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w) customer-nation -> supplier-nation edges weighted by
+    lineitem count — the graph both pagerank_nation_trade and
+    community_nation_trade analyze (one definition, one thing to keep in
+    sync with the fixture schema)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 @register(
     "pagerank_nation_trade",
     oracle=_pagerank_oracle(3),
@@ -107,19 +127,7 @@ def _pagerank_oracle(iterations: int) -> str:
     "|V| enters only as a scalar sizing constant.",
 )
 def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    edges = _nation_trade_edges(spark, sf_dir)
     ranks = pagerank(edges, iterations=3, damping=0.85, weight="w")
     nation = _t(spark, sf_dir, "nation")
     return (
@@ -814,7 +822,7 @@ def _lpa_oracle(iterations: int) -> str:
 @register(
     "community_nation_trade",
     oracle=_lpa_oracle(3),
-    survey="J1,A4,X1",
+    survey="X24",
     doc="Deterministic weighted label propagation (Raghavan et al. 2007, "
     "synchronous, min-label tie-break, 3 rounds) over the same "
     "customer-nation -> supplier-nation trade graph PageRank ranks — "
@@ -834,18 +842,8 @@ def community_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
     from pyspark.sql.window import Window as W
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    e0 = _nation_trade_edges(spark, sf_dir).withColumn(
+        "w", F.col("w").cast("double")
     )
     wtop = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
     edges = (

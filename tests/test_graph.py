@@ -90,9 +90,8 @@ def test_lpa_weight_beats_degree(spark):
 
 
 def test_lpa_rejects_zero_iterations(spark):
-    import pytest as _pytest
     from spotify_etl_pipeline_spark.operators.graph import label_propagation
 
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         label_propagation(edges, iterations=0)

@@ -41,23 +41,35 @@ def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
 
 
 def test_semdedup_never_drops_its_own_witness(spark, sf_dir):
+    # differential recomputation of the expected witness map: assignment
+    # via the shared helper, pairs via the independent all-pairs operator,
+    # minimum taken in local Python — a wrong-but-still-lower witness (or
+    # a missing/extra dropped id) fails here, unlike chain-shape checks
+    # that kept_id < dropped_id already implies
+    from pyspark.sql import functions as F2
+
+    from spotify_etl_pipeline_spark.operators.dedup import _semdedup_assign
+
     emb = load_fixture(spark, sf_dir, "embeddings")
     sem = semdedup_dropped(emb, n_centroids=8, threshold=THR).collect()
     witness = {r["dropped_id"]: r["kept_id"] for r in sem}
     for r in sem:
         assert r["kept_id"] < r["dropped_id"]
-    # witness chains strictly descend (kept < dropped at every hop), so
-    # following one must reach an UNdropped survivor in bounded steps —
-    # this can actually fail if the witness selection ever stops being
-    # the per-dropped minimum (unlike a 2-cycle check, which kept<dropped
-    # already makes vacuous)
-    for start in witness:
-        node, hops = start, 0
-        while node in witness:
-            nxt = witness[node]
-            assert nxt < node, "witness chain failed to descend"
-            node, hops = nxt, hops + 1
-            assert hops <= len(witness), "witness chain cycled"
+
+    e = emb.select(
+        "vec_id", F2.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cluster_of = {
+        r["vec_id"]: r["cluster"]
+        for r in _semdedup_assign(e, 8, "literal").collect()
+    }
+    brute = embedding_neardup_pairs(emb, threshold=THR).collect()
+    expected: dict = {}
+    for p in brute:
+        a, b = p["vec_a"], p["vec_b"]
+        if cluster_of[a] == cluster_of[b]:
+            expected[b] = min(expected.get(b, a), a)
+    assert witness == expected
 
 
 def test_bloom_has_no_false_negatives(spark, sf_dir):
