@@ -858,3 +858,79 @@ def community_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.col("label").cast("bigint").alias("community"))
         .orderBy("n_name")
     )
+
+
+# --- Holt linear-trend smoothing (level + trend state fold) ------------------
+@register(
+    "events_holt_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             FLOOR(value * 100 + 0.5) AS cents
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, list(cents ORDER BY ts, event_id) AS xs
+      FROM ev GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, len(xs) AS n,
+             list_reduce(
+               list_transform(xs, v -> [CAST(v AS DOUBLE), 0.0]),
+               (acc, x) -> [
+                 floor((x[1] + acc[1] + acc[2]) / 2),
+                 floor((floor((x[1] + acc[1] + acc[2]) / 2) - acc[1]) / 4)
+                   + floor(3 * acc[2] / 4)
+               ]
+             ) AS s
+      FROM seq
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(s[1] AS BIGINT) AS level_cents,
+           CAST(s[2] AS BIGINT) AS trend_cents
+    FROM st
+    """,
+    survey="X11,W1",
+    doc="Holt linear-trend smoothing (double exponential: level + trend "
+    "state) folded per user over the (ts, event_id)-ordered value "
+    "sequence — the trend-aware sibling of events_ema_value, i.e. the "
+    "last member of the smoothing family (EMA -> Holt). alpha=1/2 and "
+    "beta=1/4 are applied through FLOOR-ed halving/quartering so the "
+    "whole recursion stays on the integer-cents grid: every "
+    "intermediate is an exact small integer in IEEE double on BOTH "
+    "engines, no rounding epsilon anywhere. The fold runs inside one "
+    "groupBy (per-key sequences are session-sized, the same bounded-"
+    "frame argument as rolling_median_acctbal); nothing driver-side.",
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("cents"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, cents))), "
+            "s -> s.cents)"
+        ).alias("xs")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          transform(xs, v -> array(v, 0D)),
+          CAST(NULL AS ARRAY<DOUBLE>),
+          (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE array(
+            floor((x[0] + acc[0] + acc[1]) / 2),
+            floor((floor((x[0] + acc[0] + acc[1]) / 2) - acc[0]) / 4)
+              + floor(3 * acc[1] / 4)
+          ) END
+        )
+        """
+    )
+    return seq.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.element_at(fold, 1).cast("bigint").alias("level_cents"),
+        F.element_at(fold, 2).cast("bigint").alias("trend_cents"),
+    )
