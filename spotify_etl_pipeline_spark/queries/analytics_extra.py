@@ -427,3 +427,48 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY support DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+    survey="A4,J1,X1",
+    doc="Market-basket co-occurrence (the support-counting core of "
+    "frequent-itemset mining): top-20 part pairs appearing together in "
+    "an order. Pairs are expanded IN-GROUP from each order's sorted "
+    "distinct-part list (the dedup tier's _pair_expr — no self-join, so "
+    "the items relation is computed once and the only shuffles are the "
+    "per-order grouping and the pair count; per-basket expansion is "
+    "bounded by basket size, the same cost argument as LSH buckets). "
+    "The oracle states the same thing as the textbook a<b self-join. "
+    "Deterministic: (support DESC, part_a, part_b) total order.",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _pair_expr
+
+    li = load_fixture(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(_pair_expr("parts", "x AS part_a, y AS part_b"))
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
