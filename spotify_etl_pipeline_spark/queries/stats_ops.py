@@ -928,9 +928,12 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
-    return seq.select(
+    # materialize the fold into one column first: Spark's subexpression
+    # elimination skips lambda-bearing expressions, so embedding the same
+    # F.expr in two output columns runs the O(n) fold twice per user
+    return seq.withColumn("s", fold).select(
         "user_id",
         F.size("xs").cast("bigint").alias("n_events"),
-        F.element_at(fold, 1).cast("bigint").alias("level_cents"),
-        F.element_at(fold, 2).cast("bigint").alias("trend_cents"),
+        F.element_at("s", 1).cast("bigint").alias("level_cents"),
+        F.element_at("s", 2).cast("bigint").alias("trend_cents"),
     )
