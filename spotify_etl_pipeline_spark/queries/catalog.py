@@ -120,7 +120,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "sql_pipe_syntax",  # new: Spark 4 |> pipe-SQL dialect, standard-SQL twin
     "community_nation_trade",  # new: deterministic LPA, unrolled-round twin
     "events_holt_linear",  # new: integer-exact Holt level+trend fold
-    "market_basket_pairs",  # new: frequent-itemset support, in-group pairs
+    "market_basket_pairs",  # new: frequent-itemset support, a<b self-join
+    "events_windowed_distinct_users",  # new: dedup-then-count windowed distinct
     "lang_source_chi2",  # int64→double overflow fix on both engines
     "hll_sketch_merge_check",  # new: mergeable Datasketches HLL per-shard union
     "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing

@@ -199,3 +199,48 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_locf"),
         )
     )
+
+
+@register(
+    "events_windowed_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+               AS w, user_id
+      FROM events
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM du GROUP BY w
+    """,
+    survey="X8,A5",
+    doc="Exact distinct users per tumbling hour, via dedup-then-count: "
+    "DISTINCT (window, user) first — a keyed, partial-aggregatable "
+    "shuffle — then a plain COUNT per window. This is the scale answer "
+    "to windowed COUNT(DISTINCT): the direct form cannot map-side "
+    "combine (distinct sets don't merge by count), so every raw event "
+    "row shuffles to its window's reducer and hot windows become "
+    "stragglers; the two-step form ships each (window, user) pair once "
+    "and the second stage is a mergeable count. Same rewrite Spark's "
+    "own optimizer applies for one COUNT(DISTINCT) — stated explicitly "
+    "here because with >1 distinct aggregate or a sketch fallback the "
+    "choice stops being automatic (approx_count_distinct is the "
+    "documented tolerance-checked alternative).",
+)
+def events_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    du = (
+        ev.select(F.window("ts", "1 hour").alias("w"), "user_id").distinct()
+    )
+    return (
+        du.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_users",
+        )
+    )
