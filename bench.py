@@ -95,6 +95,10 @@ HEADLINE = [
     "dedup_semdedup_clusters",
     "bloom_decontaminate",
     "community_nation_trade",
+    # final round-4 batch: the per-key sequence-fold family (Holt) and the
+    # basket self-join — the two shapes not represented above
+    "events_holt_linear",
+    "market_basket_pairs",
 ]
 
 
