@@ -365,3 +365,75 @@ def test_dup_span_coverage_equals_bruteforce(spark, docs):
         for r in dup_span_coverage(df, w=w).collect()
     }
     assert got == expected
+
+
+# --- round-4 operators: Bloom membership + SemDeDup -------------------------
+_doc_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=10, max_size=60),
+    min_size=2, max_size=10,
+)
+
+
+@given(texts=_doc_texts, bench_count=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_bloom_never_misses_property(spark, texts, bench_count):
+    """Bloom membership has no false negatives on ARBITRARY text: every
+    shingle truly shared with the benchmark set must be flagged. (The
+    fixture-scale twin lives in test_semdedup_bloom.py; this one feeds
+    generated short texts, including heavy duplicate/whitespace shapes.)"""
+    from spotify_etl_pipeline_spark.operators.bloom import (
+        bloom_bitset,
+        bloom_positive_shingles,
+    )
+    from spotify_etl_pipeline_spark.operators.dedup import doc_shingles
+
+    n = 2  # short shingles so tiny generated texts still produce them
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(docs.doc_id < bench_count)
+    corpus = docs.filter(docs.doc_id >= bench_count)
+
+    bits = bloom_bitset(bench, n=n)
+    flagged = {
+        (r["doc_id"], r["shingle"])
+        for r in bloom_positive_shingles(doc_shingles(corpus, n=n), bits).collect()
+    }
+    bench_sh = {r["shingle"] for r in doc_shingles(bench, n=n).collect()}
+    corpus_sh = {
+        (r["doc_id"], r["shingle"]) for r in doc_shingles(corpus, n=n).collect()
+    }
+    truly_shared = {(d, s) for d, s in corpus_sh if s in bench_sh}
+    missed = truly_shared - flagged
+    assert not missed, f"bloom false negatives: {sorted(missed)[:3]}"
+
+
+_vectors = st.lists(
+    st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+    min_size=2, max_size=12,
+)
+
+
+@given(vecs=_vectors)
+@settings(**_SETTINGS)
+def test_semdedup_subset_property(spark, vecs):
+    """On arbitrary small integer vectors (including zero vectors and
+    exact duplicates), SemDeDup pairs are a subset of the brute-force
+    above-threshold pairs, and both assignment regimes agree."""
+    from spotify_etl_pipeline_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semdedup_dropped,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c = min(3, len(rows))
+    lit = semdedup_dropped(emb, n_centroids=c, threshold=0.45, assign="literal")
+    jon = semdedup_dropped(emb, n_centroids=c, threshold=0.45, assign="join")
+    lit_rows = {tuple(r) for r in lit.collect()}
+    assert lit_rows == {tuple(r) for r in jon.collect()}
+    sem_pairs = {(r[1], r[2]) for r in lit_rows}
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    assert sem_pairs <= brute
