@@ -92,3 +92,39 @@ def test_events_queries_survive_non_utc_session(spark, duck, sf_dir):
         assert not problems, problems
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_market_basket_matches_in_group_expansion(spark, sf_dir):
+    """The catalog query and its DuckDB twin now share the a<b self-join
+    formulation (the measured-faster plan), so the oracle no longer
+    cross-checks the algebra — this test restores that power: the
+    independent in-group pair expansion (sorted basket arrays + the dedup
+    tier's pair expression) must produce the identical support table."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.dedup import _pair_expr
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+            "parts"
+        )
+    )
+    expansion = (
+        baskets.select(
+            F.explode(
+                F.expr(_pair_expr("parts", "x AS part_a, y AS part_b"))
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+    got = [tuple(r) for r in ALL["market_basket_pairs"](spark, sf_dir).collect()]
+    want = [tuple(r) for r in expansion.collect()]
+    assert got == want
