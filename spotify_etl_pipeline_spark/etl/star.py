@@ -42,18 +42,26 @@ def build_gold(
 
 
 def write_gold(
-    gold: dict[str, DataFrame], gold_root: str, csv_parity: bool = False
+    gold: dict[str, DataFrame],
+    gold_root: str,
+    csv_parity: bool = False,
+    fmt: str = "parquet",
 ) -> None:
-    """Persist the star schema. Parquet primary; optional CSV parity sink
-    mirroring transformed_data/{album_data,artist_data,song_data}
-    (reference .gitignore:37,46-48)."""
+    """Persist the star schema. Parquet primary (``fmt="orc"`` switches
+    the columnar sink to ORC — both ship in Spark's JVM, no extra
+    packages; the logical plan and schema are format-independent, which
+    is the point of keeping the sink a one-word dial); optional CSV
+    parity sink mirroring transformed_data/{album_data,artist_data,
+    song_data} (reference .gitignore:37,46-48)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"fmt must be parquet|orc, got {fmt!r}")
     csv_dirs = {
         "tblAlbum": "album_data",
         "tblArtist": "artist_data",
         "tblSongs": "song_data",
     }
     for name, df in gold.items():
-        df.write.mode("overwrite").parquet(f"{gold_root}/{name}")
+        df.write.mode("overwrite").format(fmt).save(f"{gold_root}/{name}")
         if csv_parity:
             out = df
             for c, dtype in df.dtypes:

@@ -204,6 +204,25 @@ def test_write_gold_with_csv_parity(spark, gold, tmp_path):
     assert csv.count() == 4 and "song_id" in csv.columns
 
 
+def test_write_gold_orc_round_trip(spark, gold, tmp_path):
+    """ORC sink parity: same plan, one-word format dial; the read-back
+    rows must equal the parquet sink's exactly (schema included)."""
+    import pytest as _p
+
+    proot = str(tmp_path / "gold_pq")
+    oroot = str(tmp_path / "gold_orc")
+    write_gold(gold, proot)
+    write_gold(gold, oroot, fmt="orc")
+    for name in gold:
+        pq = spark.read.parquet(f"{proot}/{name}")
+        orc = spark.read.orc(f"{oroot}/{name}")
+        assert orc.schema == pq.schema
+        assert orc.exceptAll(pq).count() == 0
+        assert pq.exceptAll(orc).count() == 0
+    with _p.raises(ValueError):
+        write_gold(gold, str(tmp_path / "bad"), fmt="avro")
+
+
 def test_scd2_tracks_history(spark):
     """Type-2 SCD: changed attrs close the old row and open a new current
     one; unchanged keys pass through; new keys just appear."""
