@@ -77,19 +77,22 @@ def test_events_queries_survive_non_utc_session(spark, duck, sf_dir):
     non-UTC JVM/session timezone must not shift NTZ-cast wall times (the
     oracle's timestamps are naive). load_fixture pins UTC itself; this
     pins the pin."""
-    spec = CATALOG["events_tumbling_hourly"]
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
     try:
-        sdf = spec.fn(spark, sf_dir)  # load_fixture repins UTC in here
-        spark_pdf = sdf.toPandas()
-        duck_pdf = duck.execute(spec.oracle).fetchdf()
-        problems = compare_results(
-            list(spark_pdf.columns),
-            [tuple(r) for r in spark_pdf.itertuples(index=False, name=None)],
-            list(duck_pdf.columns),
-            [tuple(r) for r in duck_pdf.itertuples(index=False, name=None)],
-        )
-        assert not problems, problems
+        # the window-truncating shapes are the TZ-sensitive ones: hour
+        # buckets shift wholesale if the NTZ pin ever regresses
+        for name in ("events_tumbling_hourly", "events_windowed_distinct_users"):
+            spec = CATALOG[name]
+            sdf = spec.fn(spark, sf_dir)  # load_fixture repins UTC in here
+            spark_pdf = sdf.toPandas()
+            duck_pdf = duck.execute(spec.oracle).fetchdf()
+            problems = compare_results(
+                list(spark_pdf.columns),
+                [tuple(r) for r in spark_pdf.itertuples(index=False, name=None)],
+                list(duck_pdf.columns),
+                [tuple(r) for r in duck_pdf.itertuples(index=False, name=None)],
+            )
+            assert not problems, (name, problems)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
