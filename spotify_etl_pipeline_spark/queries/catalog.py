@@ -122,6 +122,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "events_holt_linear",  # new: integer-exact Holt level+trend fold
     "market_basket_pairs",  # new: frequent-itemset support, a<b self-join
     "events_windowed_distinct_users",  # new: dedup-then-count windowed distinct
+    "dedup_semdedup_pipeline",  # new: exact-collapse -> SemDeDup composition
     "lang_source_chi2",  # int64→double overflow fix on both engines
     "hll_sketch_merge_check",  # new: mergeable Datasketches HLL per-shard union
     "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing

@@ -364,13 +364,15 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_C = 8
 _SEMDEDUP_THR = 0.45
 
-
-@register(
-    "dedup_semdedup_clusters",
-    oracle=f"""
+#: Shared semdedup CTE chain over a source exposing (vec_id, embedding) —
+#: one definition so the plain query and the exact-collapse composition
+#: cannot drift. The opening "e" CTE casts to double; callers prepend
+#: their own source CTE and reference it here.
+def _semdedup_oracle(source: str) -> str:
+    return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM {source}
     ),
     cents AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -405,7 +407,12 @@ _SEMDEDUP_THR = 0.45
                                        ORDER BY kept_id ASC) AS rn
           FROM pairs WHERE cos >= {_SEMDEDUP_THR})
     WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=_semdedup_oracle("embeddings"),
     survey="X2,X3",
     doc="SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — "
     "pairwise cosine is computed ONLY within a k-means cell, collapsing "
@@ -421,4 +428,33 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_fixture(spark, sf_dir, "embeddings"),
         n_centroids=_SEMDEDUP_C,
         threshold=_SEMDEDUP_THR,
+    )
+
+
+@register(
+    "dedup_semdedup_pipeline",
+    oracle=_semdedup_oracle(
+        "(SELECT MIN(vec_id) AS vec_id, embedding "
+        "FROM embeddings GROUP BY embedding)"
+    ),
+    survey="X1,X2,X3",
+    doc="The production semantic-dedup composition: EXACT dedup first "
+    "(one keyed aggregate on the vector value, min-id representative), "
+    "SemDeDup on the representatives only. Stage order is the measured "
+    "scale lever — on the sf10 stress tile (every vector an exact-dup "
+    "cluster of 100) this runs 8.1 s vs 345 s for semantic dedup "
+    "against uncollapsed duplicates (SCALE.md); on organic data it is "
+    "a cheap guarantee that the pairwise stage never re-discovers what "
+    "a hash aggregate already knows. Same output contract as "
+    "dedup_semdedup_clusters, computed over representatives.",
+)
+def dedup_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    reps = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "embedding")
+    )
+    return D.semdedup_dropped(
+        reps, n_centroids=_SEMDEDUP_C, threshold=_SEMDEDUP_THR
     )
