@@ -91,89 +91,129 @@ def _load_all() -> None:
 
 #: External correctness sweeps consume the catalog front-to-back and cap at
 #: ~50 entries per round, so ordering is a verification-rotation policy, not
-#: cosmetics.  Round 4: (a) the four queries that have never received a
-#: lifetime driver row (q12 carries the round-3 HUGEINT repair that was
-#: fixed but never driver-verified), then (b) queries changed or added this
-#: round (chi2 overflow fix, IVFADC composition, pinned-codebook PQ oracle,
-#: dup-span persist), then (c) round-3 greens for re-confirmation, oldest
-#: driver check first, then (d) the rest in registration order.
+#: cosmetics.  Round 5 is an EVIDENCE-FRESHNESS round (VERDICT r4 item 1):
+#: after round 4, 83 of 163 rows dated from rounds 1-2, BEFORE the round-3
+#: widen_narrow_scan rewiring and the round-4 iterative-tier fixes.  Order:
+#: (a) queries added or semantically changed THIS round (round 5: the
+#: recursive-CTE row-limit gate, SemDeDup auto-C, the ngram-Jaccard
+#: prefix-filter auto-crossover), then (b) every row last driver-checked in
+#: round 1 — the oldest evidence in the file — then (c) round-2 rows whose
+#: underlying operators were rewritten since (ANN/LSH/text map stages),
+#: then (d) the remaining round-2 rows, then (e) round-3 greens, then (f)
+#: the round-4 greens in registration order.  Goal state: no row's latest
+#: driver check is ever more than ~2 rounds old.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (no lifetime row) — VERDICT r3 item 1
-    "q12_priority_by_returnflag",
-    "q20_excess_shipment_suppliers",
-    "knn_quantized_ivf",
-    "full_outer_click_purchase_recon",
-    # (b) changed/added this round — components input now materialized
-    # once (affects every resolve/cluster query) and the decontamination
-    # capstone persists its fan-out frontiers
-    "dedup_resolve_clusters_logstar",  # exact fixpoint + single-run input
-    "dedup_resolve_clusters",
-    "entity_resolution_clusters",
-    "corpus_curation_decontaminated",  # corpus0/curated now persisted
-    "dedup_canonical_by_quality",
-    "corpus_curation",
-    # (b) changed/added this round — ANN tier + overflow fixes
-    "dedup_semdedup_clusters",  # new: SemDeDup cluster-scoped embedding dedup
-    "bloom_decontaminate",  # new: Bloom-prefilter decontamination + FP audit
-    "sql_recursive_order_chain",  # new: Spark 4 WITH RECURSIVE, verbatim twin
-    "sql_lateral_topn_orders",  # new: correlated LATERAL top-n, verbatim twin
-    "sql_pipe_syntax",  # new: Spark 4 |> pipe-SQL dialect, standard-SQL twin
-    "community_nation_trade",  # new: deterministic LPA, unrolled-round twin
-    "events_holt_linear",  # new: integer-exact Holt level+trend fold
-    "market_basket_pairs",  # new: frequent-itemset support, a<b self-join
-    "events_windowed_distinct_users",  # new: dedup-then-count windowed distinct
-    "dedup_semdedup_pipeline",  # new: exact-collapse -> SemDeDup composition
-    "lang_source_chi2",  # int64→double overflow fix on both engines
-    "hll_sketch_merge_check",  # new: mergeable Datasketches HLL per-shard union
-    "knn_ivfadc_topk",  # new: PQ candidates routed through IVF probing
-    "knn_ivfadc_recall",  # new: hash-checked recall floor for IVFADC
-    "knn_pq_pinned_topk",  # new: pinned-codebook PQ with full value oracle
-    "knn_brute_force_arrow_agree",  # new: Arrow matmul kernel vs HOF exact
-    "knn_brute_force_arrow",  # new: rows-only twin of the gate above
-    "dup_span_coverage",  # interval union now a sweep-line lag window
-    "knn_pq_topk",
-    "knn_pq_recall",
-    "asof_last_purchase_before_click",  # negative-tolerance guard added
-    "asof_next_purchase_after_click",
-    # (c) r3-green re-confirmations, priortized toward shapes sharing code
-    # paths with this round's edits (ANN tier, components, stats)
-    "knn_quantized_topk",
-    "knn_ivf_recall",
-    "knn_l2_brute_force",
-    "knn_filtered_topk",
-    "embedding_quantize_int8",
-    "embedding_centroids",
-    "lineitem_correlations",
-    "ols_price_on_quantity",
-    "logistic_quality_fit",
-    # (c) r1/r2-green whose last driver check is oldest
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_embedding_cosine",
-    "flagship_top_revenue",
-    "star_join_top_items",
-    "q5_local_supplier_volume",
-    "q8_brand_market_share",
+    # (a) changed/added in round 5
+    "sql_recursive_order_chain",  # cteRecursionRowLimit now input-scaled
+    "dedup_semdedup_clusters",  # n_centroids="auto" sqrt-n dial added
+    "dedup_semdedup_pipeline",  # same operator, composition entry
+    "dedup_ngram_jaccard",  # prefix_filter="auto" corpus-count crossover
+    # (b) last driver-checked in ROUND 1 (oldest evidence, refresh all 38)
+    "approx_count_distinct",
+    "percentile_exact",
+    "percentile_approx",
     "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dedup_exact_distinct",
+    "dedup_exact_group",
+    "dedup_simhash",
+    "events_zscore_anomalies",
+    "histogram_totalprice",
+    "largest_order_per_customer",
+    "orders_priority_pivot",
+    "profile_documents",
+    "sample_stratified_systematic",
+    "dataset_split",
+    "filter_pushdown_scan",
+    "null_handling",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "latest_order_per_customer",
+    "setops_nation_intersect",
+    "setops_nation_except",
+    "scalar_string_functions",
+    "date_functions",
+    "json_props_extract",
+    "partial_date_parse",
+    "window_rank_lag",
+    "window_running_sum",
+    "count_distinct_exact",
+    "rollup_orders",
+    "cube_lineitem",
+    "grouping_sets_orders",
+    "health_rowcounts",
+    "freshness_latest_ship",
+    "pipeline_latency_minutes",
+    "order_priority_distribution",
     "pricing_summary",
-    "events_range_pair_join",
+    # (c) round-2 rows over operators rewritten in rounds 3-4
+    # (similarity/LSH map stages, events window family)
+    "knn_brute_force",
+    "knn_ivf",
+    "embedding_lsh_neardup",
+    "lsh_blocking_stats",
+    "decontaminate_against_benchmark",
+    "events_tumbling_hourly",
+    "events_sliding_counts",
+    "events_daily_from_hourly",
+    "events_hourly_gapfill",
+    "text_tfidf",
+    # (d) remaining round-2 rows (stable code paths), registration order
+    "q4_late_shipment_priority",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q22_idle_rich_customers",
+    "window_frames",
+    "window_range_frame",
+    "text_token_stats",
+    "text_word_frequency",
+    "text_language_id",
+    "text_quality_score",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_normalize",
+    "text_pii_redact",
+    "unpivot_lineitem_metrics",
+    "nullsafe_join_priority_match",
+    "training_shuffle",
+    "source_mixture_sample",
+    "text_repetition_stats",
+    "window_ntile_quartiles",
+    "regexp_scalar_functions",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "q6_forecast_revenue",
+    "q9_nation_year_profit",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    # (e) round-3 greens, registration order
+    "text_bm25_topk",
     "events_sessionize",
-    "pack_training_sequences",
-    "packing_efficiency",
     "approx_count_distinct_check",
     "percentile_approx_check",
+    "events_range_pair_join",
+    "interval_overlap_pairs",
     "chunk_documents_overlap",
     "dedup_prefix_clusters",
+    "pack_training_sequences",
+    "packing_efficiency",
+    "rag_bucket_index",
+    "cdc_apply_snapshot",
+    "events_props_variant",
     "data_quality_expectations",
     "heavy_hitters_check",
     "fuzzy_name_match",
-    "interval_overlap_pairs",
-    "cdc_apply_snapshot",
-    "events_props_variant",
     "snapshot_diff_orders",
     "bpe_pair_counts",
+    "key_skew_profile",
     "pagerank_nation_trade",
     "text_lm_score",
     "rolling_median_acctbal",
@@ -183,43 +223,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "events_ema_value",
     "winsorize_prices",
     "target_encode_loo",
-    "text_bm25_topk",
     "bpe_merge_apply",
     "vocab_oov_rate",
-    "rag_bucket_index",
-    "key_skew_profile",
-    # (d) driver-green re-confirmations, oldest checks first (r1 sweep)
-    "events_tumbling_hourly",
-    "events_sliding_counts",
-    "events_daily_from_hourly",
-    "events_hourly_gapfill",
-    "json_props_extract",
-    "date_functions",
-    "window_rank_lag",
-    "window_running_sum",
-    "latest_order_per_customer",
-    "dedup_exact_distinct",
-    "dedup_exact_group",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "anti_join_inactive_customers",
-    "semi_join_active_customers",
-    "null_handling",
-    "scalar_string_functions",
-    "partial_date_parse",
-    "setops_nation_intersect",
-    "setops_nation_except",
-    "order_priority_distribution",
-    "pipeline_latency_minutes",
-    "freshness_latest_ship",
-    "health_rowcounts",
-    "grouping_sets_orders",
-    "rollup_orders",
-    "cube_lineitem",
-    "count_distinct_exact",
-    "dataset_split",
-    "filter_pushdown_scan",
-    "training_shuffle",
+    # (f) round-4 greens follow in registration order via _ordered()'s tail
 )
 
 
