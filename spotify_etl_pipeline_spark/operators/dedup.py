@@ -103,12 +103,21 @@ def _pair_expr(arr: str, fields: str) -> str:
     )
 
 
+#: Corpus-size crossover for ``ngram_jaccard_pairs(prefix_filter="auto")``.
+#: Measured (SCALE.md): at 5 K docs (sf0.1) the prefix-filtered plan's three
+#: extra shuffles cost more than the candidate expansion they avoid; at the
+#: 50 K-doc sf1 tile the filtered plan produces the IDENTICAL pairs in 22.6 s
+#: vs 47.4 s (2.1×) and the gap widens with duplicate density. 10⁴ splits
+#: the two measured regimes.
+PREFIX_FILTER_AUTO_MIN_DOCS = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard similarity ≥ threshold.
 
@@ -120,11 +129,22 @@ def ngram_jaccard_pairs(
     PPJoin-style prefix filter (:func:`_jaccard_prefix_filtered`): 10×
     fewer candidate pairs measured at sf0.1 (1.27M → 119K) at the price of
     three extra shuffles (df-rank join, prefix window, set-verify joins).
-    Off by default because below ~10⁴ documents the extra stages cost more
-    than the avoided expansion; it is the right default once candidate
-    explosion, not stage count, is the bottleneck (big corpora / lower
-    thresholds / skewed shingle distributions).
+    Below ~10⁴ documents the extra stages cost more than the avoided
+    expansion; it wins once candidate explosion, not stage count, is the
+    bottleneck (big corpora / lower thresholds / skewed shingle
+    distributions). ``"auto"`` (the default) picks per corpus: one scalar
+    count job, filtered plan iff the count reaches
+    :data:`PREFIX_FILTER_AUTO_MIN_DOCS`. Both plans emit identical rows
+    (the filter is lossless by the PPJoin prefix guarantee), so the switch
+    is invisible to callers and to the oracle.
     """
+    if prefix_filter == "auto":
+        # bounded collect: one scalar count (pagerank |V| convention)
+        prefix_filter = df.count() >= PREFIX_FILTER_AUTO_MIN_DOCS
+    elif not isinstance(prefix_filter, bool):
+        raise ValueError(
+            f'prefix_filter must be a bool or "auto", got {prefix_filter!r}'
+        )
     if prefix_filter:
         return _jaccard_prefix_filtered(df, n, threshold, max_shingle_df)
     sh = doc_shingles(df, n)
@@ -505,9 +525,27 @@ def _semdedup_assign(
     )
 
 
+def semdedup_auto_centroids(n_vectors: int) -> int:
+    """The √n centroid dial for :func:`semdedup_dropped`'s
+    ``n_centroids="auto"``.
+
+    With C = √n cells, expected within-cell pair volume Σ n_c² ≈ n²/C =
+    n^1.5 — the standard sub-quadratic operating point between C=const
+    (still ~quadratic) and C=n (no dedup possible). Abbas et al. 2023
+    scale C with the corpus the same way (50 K clusters on LAION's
+    hundreds of millions). floor(sqrt(x)) over IEEE doubles so an
+    external SQL oracle (``FLOOR(SQRT(COUNT(*)))``) derives the
+    identical C bit-for-bit; floored at 2 so tiny corpora still
+    partition.
+    """
+    import math
+
+    return max(2, math.floor(math.sqrt(n_vectors)))
+
+
 def semdedup_dropped(
     df: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | str = 8,
     threshold: float = 0.45,
     assign: str = "auto",
 ) -> DataFrame:
@@ -539,6 +577,11 @@ def semdedup_dropped(
 
     ``assign="auto"`` picks literal for C ≤ 32, join above.
 
+    ``n_centroids="auto"`` derives C from the corpus itself via
+    :func:`semdedup_auto_centroids` (√n, the paper's grow-C-with-corpus
+    dial) at the cost of one scalar count job before planning; an int
+    pins C explicitly (the fixture-scale oracle convention).
+
     Centroids here are PINNED to the ``n_centroids`` lowest-id vectors
     (the deterministic k-means init convention of ``pq_fit(max_iter=0)``)
     so an external SQL oracle rederives the identical partition — the
@@ -546,7 +589,14 @@ def semdedup_dropped(
     without touching anything downstream.
 
     Returns (cluster, kept_id, dropped_id, cosine): one row per dropped
-    vector, paired with its lowest-id retained witness. Ties in the
+    vector, paired with its lowest-id same-cluster near-dup witness.
+    ``kept_id < dropped_id`` always, but in a transitive chain a witness
+    may ITSELF appear as a dropped_id of an even lower id — "kept" means
+    "kept relative to this pair", not "a survivor of the whole pass".
+    The set of true survivors is exactly the ids never appearing in
+    dropped_id; callers needing survivor-resolved witnesses chain pairs
+    through :mod:`.components` (connected components exists for this).
+    Ties in the
     centroid argmin break toward the lower centroid index on both engines
     and both assignment paths (``array_position`` finds the FIRST
     minimum; the join path orders by (d2, cid)).
@@ -555,6 +605,12 @@ def semdedup_dropped(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    if n_centroids == "auto":
+        # bounded collect: ONE scalar (the corpus count) — the same
+        # sanctioned pattern as pagerank's |V| sizing constant
+        n_centroids = semdedup_auto_centroids(e.count())
+    elif not isinstance(n_centroids, int):
+        raise ValueError(f'n_centroids must be an int or "auto", got {n_centroids!r}')
     asg = _semdedup_assign(e, n_centroids, assign).select(
         "vec_id", "cluster", "v"
     )

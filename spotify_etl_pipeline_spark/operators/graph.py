@@ -19,13 +19,17 @@ Scale notes (100 TB / 10^10-edge regime):
   current ranks) and once on ``dst`` (contribution sum). Both are
   hash-partitioned equi-shuffles — no all-pairs, no driver data.
 - The rank vector is |V| rows (thin: id + double). The edge list never
-  changes, so at high iteration counts callers should ``.persist()`` the
-  normalized edge DataFrame; we deliberately leave caching policy to the
-  caller because at 10^10 edges the right call (disk-only, replicated,
-  or re-scan) is cluster-specific.
-- Plan depth grows linearly with ``iterations``; beyond ~10 iterations
-  materialize ranks per pass (checkpoint/write) to cut lineage. The
-  curation use-case (quality prior) converges usefully in 3-5.
+  changes, so both operators persist it (and the other loop-invariant
+  tables) for the duration of the computation — and UNPERSIST everything
+  before returning: the result is materialized once via an eager
+  ``localCheckpoint`` (the :mod:`.components` convention), so the caller
+  gets a lineage-free distributed DataFrame and the session's cache
+  returns to its pre-call state. Without that release every invocation
+  leaked its cached partitions for the session lifetime — invisible in a
+  single bench run, compounding across a 163-query sweep.
+- The eager checkpoint also cuts plan depth (otherwise linear-to-
+  exponential in ``iterations``). The curation use-case (quality prior)
+  converges usefully in 3-5 passes.
 - Dangling mass (vertices with no out-edges) is redistributed uniformly —
   the standard correction; skipping it leaks rank mass and the vector no
   longer sums to 1.
@@ -85,6 +89,7 @@ def pagerank(
     n = nodes.count()
     out_w = e.groupBy("src").agg(F.sum("w").alias("ow")).persist()
 
+    handles = [e, nodes, out_w]
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
@@ -92,9 +97,9 @@ def pagerank(
         # anti-join): without a lineage cut the plan tree doubles per pass
         # (2^iterations copies of every upstream subtree). persist() makes
         # the second reference a cache read; the cached vectors are |V| thin
-        # rows per pass, following the repo convention of harness-level
-        # clearCache().
+        # rows per pass, all released after the final materialization below.
         ranks = ranks.persist()
+        handles.append(ranks)
         contrib = (
             ranks.join(e, ranks["node"] == e["src"], "inner")
             .join(out_w, "src")
@@ -117,7 +122,16 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks
+    # One action computes the whole loop (every persisted pass fills and is
+    # reused within it), then the cache is RELEASED: the eager local
+    # checkpoint leaves a lineage-free |V|-row distributed result that the
+    # ContextCleaner frees when the caller drops it, and unpersisting the
+    # loop intermediates returns the session cache to its pre-call state
+    # instead of leaking per invocation.
+    out = ranks.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
 
 
 def label_propagation(
@@ -172,6 +186,7 @@ def label_propagation(
     # one summed weight — keeps the per-round join fan-out minimal
     eu = und.groupBy("a", "b").agg(F.sum("w").alias("w"))
     eu = eu.persist()
+    handles = [eu]
     nodes = eu.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lbl"))
     rank_w = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("lbl"))
@@ -180,8 +195,9 @@ def label_propagation(
         # once per round so growth is linear, not exponential, but at high
         # iteration counts the uncut plan still deepens per pass and a task
         # retry would recompute the whole chain; the cached vector is |V|
-        # thin rows
+        # thin rows, released after the final materialization below
         labels = labels.persist()
+        handles.append(labels)
         scores = (
             eu.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"), "lbl")
@@ -195,4 +211,10 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", "lbl")
         )
-    return labels.select("node", F.col("lbl").alias("label"))
+    # same cache-hygiene contract as pagerank: materialize once, release all
+    out = labels.select("node", F.col("lbl").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for h in handles:
+        h.unpersist()
+    return out

@@ -91,153 +91,75 @@ def _load_all() -> None:
 
 #: External correctness sweeps consume the catalog front-to-back and cap at
 #: ~50 entries per round, so ordering is a verification-rotation policy, not
-#: cosmetics.  Round 5 is an EVIDENCE-FRESHNESS round (VERDICT r4 item 1):
-#: after round 4, 83 of 163 rows dated from rounds 1-2, BEFORE the round-3
-#: widen_narrow_scan rewiring and the round-4 iterative-tier fixes.  Order:
-#: (a) queries added or semantically changed THIS round (round 5: the
-#: recursive-CTE row-limit gate, SemDeDup auto-C, the ngram-Jaccard
-#: prefix-filter auto-crossover), then (b) every row last driver-checked in
-#: round 1 — the oldest evidence in the file — then (c) round-2 rows whose
-#: underlying operators were rewritten since (ANN/LSH/text map stages),
-#: then (d) the remaining round-2 rows, then (e) round-3 greens, then (f)
-#: the round-4 greens in registration order.  Goal state: no row's latest
-#: driver check is ever more than ~2 rounds old.
-_SWEEP_PRIORITY: tuple[str, ...] = (
-    # (a) changed/added in round 5
-    "sql_recursive_order_chain",  # cteRecursionRowLimit now input-scaled
-    "dedup_semdedup_clusters",  # n_centroids="auto" sqrt-n dial added
-    "dedup_semdedup_pipeline",  # same operator, composition entry
-    "dedup_ngram_jaccard",  # prefix_filter="auto" corpus-count crossover
-    # (b) last driver-checked in ROUND 1 (oldest evidence, refresh all 38)
-    "approx_count_distinct",
-    "percentile_exact",
-    "percentile_approx",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "dedup_exact_distinct",
-    "dedup_exact_group",
-    "dedup_simhash",
-    "events_zscore_anomalies",
-    "histogram_totalprice",
-    "largest_order_per_customer",
-    "orders_priority_pivot",
-    "profile_documents",
-    "sample_stratified_systematic",
-    "dataset_split",
-    "filter_pushdown_scan",
-    "null_handling",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "latest_order_per_customer",
-    "setops_nation_intersect",
-    "setops_nation_except",
-    "scalar_string_functions",
-    "date_functions",
-    "json_props_extract",
-    "partial_date_parse",
-    "window_rank_lag",
-    "window_running_sum",
-    "count_distinct_exact",
-    "rollup_orders",
-    "cube_lineitem",
-    "grouping_sets_orders",
-    "health_rowcounts",
-    "freshness_latest_ship",
-    "pipeline_latency_minutes",
-    "order_priority_distribution",
-    "pricing_summary",
-    # (c) round-2 rows over operators rewritten in rounds 3-4
-    # (similarity/LSH map stages, events window family)
-    "knn_brute_force",
-    "knn_ivf",
-    "embedding_lsh_neardup",
-    "lsh_blocking_stats",
-    "decontaminate_against_benchmark",
-    "events_tumbling_hourly",
-    "events_sliding_counts",
-    "events_daily_from_hourly",
-    "events_hourly_gapfill",
-    "text_tfidf",
-    # (d) remaining round-2 rows (stable code paths), registration order
-    "q4_late_shipment_priority",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q18_large_volume_orders",
-    "q22_idle_rich_customers",
-    "window_frames",
-    "window_range_frame",
-    "text_token_stats",
-    "text_word_frequency",
-    "text_language_id",
-    "text_quality_score",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_normalize",
-    "text_pii_redact",
-    "unpivot_lineitem_metrics",
-    "nullsafe_join_priority_match",
-    "training_shuffle",
-    "source_mixture_sample",
-    "text_repetition_stats",
-    "window_ntile_quartiles",
-    "regexp_scalar_functions",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "q6_forecast_revenue",
-    "q9_nation_year_profit",
-    "q14_promo_revenue",
+#: cosmetics.  Round 6 makes the rotation SELF-MAINTAINING: the head is the
+#: short hand-list of entries whose semantics changed this round (they need
+#: fresh evidence no matter what), and the tail is every other entry sorted
+#: by the round of its most recent driver check — read directly from the
+#: checked-in CORRECTNESS_r*.json files — oldest evidence first, with
+#: registration order breaking ties and never-checked entries (new queries)
+#: ahead of everything previously verified.  Goal state: no row's latest
+#: driver check is ever more than ~2 rounds old, with no per-round editing
+#: beyond this head list.
+#:
+#: Round 6 head: the four entries the round-5 sweep annotation CLAIMED had
+#: changed but had not (VERDICT r5) — the changes are now real:
+#: sql_recursive_order_chain gained the input-scaled cteRecursionRowLimit
+#: gate, dedup_semdedup_* run the n_centroids="auto" sqrt-n dial with a
+#: matching dynamic-LIMIT oracle, and dedup_ngram_jaccard routes through
+#: prefix_filter="auto" (corpus-count PPJoin crossover). Plus the other
+#: round-6 semantic changes: q15's max is now a scalar agg over integer
+#: cents (not a global window over float sums), and the graph operators
+#: release their cache via an eager final checkpoint.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "sql_recursive_order_chain",
+    "dedup_semdedup_clusters",
+    "dedup_semdedup_pipeline",
+    "dedup_ngram_jaccard",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    # (e) round-3 greens, registration order
-    "text_bm25_topk",
-    "events_sessionize",
-    "approx_count_distinct_check",
-    "percentile_approx_check",
-    "events_range_pair_join",
-    "interval_overlap_pairs",
-    "chunk_documents_overlap",
-    "dedup_prefix_clusters",
-    "pack_training_sequences",
-    "packing_efficiency",
-    "rag_bucket_index",
-    "cdc_apply_snapshot",
-    "events_props_variant",
-    "data_quality_expectations",
-    "heavy_hitters_check",
-    "fuzzy_name_match",
-    "snapshot_diff_orders",
-    "bpe_pair_counts",
-    "key_skew_profile",
     "pagerank_nation_trade",
-    "text_lm_score",
-    "rolling_median_acctbal",
-    "salted_priority_totals",
-    "event_transition_matrix",
-    "mixture_reweighting",
-    "events_ema_value",
-    "winsorize_prices",
-    "target_encode_loo",
-    "bpe_merge_apply",
-    "vocab_oov_rate",
-    # (f) round-4 greens follow in registration order via _ordered()'s tail
+    "community_nation_trade",
 )
+
+
+def _latest_evidence() -> dict[str, int]:
+    """Per-query round of the newest driver check, parsed from the
+    CORRECTNESS_r{N}.json files the external sweep leaves at the repo
+    root.  Missing/unreadable files degrade to "never checked" (rank 0),
+    so the ordering still works in a bare checkout."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.stem)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            names = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _ordered() -> list[QuerySpec]:
     _load_all()
-    unknown = [n for n in _SWEEP_PRIORITY if n not in CATALOG]
+    unknown = [n for n in _CHANGED_THIS_ROUND if n not in CATALOG]
     if unknown:
-        raise KeyError(f"_SWEEP_PRIORITY names not in catalog: {unknown}")
-    head = [CATALOG[n] for n in _SWEEP_PRIORITY]
-    prioritized = set(_SWEEP_PRIORITY)
-    tail = [s for n, s in CATALOG.items() if n not in prioritized]
-    return head + tail
+        raise KeyError(f"_CHANGED_THIS_ROUND names not in catalog: {unknown}")
+    latest = _latest_evidence()
+    reg_pos = {n: i for i, n in enumerate(CATALOG)}
+    head = [CATALOG[n] for n in _CHANGED_THIS_ROUND]
+    changed = set(_CHANGED_THIS_ROUND)
+    tail = sorted(
+        (n for n in CATALOG if n not in changed),
+        key=lambda n: (latest.get(n, 0), reg_pos[n]),
+    )
+    return head + [CATALOG[n] for n in tail]
 
 
 def queries() -> dict[str, QueryFn]:

@@ -86,10 +86,17 @@ def dedup_exact_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
     """,
     survey="X2",
-    doc="3-gram Jaccard near-dup pairs (threshold 0.8), shingle-blocked self-join.",
+    doc="3-gram Jaccard near-dup pairs (threshold 0.8). prefix_filter="
+    "'auto' (the operator default) picks the candidate generator by "
+    "corpus count — shingle-blocked self-join below 10⁴ docs (the "
+    "driver's fixture scales), exact PPJoin prefix filtering above "
+    "(measured 2.1× at the 50 K-doc sf1 tile) — both lossless, so one "
+    "oracle covers either plan.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.8, prefix_filter="auto"
+    )
 
 
 @register(
@@ -361,14 +368,23 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMDEDUP_C = 8
 _SEMDEDUP_THR = 0.45
+
+#: DuckDB twin of operators.dedup.semdedup_auto_centroids: C = max(2,
+#: floor(sqrt(n))). Both sides floor an IEEE-double sqrt, so the derived
+#: C is bit-identical — the dynamic dial stays fully hash-checkable.
+_SEMDEDUP_AUTO_C_SQL = (
+    "(SELECT GREATEST(2, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM e)"
+)
+
 
 #: Shared semdedup CTE chain over a source exposing (vec_id, embedding) —
 #: one definition so the plain query and the exact-collapse composition
 #: cannot drift. The opening "e" CTE casts to double; callers prepend
-#: their own source CTE and reference it here.
-def _semdedup_oracle(source: str) -> str:
+#: their own source CTE and reference it here. ``c_expr`` is the centroid
+#: count — a literal int or the auto-√n scalar subquery (DuckDB allows a
+#: subquery in LIMIT).
+def _semdedup_oracle(source: str, c_expr: str = _SEMDEDUP_AUTO_C_SQL) -> str:
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -376,7 +392,7 @@ def _semdedup_oracle(source: str) -> str:
     ),
     cents AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_C})
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {c_expr})
     ),
     d AS (
       SELECT e.vec_id, cents.cid,
@@ -418,15 +434,18 @@ def _semdedup_oracle(source: str) -> str:
     "pairwise cosine is computed ONLY within a k-means cell, collapsing "
     "the O(n²) brute force to O(Σ n_c²); the cell count grows with the "
     "corpus (50k clusters on LAION in the paper), making this the "
-    "embedding-dedup scale path. Centroids pinned to the 8 lowest-id "
-    "vectors (deterministic k-means init) so DuckDB rederives the "
-    "identical partition; assignment is a narrow literal-array map, the "
-    "pairwise stage shuffles once on the cluster equi-key.",
+    "embedding-dedup scale path. n_centroids='auto': C = max(2, "
+    "floor(sqrt(n))) derived from the corpus count on BOTH engines "
+    "(√n is the paper's grow-C-with-corpus dial), centroids pinned to "
+    "the C lowest-id vectors (deterministic k-means init) so DuckDB "
+    "rederives the identical partition; the assignment regime switches "
+    "literal→broadcast-join at C=32, the pairwise stage shuffles once "
+    "on the cluster equi-key.",
 )
 def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semdedup_dropped(
         load_fixture(spark, sf_dir, "embeddings"),
-        n_centroids=_SEMDEDUP_C,
+        n_centroids="auto",
         threshold=_SEMDEDUP_THR,
     )
 
@@ -456,5 +475,5 @@ def dedup_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return D.semdedup_dropped(
-        reps, n_centroids=_SEMDEDUP_C, threshold=_SEMDEDUP_THR
+        reps, n_centroids="auto", threshold=_SEMDEDUP_THR
     )

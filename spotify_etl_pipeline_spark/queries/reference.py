@@ -172,6 +172,9 @@ def order_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    # Unpartitioned window over POST-AGGREGATION rows only: input is one
+    # row per priority (5 at any scale factor — the cardinality bound that
+    # makes a global WindowExec safe here, unlike a raw-fact global window).
     total = Window.partitionBy()
     return counts.select(
         "o_orderpriority",

@@ -338,17 +338,33 @@ FROM chain
     "twin of this computation (window_running_sum / window_frames) is "
     "the plan Spark SHOULD pick when the recursion is a linear chain — "
     "this entry exists to prove the SQL surface, not to replace them. "
-    "Measured scale cliff (sf1 tile, 1.5M orders): Spark's "
+    "Scale cliff, measured then GATED (sf1 tile, 1.5M orders): Spark's "
     "spark.sql.cteRecursionRowLimit guard (default 1,000,000 TOTAL rows "
     "across all recursion steps) aborts the walk with "
     "RECURSION_ROW_LIMIT_EXCEEDED — the guard is row-count-based, not "
     "depth-based, so ANY recursive CTE whose working set grows with the "
-    "data hits it at scale regardless of chain length. Raising the limit "
-    "trades the safety net for wall clock; the window formulation has "
-    "neither problem, which is the real scale lesson this pair records.",
+    "data trips it at scale regardless of chain length. This entry now "
+    "scales the guard to its input: the walk emits each order exactly "
+    "once across all steps (anchor = first order per chain), so total "
+    "recursion rows == COUNT(orders), a bound known from one scalar "
+    "aggregate before the query runs. The guard is re-armed at "
+    "2x that bound (never lowered below the default), keeping the "
+    "runaway-recursion safety net proportional instead of absolute. "
+    "The window formulation (window_running_sum) needs no guard at all, "
+    "which remains the real scale lesson this pair records.",
 )
 def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _view(spark, sf_dir, "orders", "rcte")
+    # Input-scaled recursion guard. The conf is read at EXECUTION time, so
+    # it must still be set when the caller materializes the returned
+    # DataFrame — set-and-leave on the session (monotonic: only ever
+    # raised), not set-and-restore around a lazy plan.
+    n_orders = spark.table(o).count()
+    key = "spark.sql.cteRecursionRowLimit"
+    current = int(spark.conf.get(key, "1000000"))
+    scaled = max(current, 2 * n_orders + 10_000)
+    if scaled > current:
+        spark.conf.set(key, str(scaled))
     return spark.sql(_RCTE_CHAIN_BODY.format(orders=o))
 
 

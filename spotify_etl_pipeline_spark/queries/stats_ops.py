@@ -389,6 +389,9 @@ def mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    # Unpartitioned window over POST-AGGREGATION rows only: one row per
+    # document source (a handful at any corpus size — the cardinality bound
+    # that makes a global WindowExec safe here).
     w = Window.partitionBy()
     return counts.select(
         "source",

@@ -138,51 +138,52 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey
-    ),
-    ranked AS (
-      SELECT supplier_no, total_revenue,
-             MAX(total_revenue) OVER () AS max_rev
-      FROM revenue
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, ROUND(rev_cents / 100.0, 2) AS total_revenue
     FROM supplier
-    JOIN ranked ON s_suppkey = supplier_no
-    WHERE total_revenue = max_rev
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)
     """,
     survey="J1,A2,A4,W1",
     doc="TPC-H Q15 shape (top supplier): a quarterly revenue view whose "
-    "maximum gates the final join. The max is an unpartitioned window "
-    "over the ALREADY-AGGREGATED view — supplier-count-sized input, so "
-    "the global window is harmless at any scale — rather than a second "
-    "independent aggregation of lineitem: one evaluation of the float "
-    "sums serves both sides of the equality, so partial-agg ordering "
-    "cannot produce a max that matches no row.",
+    "maximum gates the final join. The max is a SCALAR aggregate attached "
+    "by a 1-row broadcast — not an unpartitioned window, which would "
+    "funnel the whole revenue view through one WindowExec partition on a "
+    "large supplier dimension. The scalar-agg plan evaluates the revenue "
+    "view twice (once for the max, once for the rows), which is safe "
+    "because revenue is summed in integer CENTS — addition-order-"
+    "independent, so both evaluations are bit-identical regardless of "
+    "partial-agg scheduling (the hazard that forced the original "
+    "single-evaluation window shape with float sums).",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     li = load_fixture(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("rev_cents")
     )
-    ranked = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    )
+    max_rev = revenue.agg(F.max("rev_cents").alias("max_cents"))
     s = load_fixture(spark, sf_dir, "supplier")
     return (
-        s.join(ranked, s.s_suppkey == ranked.supplier_no)
-        .filter(F.col("total_revenue") == F.col("max_rev"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("total_revenue"),
+        )
     )
 
 

@@ -95,3 +95,26 @@ def test_lpa_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         label_propagation(edges, iterations=0)
+
+
+def test_iterative_operators_release_their_cache(spark):
+    """pagerank/label_propagation persist loop-invariant tables and a
+    per-round vector; every handle must be unpersisted before return —
+    session-lifetime cache leaks compound across a 163-query sweep. The
+    returned DataFrame is an eager localCheckpoint, so releasing the cache
+    costs no recomputation on the caller's action."""
+    from spotify_etl_pipeline_spark.operators.graph import label_propagation
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")], ["src", "dst"]
+    )
+    pr = pagerank(edges, iterations=3)
+    assert cm.isEmpty(), "pagerank left DataFrames in the session cache"
+    lp = label_propagation(edges, iterations=3)
+    assert cm.isEmpty(), "label_propagation left DataFrames in the session cache"
+    # results stay usable (checkpointed, not recomputed-from-released-cache)
+    assert pr.count() == 4 and lp.count() == 4

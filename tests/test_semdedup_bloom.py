@@ -40,7 +40,11 @@ def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
     assert len(dropped) == len(set(dropped))
 
 
-def test_semdedup_never_drops_its_own_witness(spark, sf_dir):
+def test_semdedup_witness_map_matches_differential(spark, sf_dir):
+    # the contract: each dropped id's witness is its lowest-id same-cluster
+    # near-dup — which may ITSELF be dropped in a transitive chain (survivors
+    # are the ids never appearing in dropped_id; see semdedup_dropped's
+    # docstring).
     # differential recomputation of the expected witness map: assignment
     # via the shared helper, pairs via the independent all-pairs operator,
     # minimum taken in local Python — a wrong-but-still-lower witness (or
@@ -109,3 +113,39 @@ def test_semdedup_rejects_unknown_assign(spark, sf_dir):
     emb = load_fixture(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="assign"):
         semdedup_dropped(emb, 8, THR, assign="bogus")
+
+
+def test_semdedup_auto_centroids_matches_pinned(spark, sf_dir):
+    """n_centroids="auto" must behave exactly like passing the derived
+    sqrt-n C by hand — the dial changes WHERE C comes from, never what the
+    operator computes (this is what keeps the dynamic-C oracle, which
+    rederives C with FLOOR(SQRT(COUNT(*))), hash-identical)."""
+    from spotify_etl_pipeline_spark.operators.dedup import semdedup_auto_centroids
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    c = semdedup_auto_centroids(emb.count())
+    auto = {
+        tuple(r) for r in semdedup_dropped(emb, "auto", THR).collect()
+    }
+    pinned = {
+        tuple(r) for r in semdedup_dropped(emb, c, THR).collect()
+    }
+    assert auto == pinned
+
+
+def test_semdedup_auto_centroids_formula():
+    from spotify_etl_pipeline_spark.operators.dedup import semdedup_auto_centroids
+
+    assert semdedup_auto_centroids(1) == 2  # floored so tiny corpora partition
+    assert semdedup_auto_centroids(4) == 2
+    assert semdedup_auto_centroids(500) == 22  # sf0.01 fixture -> literal regime
+    assert semdedup_auto_centroids(2_000) == 44  # sf0.1 fixture -> join regime
+    assert semdedup_auto_centroids(10**8) == 10_000
+
+
+def test_semdedup_rejects_bad_n_centroids(spark, sf_dir):
+    import pytest as _pytest
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="n_centroids"):
+        semdedup_dropped(emb, "bogus", THR)

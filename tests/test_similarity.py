@@ -408,3 +408,46 @@ def test_arrow_brute_force_all_zero_queries_raise(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="zero norm"):
         brute_force_topk_arrow(emb, zq, k=3)
+
+
+def test_prefix_filter_auto_routes_by_corpus_count(spark, sf_dir, monkeypatch):
+    """prefix_filter="auto" is a pure cost decision: below the measured
+    crossover it must plan the shingle-blocked join, above it the PPJoin
+    prefix-filtered path — and both emit identical rows (the filter is
+    lossless), so routing is observable only through which generator ran."""
+    import spotify_etl_pipeline_spark.operators.dedup as D
+
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    calls: list[bool] = []
+    real = D._jaccard_prefix_filtered
+
+    def spy(df, n, threshold, max_shingle_df):
+        calls.append(True)
+        return real(df, n, threshold, max_shingle_df)
+
+    monkeypatch.setattr(D, "_jaccard_prefix_filtered", spy)
+
+    # fixture corpora sit far below the 10^4-doc crossover -> blocked plan
+    small = D.ngram_jaccard_pairs(docs, n=3, threshold=0.7, prefix_filter="auto")
+    rows_small = {tuple(r) for r in small.collect()}
+    assert calls == [], "auto routed to prefix filter below the crossover"
+
+    # drop the crossover beneath the fixture -> filtered plan, same rows
+    monkeypatch.setattr(D, "PREFIX_FILTER_AUTO_MIN_DOCS", 1)
+    big = D.ngram_jaccard_pairs(docs, n=3, threshold=0.7, prefix_filter="auto")
+    rows_big = {tuple(r) for r in big.collect()}
+    assert calls, "auto did not route to prefix filter above the crossover"
+    assert rows_small == rows_big
+
+
+def test_prefix_filter_rejects_bad_value(spark, sf_dir):
+    import pytest as _pytest
+
+    import spotify_etl_pipeline_spark.operators.dedup as D
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="prefix_filter"):
+        D.ngram_jaccard_pairs(docs, prefix_filter="bogus")

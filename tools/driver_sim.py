@@ -5,6 +5,8 @@ queries() entry vs its oracle_sql() on the fixture tables (column-name
 set, row count, order-insensitive 6dp-stringified values). Run from
 anywhere: ``python tools/driver_sim.py [sf_dir]``
 (default /root/testdata/sf0.01; run sf0.1 too after touching operators).
+Extra args after sf_dir restrict the sweep to those query names —
+``python tools/driver_sim.py /root/testdata/sf0.01 q5 dedup_simhash``.
 """
 import os
 import sys
@@ -16,6 +18,7 @@ import duckdb
 from pyspark.sql import SparkSession
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
@@ -61,6 +64,10 @@ assert len(erows) > 0
 # 2. queries vs oracle
 qs = E.queries()
 oracles = E.oracle_sql()
+if ONLY:
+    unknown = ONLY - set(qs)
+    assert not unknown, f"unknown query names: {sorted(unknown)}"
+    qs = {n: f for n, f in qs.items() if n in ONLY}
 fails, rows_only = [], []
 t_all = time.time()
 for name, fn in qs.items():
