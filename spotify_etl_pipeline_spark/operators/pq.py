@@ -474,6 +474,86 @@ def pq_ivfadc_topk(
     return _exact_rerank(short, corpus, queries, k, id_col)
 
 
+#: Fixed-stage overhead of the IVFADC plan (coarse routing + probe-LUT
+#: pre-join + the rerank stage's smaller-but-extra jobs), expressed in the
+#: currency of the cost model: equivalent exhaustive-ADC candidate pairs.
+#: Calibrated from the sf10 crossover measurements (SCALE.md): at 200 K
+#: vectors / C=10 / n_probe=3, |Q|=10 (2 M pairs, 1.4 M saved) ran FASTER
+#: exhaustive, |Q|=500 (100 M pairs, 70 M saved) ran 3.5× faster through
+#: IVFADC — 10⁷ sits at the geometric middle of the bracket.
+PQ_DISPATCH_OVERHEAD_PAIRS = 10_000_000
+
+
+def pq_route(
+    n_corpus: int, n_queries: int, n_probe: int, n_clusters: int
+) -> str:
+    """Pick the PQ search plan by estimated candidate volume.
+
+    Exhaustive ADC scores ``|Q|·n`` pairs in one broadcast join;
+    IVFADC scores ``|Q|·n·n_probe/C`` but pays fixed extra stages.
+    Route to IVFADC exactly when the pairs it AVOIDS outweigh that
+    overhead::
+
+        |Q|·n·(1 - n_probe/C)  >  PQ_DISPATCH_OVERHEAD_PAIRS
+
+    ``n_probe >= C`` degenerates to searching everything — exhaustive
+    wins by construction (the saved fraction is ≤ 0).
+    Returns ``"exhaustive"`` or ``"ivfadc"``.
+    """
+    if n_probe >= n_clusters:
+        return "exhaustive"
+    saved = n_queries * n_corpus * (1.0 - n_probe / n_clusters)
+    return "ivfadc" if saved > PQ_DISPATCH_OVERHEAD_PAIRS else "exhaustive"
+
+
+def pq_topk_auto(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    n_probe: int = 3,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    n_corpus: int | None = None,
+    n_queries: int | None = None,
+    n_clusters: int | None = None,
+) -> DataFrame:
+    """|Q|-aware PQ search dispatch: :func:`pq_adc_rerank_topk`
+    (exhaustive ADC, Faiss ``IndexPQ``+refine) below the
+    :func:`pq_route` crossover, :func:`pq_ivfadc_topk` above it.
+
+    Both arms return the identical schema and the identical EXACT
+    rerank stage, so the dispatch changes cost, not the contract —
+    modulo IVFADC's candidate set missing mass outside probed clusters
+    (its declared recall trade, gated by ``knn_ivfadc_recall``).
+
+    Sizing constants default to bounded scalar jobs (two counts + one
+    distinct-count over the cluster column, the pagerank |V|
+    convention); callers that track their index metadata pass them in
+    and the dispatch plans with zero extra jobs — the stored-index
+    serving path.
+    """
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    if n_queries is None:
+        n_queries = queries.count()
+    if n_clusters is None:
+        n_clusters = corpus.select(cluster_col).distinct().count()
+    route = pq_route(n_corpus, n_queries, n_probe, n_clusters)
+    if route == "exhaustive":
+        return pq_adc_rerank_topk(
+            corpus, corpus_codes, queries, codebooks,
+            k=k, shortlist=shortlist, id_col=id_col,
+        )
+    return pq_ivfadc_topk(
+        corpus, corpus_codes, queries, codebooks,
+        k=k, shortlist=shortlist, n_probe=n_probe,
+        cluster_col=cluster_col, id_col=id_col,
+    )
+
+
 def brute_force_l2_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:

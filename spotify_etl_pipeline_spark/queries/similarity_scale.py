@@ -246,6 +246,35 @@ def knn_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pq_topk_auto",
+    oracle=None,  # approximate by construction (k-means codebooks), like
+    # both arms it dispatches between; the dispatch itself is
+    # equality-tested against the arm pq_route selects
+    # (tests/test_pq_dispatch.py) and each arm has its own recall twin.
+    survey="X3",
+    doc="|Q|-aware PQ search dispatch (pq_topk_auto): exhaustive "
+    "ADC+rerank below the pq_route candidate-volume crossover, IVFADC "
+    "above it. The cost model routes by the pairs IVF probing would "
+    "AVOID — |Q|*n*(1-n_probe/C) — against the measured fixed overhead "
+    "of the probing stages (10^7 pairs, calibrated from the sf10 "
+    "crossover: |Q|=10 on 200K vectors ran faster exhaustive, |Q|=500 "
+    "ran 3.5x faster through IVFADC). At driver fixture scale |Q|*n is "
+    "tiny, so this entry exercises the exhaustive arm; the sf10 bench "
+    "exercises the IVFADC arm.",
+)
+def knn_pq_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_fit, pq_topk_auto
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, k=16)
+    codes = pq_encode(emb, books, keep_cols=("label",)).persist()
+    return pq_topk_auto(
+        emb, codes, queries, books, k=5, shortlist=50, n_probe=3
+    )
+
+
+@register(
     "knn_quantized_ivf",
     oracle=None,  # probe routing depends on float centroid means (engine
     # summation order) → rows-only; recall floor vs the exact quantized
