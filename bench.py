@@ -82,6 +82,10 @@ HEADLINE = [
     # the span explode is the heaviest corpus-hygiene shuffle shape
     # (constant ×W token-stream blowup, now a single keyed window pass)
     "dup_span_coverage",
+    # round 6: the exact span-extent tier over the same explode (maximal
+    # duplicated spans, hash-pruned window keys + verify) — the pair
+    # records extents-vs-totals cost on one shuffle family
+    "dedup_exact_substring_spans",
     # round-4 breadth (VERDICT r3 item 5): the iterative/graph tier and
     # the curation capstone were test-covered but bench-blind — a
     # regression in their loop counts or shuffle shapes now moves BENCH

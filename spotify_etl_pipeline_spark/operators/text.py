@@ -341,3 +341,105 @@ def dup_span_coverage(df: DataFrame, w: int = 8) -> DataFrame:
             ),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame, min_len: int = 10, hash_prune: bool = True
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the exact
+    substring-dedup tier of Lee et al. (ACL 2022), who cut every span of
+    ≥50 tokens occurring verbatim elsewhere in the corpus, located with
+    a monolithic suffix array. This is the same semantics on DataFrame
+    algebra via the standard window reduction: a token position lies
+    inside a cross-doc duplicated substring of length ≥ L **iff** it is
+    covered by some cross-doc-duplicated L-token sliding window, so the
+    maximal duplicated spans are exactly the contiguous runs of
+    duplicated-window coverage — the suffix-array pass collapses to one
+    equi-shuffle on the window key plus a per-doc sweep. Unlike
+    :func:`dup_span_coverage` (which reports per-doc covered-token
+    TOTALS at fixed width), this returns the span EXTENTS — (doc_id,
+    span_start 1-based, span_len), the actual cut list a Lee-style
+    dedup pass consumes, with spans of unbounded length (maximality in
+    the run direction, not the window width).
+
+    Scale path (``hash_prune=True``): the corpus-wide shuffle carries
+    8-byte ``xxhash64`` window keys instead of L-token strings (the
+    shuffle-volume problem that pushes single-node implementations to
+    suffix arrays); hash-duplicated positions — a small fraction of any
+    organic corpus — are then VERIFIED by re-deriving the actual gram
+    strings for candidates only (one bounded equi-join back to the
+    token arrays) and re-grouping on the string, so a 64-bit collision
+    can never fabricate a span: the output is exact, the full-width
+    strings only ever shuffle for candidates. ``hash_prune=False``
+    ships gram strings directly — the oracle-shaped plan, fine at
+    fixture scale, quoted here because an external SQL engine has no
+    xxhash64.
+
+    Both shuffles key on window content (hash or string) and doc_id —
+    no all-pairs stage; the sweep is one lag + one running-sum window
+    partitioned by doc_id.
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    tt = df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    grams = tt.filter(F.col("n_tokens") >= L).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
+        F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+    )
+    wg = Window.partitionBy("gram")
+    if hash_prune:
+        seeds = grams.select("doc_id", "p", F.xxhash64("gram").alias("h"))
+        wh = Window.partitionBy("h")
+        cand = (
+            seeds.withColumn("_mn", F.min("doc_id").over(wh))
+            .withColumn("_mx", F.max("doc_id").over(wh))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("doc_id", "p")
+        )
+        # exact verify: re-derive gram strings for CANDIDATES only
+        # (equi-join on doc_id against the token arrays) and re-apply the
+        # cross-doc test on the real string — hash collisions die here
+        dup = (
+            cand.join(tt.select("doc_id", "toks"), "doc_id")
+            .select(
+                "doc_id",
+                "p",
+                F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+            )
+            .withColumn("_mn", F.min("doc_id").over(wg))
+            .withColumn("_mx", F.max("doc_id").over(wg))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("doc_id", "p")
+        )
+    else:
+        dup = (
+            grams.withColumn("_mn", F.min("doc_id").over(wg))
+            .withColumn("_mx", F.max("doc_id").over(wg))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("doc_id", "p")
+        )
+    # sweep: contiguous coverage runs (windows [p, p+L) touch or overlap
+    # exactly when the position gap is <= L)
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    wrun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dup.withColumn("_prev", F.lag("p").over(wd))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("p") - F.col("_prev") > L),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_island", F.sum("_brk").over(wrun))
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + L - F.min("p")).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )

@@ -49,6 +49,75 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_fixture(spark, sf_dir, "documents")
 
 
+#: Minimum duplicated-substring length (tokens) for the exact-span tier.
+#: Lee et al. cut at 50 tokens on real corpora; 10 keeps the synthetic
+#: fixture's duplicated tails (~2K duplicated windows at sf0.01) exercising
+#: every stage while staying beyond the fixed SPAN_W=8 coverage width.
+SPAN_MIN_LEN = 10
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+    g AS (
+      SELECT doc_id, unnest(range(1, n_tokens - {SPAN_MIN_LEN} + 2)) AS p,
+             toks
+      FROM tt WHERE n_tokens >= {SPAN_MIN_LEN}
+    ),
+    grams AS (
+      SELECT doc_id, p,
+             array_to_string(list_slice(toks, p, p + {SPAN_MIN_LEN} - 1),
+                             ' ') AS gram
+      FROM g
+    ),
+    dup AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               MIN(doc_id) OVER (PARTITION BY gram) AS mn,
+               MAX(doc_id) OVER (PARTITION BY gram) AS mx
+        FROM grams) WHERE mn <> mx
+    ),
+    brk AS (
+      SELECT doc_id, p,
+             CASE WHEN LAG(p) OVER w IS NULL
+                       OR p - LAG(p) OVER w > {SPAN_MIN_LEN}
+                  THEN 1 ELSE 0 END AS b
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + {SPAN_MIN_LEN} - MIN(p) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+    survey="X14",
+    doc="Exact substring dedup, span-extent tier (Lee et al. ACL 2022): "
+    "maximal cross-document duplicated token spans as (doc_id, "
+    f"span_start, span_len) with threshold L={SPAN_MIN_LEN} — the "
+    "actual cut list a Lee-style dedup pass consumes, completing the "
+    "tier beyond dup_span_coverage's fixed-width per-doc totals. "
+    "Window reduction replaces the suffix array: duplicated-substring "
+    "membership == duplicated-L-window coverage, so the plan is one "
+    "shuffle on the window key + a per-doc lag/running-sum sweep; the "
+    "operator's production path shuffles 8-byte xxhash64 keys and "
+    "exactly verifies only candidates (hash_prune=True), while the "
+    "oracle mirrors the direct string-keyed plan the equivalence test "
+    "pins to it.",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import exact_substring_spans
+
+    return exact_substring_spans(
+        _docs(spark, sf_dir), min_len=SPAN_MIN_LEN, hash_prune=True
+    )
+
+
 @register(
     "dup_span_coverage",
     oracle=f"""

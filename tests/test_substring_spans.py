@@ -1,0 +1,106 @@
+"""operators/text.py::exact_substring_spans — the exact substring-dedup
+span tier (Lee et al. 2022): planted duplicates with known extents, the
+hash-pruned/string-keyed path equivalence, and the coverage differential
+against dup_span_coverage at the same width."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_etl_pipeline_spark.operators.text import (
+    dup_span_coverage,
+    exact_substring_spans,
+)
+from spotify_etl_pipeline_spark.schemas import load_fixture
+
+
+def _spans(df):
+    return {(r["doc_id"], r["span_start"], r["span_len"]) for r in df.collect()}
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_planted_duplicate_exact_extents(spark):
+    # docs 0 and 1 share tokens d1..d12 verbatim; everything else is unique.
+    shared = " ".join(f"d{i}" for i in range(1, 13))  # 12 tokens
+    docs = _mkdocs(
+        spark,
+        [
+            "a1 a2 a3 " + shared + " a4 a5",  # shared at 1-based pos 4..15
+            shared + " b1 b2 b3 b4 b5 b6 b7",  # shared at pos 1..12
+            "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14",  # no dup
+        ],
+    )
+    got = _spans(exact_substring_spans(docs, min_len=10))
+    assert got == {(0, 4, 12), (1, 1, 12)}
+
+
+def test_shorter_than_threshold_is_invisible(spark):
+    shared = " ".join(f"d{i}" for i in range(1, 10))  # 9 tokens < L=10
+    docs = _mkdocs(
+        spark,
+        ["x1 x2 " + shared + " x3", shared + " y1 y2 y3"],
+    )
+    assert _spans(exact_substring_spans(docs, min_len=10)) == set()
+
+
+def test_two_islands_stay_separate(spark):
+    # two shared runs separated by >L unique tokens -> two maximal spans
+    s1 = " ".join(f"p{i}" for i in range(1, 12))  # 11 tokens
+    s2 = " ".join(f"q{i}" for i in range(1, 12))  # 11 tokens
+    gap = " ".join(f"u{i}" for i in range(1, 16))  # 15 unique tokens
+    docs = _mkdocs(
+        spark,
+        [s1 + " " + gap + " " + s2, s1 + " z1 z2 z3 z4 z5 " + s2],
+    )
+    got = _spans(exact_substring_spans(docs, min_len=10))
+    # doc 0: s1 at 1..11, s2 at 27..37; doc 1: s1 at 1..11, s2 at 17..27
+    assert got == {(0, 1, 11), (0, 27, 11), (1, 1, 11), (1, 17, 11)}
+
+
+def test_within_doc_repeat_is_not_cross_doc(spark):
+    # the same phrase twice in ONE doc only: cross-doc test must not fire
+    s = " ".join(f"r{i}" for i in range(1, 12))
+    docs = _mkdocs(
+        spark,
+        [s + " m1 m2 m3 " + s, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12"],
+    )
+    assert _spans(exact_substring_spans(docs, min_len=10)) == set()
+
+
+def test_hash_pruned_equals_string_keyed(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    fast = _spans(exact_substring_spans(docs, min_len=10, hash_prune=True))
+    slow = _spans(exact_substring_spans(docs, min_len=10, hash_prune=False))
+    assert fast == slow and fast
+
+
+def test_span_totals_match_dup_span_coverage_at_same_width(spark, sf_dir):
+    """Differential closure: per doc, the summed extent of the maximal
+    spans must equal dup_span_coverage's covered-token count when both
+    run at the same width — two independent plans (islands-of-positions
+    vs fixed-width sweep-line) deriving the same union."""
+    from pyspark.sql import functions as F
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    w = 10
+    spans = exact_substring_spans(docs, min_len=w)
+    per_doc = {
+        r["doc_id"]: r["tot"]
+        for r in spans.groupBy("doc_id").agg(F.sum("span_len").alias("tot")).collect()
+    }
+    cov = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_span_coverage(docs, w=w).filter(F.col("dup_tokens") > 0).collect()
+    }
+    assert per_doc == cov and per_doc
+
+
+def test_rejects_degenerate_width(spark):
+    docs = _mkdocs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="min_len"):
+        exact_substring_spans(docs, min_len=1)
