@@ -9,6 +9,7 @@ and transport and changes nothing about extraction semantics.
 """
 
 import json
+import os
 
 import pytest
 
@@ -197,3 +198,48 @@ def test_unknown_endpoint_raises():
 def test_factory_matches_fetcher_signature():
     f = make_live_fetcher("cid", "secret")
     assert callable(f) and f.refresh_token is None
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPOTIFY_LIVE") != "1"
+    or not os.environ.get("SPOTIFY_CLIENT_ID")
+    or not os.environ.get("SPOTIFY_CLIENT_SECRET"),
+    reason="live-network smoke: opt in with SPOTIFY_LIVE=1 plus "
+    "SPOTIFY_CLIENT_ID/SPOTIFY_CLIENT_SECRET (and optionally "
+    "SPOTIFY_REFRESH_TOKEN / SPOTIFY_PLAYLIST_URL); this container has "
+    "no network, so the default run exercises only the transport fakes",
+)
+def test_live_api_smoke(tmp_path):
+    """Drive the REAL Spotify API through the exact same golden assertions
+    the offline fakes satisfy (reference semantics:
+    lambda_function.py:41-69 token exchange, :119-135 playlist metadata,
+    :137-183 pagination): client-credentials (or refresh-token) exchange,
+    one bronze document with the reference's envelope, page-complete
+    tracks."""
+    from spotify_etl_pipeline_spark.sources.ingest import PlaylistExtractor
+    from spotify_etl_pipeline_spark.sources.live_fetcher import (
+        make_live_fetcher,
+    )
+
+    url = os.environ.get(
+        "SPOTIFY_PLAYLIST_URL",
+        # Spotify's own long-lived public "Top 50 - Global" playlist
+        "https://open.spotify.com/playlist/37i9dQZEVXbMDoHDwVN2tF",
+    )
+    fetcher = make_live_fetcher(
+        os.environ["SPOTIFY_CLIENT_ID"],
+        os.environ["SPOTIFY_CLIENT_SECRET"],
+        refresh_token=os.environ.get("SPOTIFY_REFRESH_TOKEN"),
+    )
+    res = PlaylistExtractor(
+        bronze_root=str(tmp_path / "bronze"), fetcher=fetcher
+    ).extract(url)
+    doc = res.document
+    # the same envelope the golden offline test pins (reference :186-193)
+    assert doc["playlist_id"] == url.rsplit("/", 1)[-1].split("?")[0]
+    assert "name" in doc["playlist_info"]
+    assert isinstance(doc["tracks"], list) and doc["tracks"]
+    assert all("track" in t for t in doc["tracks"])
+    assert doc["total_tracks"] == len(doc["tracks"])
+    # the bronze file landed in the stage-routed path
+    assert os.path.exists(res.output_path)
