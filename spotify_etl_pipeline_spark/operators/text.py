@@ -443,3 +443,64 @@ def exact_substring_spans(
         )
         .select("doc_id", "span_start", "span_len")
     )
+
+
+def substring_cut_corpus(df: DataFrame, min_len: int = 10) -> DataFrame:
+    """The APPLY step of exact substring dedup (Lee et al. ACL 2022 §4:
+    after locating duplicated spans, *remove* them from the corpus):
+    every token covered by a cross-doc duplicated span of ≥ ``min_len``
+    tokens (:func:`exact_substring_spans`) is cut; returns one row per
+    input document — (doc_id, n_tokens, n_cut, clean_text), where
+    ``clean_text`` is the surviving tokens re-joined in order (empty
+    string when everything was duplicated).
+
+    Plan: spans → covered indices (one explode of the NON-overlapping
+    merged spans, so no distinct), token stream with 1-based positions
+    (one posexplode), anti-join on (doc_id, idx), then one groupBy doc_id
+    re-assembling order via array_sort(collect_list(struct(idx, tok))) —
+    the per-doc buffer is bounded by document length, the tier's standing
+    doc-bounded premise (same class as the tokenize/chunking operators).
+    All shuffles key on doc_id; linear end-to-end.
+
+    Like the paper's own procedure this is ONE cutting pass: removal can
+    splice previously-distant text into new ≥L duplicates, so exactness
+    is "no span from the INPUT's cut list survives", not idempotence —
+    iterate to a fixpoint if the downstream consumer needs it.
+    """
+    L = int(min_len)
+    spans = exact_substring_spans(df, min_len=L)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(span_start, span_start + span_len - 1)")
+        ).alias("idx"),
+    )
+    tt = df.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    toks = tt.select(
+        "doc_id", F.posexplode("toks").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("idx"), "tok")
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, tok))),"
+                " s -> s.tok)"
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        tt.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_cut"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -56,9 +56,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_MIN_LEN = 10
 
 
-@register(
-    "dedup_exact_substring_spans",
-    oracle=f"""
+#: Shared CTE chain deriving the maximal cross-doc duplicated spans
+#: (doc_id, span_start, span_len) at L=SPAN_MIN_LEN over `documents` —
+#: one definition so the span-extent entry and the cut-apply entry cannot
+#: drift (the _semdedup_oracle convention). Ends with the `spans` CTE;
+#: callers append their own final SELECT (and extra CTEs after it).
+_SPAN_CTES = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
     g AS (
@@ -90,12 +93,19 @@ SPAN_MIN_LEN = 10
       SELECT doc_id, p,
              SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
       FROM brk
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(p) AS BIGINT) AS span_start,
+             CAST(MAX(p) + {SPAN_MIN_LEN} - MIN(p) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, island
     )
-    SELECT doc_id,
-           CAST(MIN(p) AS BIGINT) AS span_start,
-           CAST(MAX(p) + {SPAN_MIN_LEN} - MIN(p) AS BIGINT) AS span_len
-    FROM isl GROUP BY doc_id, island
-    """,
+"""
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=_SPAN_CTES + "SELECT doc_id, span_start, span_len FROM spans",
     survey="X14",
     doc="Exact substring dedup, span-extent tier (Lee et al. ACL 2022): "
     "maximal cross-document duplicated token spans as (doc_id, "
@@ -116,6 +126,46 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(
         _docs(spark, sf_dir), min_len=SPAN_MIN_LEN, hash_prune=True
     )
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=_SPAN_CTES + """,
+    cov AS (
+      SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS idx
+      FROM spans
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx, toks FROM tt
+    ),
+    tok2 AS (SELECT doc_id, idx, toks[idx] AS tok FROM tok),
+    kept AS (SELECT tok2.* FROM tok2 ANTI JOIN cov USING (doc_id, idx)),
+    clean AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tt.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_cut,
+           COALESCE(clean_text, '') AS clean_text
+    FROM tt LEFT JOIN clean USING (doc_id)
+    """,
+    survey="X14",
+    doc="The APPLY step of exact substring dedup (Lee et al. §4): every "
+    "token covered by a cross-doc duplicated span from "
+    "dedup_exact_substring_spans' cut list is removed; emits the full "
+    "cleaned corpus — (doc_id, n_tokens, n_cut, clean_text), "
+    "clean_text value-hash-checked verbatim. One explode of the merged "
+    "(non-overlapping) spans + one token posexplode + an anti-join on "
+    "(doc_id, idx) + one doc-bounded reassembly groupBy — linear, every "
+    "shuffle keyed on doc_id. Single cutting pass like the paper "
+    "(removal can splice new duplicates; iterate for a fixpoint).",
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import substring_cut_corpus
+
+    return substring_cut_corpus(_docs(spark, sf_dir), min_len=SPAN_MIN_LEN)
 
 
 @register(

@@ -104,3 +104,58 @@ def test_rejects_degenerate_width(spark):
     docs = _mkdocs(spark, ["a b c"])
     with pytest.raises(ValueError, match="min_len"):
         exact_substring_spans(docs, min_len=1)
+
+
+def test_cut_removes_exactly_the_planted_span(spark):
+    from spotify_etl_pipeline_spark.operators.text import substring_cut_corpus
+
+    shared = " ".join(f"d{i}" for i in range(1, 13))  # 12 tokens
+    docs = _mkdocs(
+        spark,
+        [
+            "a1 a2 a3 " + shared + " a4 a5",
+            shared + " b1 b2 b3 b4 b5 b6 b7",
+            "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14",
+        ],
+    )
+    got = {r["doc_id"]: r for r in substring_cut_corpus(docs, min_len=10).collect()}
+    assert got[0]["clean_text"] == "a1 a2 a3 a4 a5"
+    assert got[1]["clean_text"] == "b1 b2 b3 b4 b5 b6 b7"
+    assert (got[0]["n_tokens"], got[0]["n_cut"]) == (17, 12)
+    assert (got[1]["n_tokens"], got[1]["n_cut"]) == (19, 12)
+    # untouched doc survives verbatim with zero cut
+    assert got[2]["n_cut"] == 0 and got[2]["clean_text"].startswith("c1 c2")
+
+
+def test_cut_fully_duplicated_doc_empties(spark):
+    s = " ".join(f"d{i}" for i in range(1, 13))
+    from spotify_etl_pipeline_spark.operators.text import substring_cut_corpus
+
+    docs = _mkdocs(spark, [s, s + " tail1 tail2"])
+    got = {r["doc_id"]: r for r in substring_cut_corpus(docs, min_len=10).collect()}
+    assert got[0]["clean_text"] == "" and got[0]["n_cut"] == 12
+    assert got[1]["clean_text"] == "tail1 tail2"
+
+
+def test_cut_totals_match_span_extents(spark, sf_dir):
+    """n_cut must equal the summed span extents per doc — the apply step
+    consumes exactly the cut list the extent entry publishes."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.text import substring_cut_corpus
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    spans_tot = {
+        r["doc_id"]: r["tot"]
+        for r in exact_substring_spans(docs, min_len=10)
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("tot"))
+        .collect()
+    }
+    cut = {
+        r["doc_id"]: r["n_cut"]
+        for r in substring_cut_corpus(docs, min_len=10)
+        .filter(F.col("n_cut") > 0)
+        .collect()
+    }
+    assert cut == spans_tot and cut
