@@ -504,3 +504,93 @@ def substring_cut_corpus(df: DataFrame, min_len: int = 10) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def substring_gram_index(df: DataFrame, min_len: int = 10) -> DataFrame:
+    """Stored index for INCREMENTAL exact substring dedup: one row per
+    distinct ``xxhash64`` L-gram key of the corpus — (h, min_doc,
+    max_doc, n_pos). 8 bytes per distinct window instead of the L-token
+    string (the same stored-artifact role as the LSH signature index and
+    the PQ code table): at warehouse scale the index is written once per
+    corpus snapshot and new batches probe it without re-shingling
+    history. min/max doc ids are kept so the prober can distinguish
+    "matches an older document" from "matches only itself".
+    """
+    L = int(min_len)
+    tt = df.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    return (
+        tt.filter(F.col("n_tokens") >= L)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
+            F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+        )
+        .select("doc_id", F.xxhash64("gram").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+
+
+def exact_substring_spans_incremental(
+    index: DataFrame, new_docs: DataFrame, min_len: int = 10
+) -> DataFrame:
+    """Duplicated spans of a NEW document batch against (indexed corpus ∪
+    the batch itself) — the incremental serving path of
+    :func:`exact_substring_spans`, probing a stored
+    :func:`substring_gram_index` instead of re-shingling history.
+
+    A new-doc position is duplicated iff its L-gram key hits the index
+    (any indexed occurrence belongs to an older doc, hence cross-doc by
+    construction — index and batch doc-id sets are disjoint) OR at least
+    two distinct new docs share it (the batch-internal min≠max test, same
+    as the batch operator). Matching is on the 64-bit key: batch-internal
+    matches could be string-verified, but cross-index matches cannot
+    (the index deliberately does not store gram strings), so the whole
+    prober declares hash-exact semantics — the
+    :func:`..dedup.minhash_signatures_hashed` trade, with ~n²/2⁶⁴
+    collision odds at any realistic corpus. Output schema and the sweep
+    stage match the batch operator; only new-batch doc_ids appear.
+    """
+    L = int(min_len)
+    tt = new_docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    grams = tt.filter(F.col("n_tokens") >= L).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
+        F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+    )
+    seeds = grams.select("doc_id", "p", F.xxhash64("gram").alias("h"))
+    wh = Window.partitionBy("h")
+    probed = (
+        seeds.withColumn("_mn", F.min("doc_id").over(wh))
+        .withColumn("_mx", F.max("doc_id").over(wh))
+        .join(index.select("h", F.lit(True).alias("_hit")), "h", "left")
+        .filter((F.col("_mn") != F.col("_mx")) | F.col("_hit").isNotNull())
+        .select("doc_id", "p")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    wrun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        probed.withColumn("_prev", F.lag("p").over(wd))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("p") - F.col("_prev") > L),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_island", F.sum("_brk").over(wrun))
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + L - F.min("p")).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )

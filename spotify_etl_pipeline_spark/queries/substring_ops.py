@@ -169,6 +169,37 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_incremental",
+    oracle=_SPAN_CTES
+    + "SELECT doc_id, span_start, span_len FROM spans WHERE doc_id % 5 = 0",
+    survey="X14",
+    doc="Incremental serving path of the exact-substring tier: the corpus "
+    "(doc_id %% 5 != 0) is indexed ONCE as 8-byte gram-hash keys "
+    "(substring_gram_index — the stored artifact, same role as the LSH "
+    "signature index), and a new batch (doc_id %% 5 == 0) probes it "
+    "without re-shingling history; batch-internal duplicates are caught "
+    "by the same min/max-doc window as the batch operator. Hash-exact "
+    "semantics (64-bit keys, no stored gram strings — the "
+    "minhash_signatures_hashed trade); the oracle is the BATCH span "
+    "derivation over the full corpus restricted to new doc_ids, which "
+    "the incremental result must reproduce exactly.",
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        exact_substring_spans_incremental,
+        substring_gram_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = substring_gram_index(
+        docs.filter(F.col("doc_id") % 5 != 0), min_len=SPAN_MIN_LEN
+    )
+    return exact_substring_spans_incremental(
+        idx, docs.filter(F.col("doc_id") % 5 == 0), min_len=SPAN_MIN_LEN
+    )
+
+
+@register(
     "dup_span_coverage",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -159,3 +159,52 @@ def test_cut_totals_match_span_extents(spark, sf_dir):
         .collect()
     }
     assert cut == spans_tot and cut
+
+
+def test_incremental_prober_matches_batch_on_new_docs(spark, sf_dir):
+    """The stored-index serving path: probing substring_gram_index with a
+    new batch must reproduce the batch operator's spans for exactly the
+    new doc_ids (hash-exact semantics; the fixture has no 64-bit
+    collisions)."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.text import (
+        exact_substring_spans_incremental,
+        substring_gram_index,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = substring_gram_index(old, min_len=10)
+    inc = _spans(exact_substring_spans_incremental(idx, new, min_len=10))
+    batch = {
+        s
+        for s in _spans(exact_substring_spans(docs, min_len=10))
+        if s[0] % 5 == 0
+    }
+    assert inc == batch and inc
+
+
+def test_incremental_prober_index_hit_and_batch_internal(spark):
+    from spotify_etl_pipeline_spark.operators.text import (
+        exact_substring_spans_incremental,
+        substring_gram_index,
+    )
+
+    shared_old = " ".join(f"d{i}" for i in range(1, 13))
+    shared_new = " ".join(f"e{i}" for i in range(1, 13))
+    idx = substring_gram_index(
+        _mkdocs(spark, [shared_old + " o1 o2 o3"]), min_len=10
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "x1 x2 " + shared_old),  # index hit (cross-corpus)
+            (11, shared_new + " y1"),  # batch-internal pair member
+            (12, "z1 z2 z3 " + shared_new),  # batch-internal pair member
+            (13, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    got = _spans(exact_substring_spans_incremental(idx, new, min_len=10))
+    assert got == {(10, 3, 12), (11, 1, 12), (12, 4, 12)}
