@@ -343,24 +343,76 @@ def dup_span_coverage(df: DataFrame, w: int = 8) -> DataFrame:
     )
 
 
+def _cross_doc_keys(rows: DataFrame, key: str) -> DataFrame:
+    """Distinct ``key`` values occurring in ≥2 distinct doc_ids, as
+    (key, _mn) where ``_mn`` is the lowest doc_id containing the key.
+
+    This is the skew-immune form of the cross-doc test: ``groupBy(key)``
+    gets map-side partial aggregation (a gram occurring 10 M times
+    collapses to one partial row per input partition before the
+    exchange), where the previous ``Window.partitionBy(key)`` min/max
+    materialized every occurrence of a key in ONE task — the exact hot
+    spot a boilerplate-heavy corpus (the very thing substring dedup
+    exists for, Lee et al. §5) would hit at 100 TB.  Callers equi-join
+    the result back to the occurrence stream; a hot key in that join is
+    N rows × 1 row, which AQE's skew split handles, unlike a hot window
+    partition, which nothing does.
+    """
+    return (
+        rows.groupBy(key)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(key, "_mn")
+    )
+
+
+def _keep_filter(dup: DataFrame, keep: str) -> DataFrame:
+    """Apply the witness policy to cross-doc duplicated occurrences.
+
+    ``keep="all"``: every occurrence of a duplicated window is reported
+    (so the cut step removes the content from the corpus entirely).
+    ``keep="first"``: occurrences in the LOWEST doc_id containing the
+    window are exempt — that document is the kept witness, so exactly
+    one copy of the duplicated content survives a subsequent cut, which
+    is the Lee et al. (ACL 2022) paper's stated policy of leaving one
+    occurrence in place.  Requires ``_mn`` (the per-key min doc_id) on
+    the input and drops it.
+    """
+    if keep == "first":
+        dup = dup.filter(F.col("_mn") < F.col("doc_id"))
+    elif keep != "all":
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
+    return dup.select("doc_id", "p")
+
+
 def exact_substring_spans(
-    df: DataFrame, min_len: int = 10, hash_prune: bool = True
+    df: DataFrame,
+    min_len: int = 10,
+    hash_prune: bool = True,
+    keep: str = "all",
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans — the exact
     substring-dedup tier of Lee et al. (ACL 2022), who cut every span of
     ≥50 tokens occurring verbatim elsewhere in the corpus, located with
-    a monolithic suffix array. This is the same semantics on DataFrame
-    algebra via the standard window reduction: a token position lies
-    inside a cross-doc duplicated substring of length ≥ L **iff** it is
-    covered by some cross-doc-duplicated L-token sliding window, so the
-    maximal duplicated spans are exactly the contiguous runs of
-    duplicated-window coverage — the suffix-array pass collapses to one
-    equi-shuffle on the window key plus a per-doc sweep. Unlike
-    :func:`dup_span_coverage` (which reports per-doc covered-token
-    TOTALS at fixed width), this returns the span EXTENTS — (doc_id,
-    span_start 1-based, span_len), the actual cut list a Lee-style
-    dedup pass consumes, with spans of unbounded length (maximality in
-    the run direction, not the window width).
+    a monolithic suffix array. This is the same duplicated-span
+    discovery on DataFrame algebra via the standard window reduction: a
+    token position lies inside a cross-doc duplicated substring of
+    length ≥ L **iff** it is covered by some cross-doc-duplicated
+    L-token sliding window, so the maximal duplicated spans are exactly
+    the contiguous runs of duplicated-window coverage — the
+    suffix-array pass collapses to one equi-shuffle on the window key
+    plus a per-doc sweep. Unlike :func:`dup_span_coverage` (which
+    reports per-doc covered-token TOTALS at fixed width), this returns
+    the span EXTENTS — (doc_id, span_start 1-based, span_len), the
+    actual cut list a Lee-style dedup pass consumes, with spans of
+    unbounded length (maximality in the run direction, not the window
+    width).
+
+    ``keep="all"`` (default) lists every occurrence of duplicated
+    content; ``keep="first"`` exempts the lowest-doc_id witness per
+    duplicated window, so a cut driven by the list leaves exactly one
+    copy in the corpus — the paper's own policy (see
+    :func:`substring_cut_corpus` for the deviation discussion).
 
     Scale path (``hash_prune=True``): the corpus-wide shuffle carries
     8-byte ``xxhash64`` window keys instead of L-token strings (the
@@ -376,8 +428,10 @@ def exact_substring_spans(
     xxhash64.
 
     Both shuffles key on window content (hash or string) and doc_id —
-    no all-pairs stage; the sweep is one lag + one running-sum window
-    partitioned by doc_id.
+    no all-pairs stage; the cross-doc test is a partial-aggregating
+    ``groupBy`` + join-back (see :func:`_cross_doc_keys` for why not a
+    window); the sweep is one lag + one running-sum window partitioned
+    by doc_id.
     """
     L = int(min_len)
     if L < 2:
@@ -390,37 +444,26 @@ def exact_substring_spans(
         F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
         F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
     )
-    wg = Window.partitionBy("gram")
     if hash_prune:
         seeds = grams.select("doc_id", "p", F.xxhash64("gram").alias("h"))
-        wh = Window.partitionBy("h")
-        cand = (
-            seeds.withColumn("_mn", F.min("doc_id").over(wh))
-            .withColumn("_mx", F.max("doc_id").over(wh))
-            .filter(F.col("_mn") != F.col("_mx"))
-            .select("doc_id", "p")
-        )
+        cand = seeds.join(
+            _cross_doc_keys(seeds, "h").select("h"), "h"
+        ).select("doc_id", "p")
         # exact verify: re-derive gram strings for CANDIDATES only
         # (equi-join on doc_id against the token arrays) and re-apply the
-        # cross-doc test on the real string — hash collisions die here
-        dup = (
-            cand.join(tt.select("doc_id", "toks"), "doc_id")
-            .select(
-                "doc_id",
-                "p",
-                F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
-            )
-            .withColumn("_mn", F.min("doc_id").over(wg))
-            .withColumn("_mx", F.max("doc_id").over(wg))
-            .filter(F.col("_mn") != F.col("_mx"))
-            .select("doc_id", "p")
+        # cross-doc test on the real string — hash collisions die here;
+        # the keep policy is decided here too, on string-exact groups
+        verif = cand.join(tt.select("doc_id", "toks"), "doc_id").select(
+            "doc_id",
+            "p",
+            F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+        )
+        dup = _keep_filter(
+            verif.join(_cross_doc_keys(verif, "gram"), "gram"), keep
         )
     else:
-        dup = (
-            grams.withColumn("_mn", F.min("doc_id").over(wg))
-            .withColumn("_mx", F.max("doc_id").over(wg))
-            .filter(F.col("_mn") != F.col("_mx"))
-            .select("doc_id", "p")
+        dup = _keep_filter(
+            grams.join(_cross_doc_keys(grams, "gram"), "gram"), keep
         )
     # sweep: contiguous coverage runs (windows [p, p+L) touch or overlap
     # exactly when the position gap is <= L)
@@ -445,30 +488,11 @@ def exact_substring_spans(
     )
 
 
-def substring_cut_corpus(df: DataFrame, min_len: int = 10) -> DataFrame:
-    """The APPLY step of exact substring dedup (Lee et al. ACL 2022 §4:
-    after locating duplicated spans, *remove* them from the corpus):
-    every token covered by a cross-doc duplicated span of ≥ ``min_len``
-    tokens (:func:`exact_substring_spans`) is cut; returns one row per
-    input document — (doc_id, n_tokens, n_cut, clean_text), where
-    ``clean_text`` is the surviving tokens re-joined in order (empty
-    string when everything was duplicated).
-
-    Plan: spans → covered indices (one explode of the NON-overlapping
-    merged spans, so no distinct), token stream with 1-based positions
-    (one posexplode), anti-join on (doc_id, idx), then one groupBy doc_id
-    re-assembling order via array_sort(collect_list(struct(idx, tok))) —
-    the per-doc buffer is bounded by document length, the tier's standing
-    doc-bounded premise (same class as the tokenize/chunking operators).
-    All shuffles key on doc_id; linear end-to-end.
-
-    Like the paper's own procedure this is ONE cutting pass: removal can
-    splice previously-distant text into new ≥L duplicates, so exactness
-    is "no span from the INPUT's cut list survives", not idempotence —
-    iterate to a fixpoint if the downstream consumer needs it.
-    """
-    L = int(min_len)
-    spans = exact_substring_spans(df, min_len=L)
+def _apply_cut(df: DataFrame, spans: DataFrame, L: int) -> DataFrame:
+    """Remove every token covered by ``spans`` from ``df`` (doc_id,
+    text); returns (doc_id, n_tokens, n_cut, clean_text).  The shared
+    apply kernel of :func:`substring_cut_corpus` and
+    :func:`substring_cut_fixpoint`."""
     covered = spans.select(
         "doc_id",
         F.explode(
@@ -506,7 +530,111 @@ def substring_cut_corpus(df: DataFrame, min_len: int = 10) -> DataFrame:
     )
 
 
-def substring_gram_index(df: DataFrame, min_len: int = 10) -> DataFrame:
+def substring_cut_corpus(
+    df: DataFrame, min_len: int = 10, keep: str = "all"
+) -> DataFrame:
+    """The APPLY step of exact substring dedup (Lee et al. ACL 2022 §4:
+    after locating duplicated spans, *remove* them from the corpus):
+    every token covered by a cross-doc duplicated span of ≥ ``min_len``
+    tokens (:func:`exact_substring_spans`) is cut; returns one row per
+    input document — (doc_id, n_tokens, n_cut, clean_text), where
+    ``clean_text`` is the surviving tokens re-joined in order (empty
+    string when everything was duplicated).
+
+    **Witness policy — a deliberate deviation knob.** The paper's
+    ExactSubstr keeps ONE occurrence of each duplicated span in the
+    corpus; ``keep="all"`` (default, and what the driver-checked
+    catalog entry runs) cuts EVERY occurrence, so duplicated content
+    vanishes entirely — the stricter hygiene some curation recipes
+    want (e.g. suspected-contamination scrubbing).  ``keep="first"``
+    reproduces the paper's policy by exempting the lowest-doc_id
+    witness of each duplicated window: that document's copy survives a
+    cut verbatim.  Both are exact; they differ only in which
+    occurrences the span list names.
+
+    Plan: spans → covered indices (one explode of the NON-overlapping
+    merged spans, so no distinct), token stream with 1-based positions
+    (one posexplode), anti-join on (doc_id, idx), then one groupBy doc_id
+    re-assembling order via array_sort(collect_list(struct(idx, tok))) —
+    the per-doc buffer is bounded by document length, the tier's standing
+    doc-bounded premise (same class as the tokenize/chunking operators).
+    All shuffles key on doc_id; linear end-to-end.
+
+    Like the paper's own procedure this is ONE cutting pass: removal can
+    splice previously-distant text into new ≥L duplicates, so exactness
+    is "no span from the INPUT's cut list survives", not idempotence —
+    :func:`substring_cut_fixpoint` iterates until no cross-doc span of
+    ≥ L survives anywhere.
+    """
+    L = int(min_len)
+    return _apply_cut(df, exact_substring_spans(df, min_len=L, keep=keep), L)
+
+
+def substring_cut_fixpoint(
+    df: DataFrame,
+    min_len: int = 10,
+    keep: str = "all",
+    max_passes: int = 8,
+) -> DataFrame:
+    """Iterated :func:`substring_cut_corpus` until NO cross-doc
+    duplicated span of ≥ ``min_len`` tokens survives — the closure the
+    one-pass operator documents away: cutting a span can splice
+    previously-distant text into a brand-new ≥L duplicate (doc
+    "u1 A B u2" loses A — duplicated with some second doc — becoming
+    "u1 B u2", which a third document already contains verbatim), and
+    only iteration removes such splice-created duplicates.  Returns
+    (doc_id, n_tokens, n_cut, clean_text) against the ORIGINAL corpus:
+    ``n_cut`` counts every token removed across all passes.
+
+    Driver-loop pattern (cf. kmeans/pagerank/connected-components):
+    each pass derives the span list, checks emptiness with a bounded
+    ``limit(1).count()`` action, applies the cut, and eagerly
+    localCheckpoints the shrunken corpus so lineage stays flat across
+    passes (the graph-operator hygiene).  Organic corpora converge in
+    1-2 passes — splicing needs a cut boundary to recreate ≥L exact
+    tokens, vanishingly rare outside adversarial construction — so
+    ``max_passes`` is a runaway guard, not a tuning knob; hitting it
+    raises rather than returning a silently-unconverged corpus.
+    """
+    L = int(min_len)
+    orig = df.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    cur = df.select("doc_id", "text")
+    for _ in range(int(max_passes)):
+        spans = exact_substring_spans(cur, min_len=L, keep=keep)
+        if spans.limit(1).count() == 0:
+            break
+        cur = (
+            _apply_cut(cur, spans, L)
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"substring_cut_fixpoint did not converge in {max_passes} passes"
+        )
+    return orig.join(
+        cur.select("doc_id", F.col("text").alias("clean_text")), "doc_id"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("n_tokens")
+            - F.when(F.col("clean_text") == "", 0).otherwise(
+                F.size(F.split("clean_text", " "))
+            )
+        )
+        .cast("long")
+        .alias("n_cut"),
+        "clean_text",
+    )
+
+
+def substring_gram_index(
+    df: DataFrame, min_len: int = 10, digest: bool = False
+) -> DataFrame:
     """Stored index for INCREMENTAL exact substring dedup: one row per
     distinct ``xxhash64`` L-gram key of the corpus — (h, min_doc,
     max_doc, n_pos). 8 bytes per distinct window instead of the L-token
@@ -514,31 +642,44 @@ def substring_gram_index(df: DataFrame, min_len: int = 10) -> DataFrame:
     the PQ code table): at warehouse scale the index is written once per
     corpus snapshot and new batches probe it without re-shingling
     history. min/max doc ids are kept so the prober can distinguish
-    "matches an older document" from "matches only itself".
+    "matches an older document" from "matches only itself" when batch
+    and index doc-id sets overlap.
+
+    ``digest=True`` additionally stores ``dg`` — a 16-hex-char md5
+    slice of the gram string (8 more bytes/row) and groups by (h, dg),
+    so two distinct grams colliding on the 64-bit key get separate
+    index rows.  :func:`exact_substring_spans_incremental` with
+    ``verify=True`` then requires BOTH keys to match before a
+    cross-index hit counts, pushing the false-candidate odds from
+    ~n²/2⁶⁴ to ~n²/2¹²⁸ — the verification the batch operator does
+    with real strings, available without storing strings.
     """
     L = int(min_len)
     tt = df.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tokens")
     )
-    return (
-        tt.filter(F.col("n_tokens") >= L)
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
-            F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
-        )
-        .select("doc_id", F.xxhash64("gram").alias("h"))
-        .groupBy("h")
-        .agg(
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-            F.count(F.lit(1)).alias("n_pos"),
-        )
+    grams = tt.filter(F.col("n_tokens") >= L).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
+        F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        F.xxhash64("gram").alias("h"),
+        *([F.substring(F.md5("gram"), 1, 16).alias("dg")] if digest else []),
+    )
+    return keyed.groupBy("h", *(["dg"] if digest else [])).agg(
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.count(F.lit(1)).alias("n_pos"),
     )
 
 
 def exact_substring_spans_incremental(
-    index: DataFrame, new_docs: DataFrame, min_len: int = 10
+    index: DataFrame,
+    new_docs: DataFrame,
+    min_len: int = 10,
+    verify: bool = False,
 ) -> DataFrame:
     """Duplicated spans of a NEW document batch against (indexed corpus ∪
     the batch itself) — the incremental serving path of
@@ -546,18 +687,29 @@ def exact_substring_spans_incremental(
     :func:`substring_gram_index` instead of re-shingling history.
 
     A new-doc position is duplicated iff its L-gram key hits the index
-    (any indexed occurrence belongs to an older doc, hence cross-doc by
-    construction — index and batch doc-id sets are disjoint) OR at least
-    two distinct new docs share it (the batch-internal min≠max test, same
-    as the batch operator). Matching is on the 64-bit key: batch-internal
-    matches could be string-verified, but cross-index matches cannot
-    (the index deliberately does not store gram strings), so the whole
-    prober declares hash-exact semantics — the
-    :func:`..dedup.minhash_signatures_hashed` trade, with ~n²/2⁶⁴
-    collision odds at any realistic corpus. Output schema and the sweep
-    stage match the batch operator; only new-batch doc_ids appear.
+    in a document OTHER than itself (the stored min_doc/max_doc decide:
+    a hit whose only indexed occurrences are the probing doc_id is a
+    self-match, which arises when a batch overlaps the indexed corpus —
+    e.g. a re-drive — and must not flag the doc against its own indexed
+    copy) OR at least two distinct new docs share it (the
+    batch-internal min≠max test, same as the batch operator, computed
+    with the same skew-immune groupBy + join-back).
+
+    Matching is on the 64-bit key by default — the
+    :func:`..dedup.minhash_signatures_hashed` trade, ~n²/2⁶⁴ collision
+    odds.  ``verify=True`` (requires an index built with
+    ``digest=True``) also matches the stored 64-bit md5 slice of the
+    gram string, so a cross-index hit needs 128 independent bits —
+    morally the batch operator's string verification without storing
+    strings.  Output schema and the sweep stage match the batch
+    operator; only new-batch doc_ids appear.
     """
     L = int(min_len)
+    if verify and "dg" not in index.columns:
+        raise ValueError(
+            "verify=True needs an index built with substring_gram_index("
+            "digest=True); this index has no 'dg' column"
+        )
     tt = new_docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tokens")
     )
@@ -566,13 +718,35 @@ def exact_substring_spans_incremental(
         F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
         F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
     )
-    seeds = grams.select("doc_id", "p", F.xxhash64("gram").alias("h"))
-    wh = Window.partitionBy("h")
+    keys = ["h", "dg"] if verify else ["h"]
+    seeds = grams.select(
+        "doc_id",
+        "p",
+        F.xxhash64("gram").alias("h"),
+        *([F.substring(F.md5("gram"), 1, 16).alias("dg")] if verify else []),
+    )
+    # batch-internal cross-doc keys: partial-agg groupBy, never a window
+    # over an unbounded key (see _cross_doc_keys)
+    internal = _cross_doc_keys(seeds, "h").select(
+        "h", F.lit(True).alias("_xb")
+    )
+    # index rows are unique per join key by construction (groupBy h
+    # resp. (h, dg)), so this left join cannot multiply seed rows
     probed = (
-        seeds.withColumn("_mn", F.min("doc_id").over(wh))
-        .withColumn("_mx", F.max("doc_id").over(wh))
-        .join(index.select("h", F.lit(True).alias("_hit")), "h", "left")
-        .filter((F.col("_mn") != F.col("_mx")) | F.col("_hit").isNotNull())
+        seeds.join(
+            index.select(*keys, "min_doc", "max_doc"), keys, "left"
+        )
+        .join(internal, "h", "left")
+        .filter(
+            F.col("_xb").isNotNull()
+            | (
+                F.col("min_doc").isNotNull()
+                & (
+                    (F.col("min_doc") != F.col("doc_id"))
+                    | (F.col("max_doc") != F.col("doc_id"))
+                )
+            )
+        )
         .select("doc_id", "p")
     )
     wd = Window.partitionBy("doc_id").orderBy("p")

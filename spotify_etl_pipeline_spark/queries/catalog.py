@@ -101,36 +101,55 @@ def _load_all() -> None:
 #: driver check is ever more than ~2 rounds old, with no per-round editing
 #: beyond this head list.
 #:
-#: Round 6 head: the four entries the round-5 sweep annotation CLAIMED had
-#: changed but had not (VERDICT r5) — the changes are now real:
-#: sql_recursive_order_chain gained the input-scaled cteRecursionRowLimit
-#: gate, dedup_semdedup_* run the n_centroids="auto" sqrt-n dial with a
-#: matching dynamic-LIMIT oracle, and dedup_ngram_jaccard routes through
-#: prefix_filter="auto" (corpus-count PPJoin crossover). Plus the other
-#: round-6 semantic changes: q15's max is now a scalar agg over integer
-#: cents (not a global window over float sums), and the graph operators
-#: release their cache via an eager final checkpoint.
+#: Round 7 head: the entries whose PLAN or SEMANTICS changed this round —
+#: the substring tier's cross-doc test moved from Window.partitionBy
+#: min/max to skew-immune groupBy partial-agg + join-back (spans +
+#: incremental), the incremental prober gained the self-match guard and
+#: the verified-digest mode, the cut operator gained keep= semantics
+#: documentation, and the auto dials (ngram_jaccard prefix_filter,
+#: semdedup n_centroids, recursive-CTE gate) now accept caller-supplied
+#: sizes (driver path unchanged but re-greened to be safe).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "sql_recursive_order_chain",
-    "dedup_semdedup_clusters",
-    "dedup_semdedup_pipeline",
+    "dedup_exact_substring_spans",
+    "dedup_substring_cut",
+    "dedup_substring_incremental",
     "dedup_ngram_jaccard",
-    "q15_top_supplier",
-    "pagerank_nation_trade",
-    "community_nation_trade",
+    "dedup_semdedup_clusters",
+    "sql_recursive_order_chain",
 )
 
 
+def _record_ok(rec: object) -> bool:
+    """True when a driver record represents a PASSING check under its
+    declared contract: full-hash green, or rows-only-by-contract
+    (``err == "no_oracle"``, the driver's marker for entries that
+    deliberately register no ``oracle_sql()``).  Anything with a real
+    error or an explicit mismatch is a FAILING check."""
+    if not isinstance(rec, dict):
+        # pre-r2 files stored bare name lists; count as checked-good so a
+        # bare checkout still orders sensibly
+        return True
+    if rec.get("err") not in (None, "no_oracle"):
+        return False
+    return not any(
+        rec.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def _latest_evidence() -> dict[str, int]:
-    """Per-query round of the newest driver check, parsed from the
-    CORRECTNESS_r{N}.json files the external sweep leaves at the repo
-    root.  Missing/unreadable files degrade to "never checked" (rank 0),
-    so the ordering still works in a bare checkout."""
+    """Per-query round of the newest PASSING driver check, parsed from
+    the CORRECTNESS_r{N}.json files the external sweep leaves at the
+    repo root.  A query whose most recent check FAILED (err set, or any
+    match flag explicitly false) ranks as never-checked (0) so the next
+    sweep re-verifies it immediately instead of letting a known-red row
+    sink to the tail for ~2 rounds.  Missing/unreadable files degrade to
+    "never checked", so the ordering still works in a bare checkout."""
     import json
     import re
     from pathlib import Path
 
-    latest: dict[str, int] = {}
+    good: dict[str, int] = {}
+    seen: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for p in root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", p.stem)
@@ -138,12 +157,17 @@ def _latest_evidence() -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         try:
-            names = json.loads(p.read_text())
+            data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        for name in names:
-            latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+        items = data.items() if isinstance(data, dict) else ((n, None) for n in data)
+        for name, rec in items:
+            seen[name] = max(seen.get(name, 0), rnd)
+            if _record_ok(rec):
+                good[name] = max(good.get(name, 0), rnd)
+    return {
+        n: 0 if seen[n] > good.get(n, 0) else good[n] for n in seen
+    }
 
 
 def _ordered() -> list[QuerySpec]:

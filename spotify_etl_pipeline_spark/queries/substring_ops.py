@@ -106,7 +106,7 @@ _SPAN_CTES = f"""
 @register(
     "dedup_exact_substring_spans",
     oracle=_SPAN_CTES + "SELECT doc_id, span_start, span_len FROM spans",
-    survey="X14",
+    survey="X29",
     doc="Exact substring dedup, span-extent tier (Lee et al. ACL 2022): "
     "maximal cross-document duplicated token spans as (doc_id, "
     f"span_start, span_len) with threshold L={SPAN_MIN_LEN} — the "
@@ -151,7 +151,7 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(clean_text, '') AS clean_text
     FROM tt LEFT JOIN clean USING (doc_id)
     """,
-    survey="X14",
+    survey="X29",
     doc="The APPLY step of exact substring dedup (Lee et al. §4): every "
     "token covered by a cross-doc duplicated span from "
     "dedup_exact_substring_spans' cut list is removed; emits the full "
@@ -168,11 +168,150 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_cut_corpus(_docs(spark, sf_dir), min_len=SPAN_MIN_LEN)
 
 
+def _cut_pass_ctes(src: str, pfx: str, keep: str = "all") -> str:
+    """One substring-cut pass as a CTE chain: relation ``src`` (doc_id,
+    text) → ``{pfx}clean`` (doc_id, text with every token covered by a
+    cross-doc ≥L span removed).  ``keep="first"`` exempts the
+    lowest-doc_id witness per duplicated gram (``mn < doc_id`` instead
+    of ``mn <> mx`` — a strictly smaller cut set, the paper's
+    keep-one-occurrence policy).  Chained by the fixpoint oracle: pass
+    k+1 reads pass k's ``{pfx}clean``; a pass over an already-converged
+    corpus cuts nothing, so unrolling MORE passes than needed is a
+    no-op, which is what lets a fixed 3-pass unroll oracle-check the
+    iterate-until-empty Spark operator (which raises if it ever needs
+    more passes than the guard)."""
+    L = SPAN_MIN_LEN
+    dup_filter = "mn < doc_id" if keep == "first" else "mn <> mx"
+    return f"""
+    {pfx}t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+    {pfx}tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM {pfx}t),
+    {pfx}g AS (
+      SELECT doc_id, unnest(range(1, n_tokens - {L} + 2)) AS p, toks
+      FROM {pfx}tt WHERE n_tokens >= {L}
+    ),
+    {pfx}grams AS (
+      SELECT doc_id, p,
+             array_to_string(list_slice(toks, p, p + {L} - 1), ' ') AS gram
+      FROM {pfx}g
+    ),
+    {pfx}dup AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               MIN(doc_id) OVER (PARTITION BY gram) AS mn,
+               MAX(doc_id) OVER (PARTITION BY gram) AS mx
+        FROM {pfx}grams) WHERE {dup_filter}
+    ),
+    {pfx}brk AS (
+      SELECT doc_id, p,
+             CASE WHEN LAG(p) OVER w IS NULL
+                       OR p - LAG(p) OVER w > {L}
+                  THEN 1 ELSE 0 END AS b
+      FROM {pfx}dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    {pfx}isl AS (
+      SELECT doc_id, p,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM {pfx}brk
+    ),
+    {pfx}spans AS (
+      SELECT doc_id, MIN(p) AS span_start,
+             MAX(p) + {L} - MIN(p) AS span_len
+      FROM {pfx}isl GROUP BY doc_id, island
+    ),
+    {pfx}cov AS (
+      SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS idx
+      FROM {pfx}spans
+    ),
+    {pfx}tok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx, toks
+      FROM {pfx}tt
+    ),
+    {pfx}tok2 AS (SELECT doc_id, idx, toks[idx] AS tok FROM {pfx}tok),
+    {pfx}kept AS (
+      SELECT {pfx}tok2.* FROM {pfx}tok2
+      ANTI JOIN {pfx}cov USING (doc_id, idx)
+    ),
+    {pfx}cl AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS ct
+      FROM {pfx}kept GROUP BY doc_id
+    ),
+    {pfx}clean AS (
+      SELECT tt.doc_id, COALESCE(ct, '') AS text
+      FROM {pfx}tt tt LEFT JOIN {pfx}cl USING (doc_id)
+    )"""
+
+
+#: Final SELECT shared by the cut-variant entries: original token count
+#: from the pass-a tt, final text from the last pass's clean relation.
+def _cut_final_select(last_clean: str) -> str:
+    return f"""
+    SELECT att.doc_id,
+           CAST(att.n_tokens AS BIGINT) AS n_tokens,
+           CAST(att.n_tokens - (CASE WHEN f.text = '' THEN 0
+                                     ELSE len(string_split(f.text, ' '))
+                                END) AS BIGINT) AS n_cut,
+           f.text AS clean_text
+    FROM att JOIN {last_clean} f USING (doc_id)
+    """
+
+
+@register(
+    "dedup_substring_cut_fixpoint",
+    oracle="WITH "
+    + ",".join(
+        [
+            _cut_pass_ctes("documents", "a"),
+            _cut_pass_ctes("aclean", "b"),
+            _cut_pass_ctes("bclean", "c"),
+        ]
+    )
+    + _cut_final_select("cclean"),
+    survey="X29",
+    doc="Iterated substring cut to FIXPOINT: one cutting pass can splice "
+    "previously-distant text into brand-new >=L duplicates across the "
+    "cut boundary (substring_ops.py's one-pass caveat made executable); "
+    "this repeats spans->cut until no cross-doc span survives, with a "
+    "bounded limit(1).count() emptiness probe and an eager "
+    "localCheckpoint per pass (the graph-operator lineage hygiene). The "
+    "oracle unrolls THREE passes of the same CTE chain — passes beyond "
+    "convergence cut nothing, so the unroll length only needs to be >= "
+    "the fixture's true pass count (1; the operator raises past its "
+    "max_passes guard rather than silently under-iterating, so a "
+    "pass-count surprise surfaces as an error, never a wrong hash).",
+)
+def dedup_substring_cut_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import substring_cut_fixpoint
+
+    return substring_cut_fixpoint(_docs(spark, sf_dir), min_len=SPAN_MIN_LEN)
+
+
+@register(
+    "dedup_substring_cut_keepfirst",
+    oracle="WITH " + _cut_pass_ctes("documents", "a", keep="first")
+    + _cut_final_select("aclean"),
+    survey="X29",
+    doc="The paper-faithful witness policy for the substring cut (Lee et "
+    "al.'s ExactSubstr keeps ONE occurrence of each duplicated span): "
+    "keep='first' exempts the lowest-doc_id document containing each "
+    "duplicated window, so its copy survives the cut verbatim while "
+    "every later occurrence is removed — mn < doc_id replaces mn <> mx "
+    "as the cut condition on string-exact groups. Complements "
+    "dedup_substring_cut (keep='all', the scrub-everything default) so "
+    "both deviation arms carry driver evidence.",
+)
+def dedup_substring_cut_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import substring_cut_corpus
+
+    return substring_cut_corpus(
+        _docs(spark, sf_dir), min_len=SPAN_MIN_LEN, keep="first"
+    )
+
+
 @register(
     "dedup_substring_incremental",
     oracle=_SPAN_CTES
     + "SELECT doc_id, span_start, span_len FROM spans WHERE doc_id % 5 = 0",
-    survey="X14",
+    survey="X29",
     doc="Incremental serving path of the exact-substring tier: the corpus "
     "(doc_id %% 5 != 0) is indexed ONCE as 8-byte gram-hash keys "
     "(substring_gram_index — the stored artifact, same role as the LSH "

@@ -208,3 +208,194 @@ def test_incremental_prober_index_hit_and_batch_internal(spark):
     )
     got = _spans(exact_substring_spans_incremental(idx, new, min_len=10))
     assert got == {(10, 3, 12), (11, 1, 12), (12, 4, 12)}
+
+
+# ---- round 7: skew-immune cross-doc test, witness policy, fixpoint,
+# ---- self-match guard, verified probing
+
+
+def test_cross_doc_test_is_partial_agg_not_window(spark, sf_dir):
+    """The cross-doc min/max must be a partial-aggregating groupBy (+
+    join-back), never Window.partitionBy over the unbounded gram/hash
+    key: WindowExec materializes every occurrence of a key in one task,
+    the hot spot a boilerplate gram would hit at 100 TB.  The only
+    window allowed is the per-doc sweep (partitioned by doc_id)."""
+    from spotify_etl_pipeline_spark.plans import executed_plan
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    for hp in (True, False):
+        plan = executed_plan(exact_substring_spans(docs, min_len=10, hash_prune=hp))
+        assert "partial_min" in plan, plan  # map-side combine exists
+        for ln in plan.splitlines():
+            if "windowspecdefinition" in ln.lower() or ln.strip().startswith("Window "):
+                assert "doc_id" in ln, f"window not keyed on doc_id: {ln}"
+
+
+def test_keep_first_exempts_lowest_doc_witness(spark):
+    shared = " ".join(f"d{i}" for i in range(1, 13))  # 12 tokens
+    docs = _mkdocs(
+        spark,
+        [
+            "a1 a2 a3 " + shared + " a4 a5",
+            shared + " b1 b2 b3 b4 b5 b6 b7",
+        ],
+    )
+    got = _spans(exact_substring_spans(docs, min_len=10, keep="first"))
+    assert got == {(1, 1, 12)}  # doc 0 is the kept witness
+    from spotify_etl_pipeline_spark.operators.text import substring_cut_corpus
+
+    cut = {
+        r["doc_id"]: r
+        for r in substring_cut_corpus(docs, min_len=10, keep="first").collect()
+    }
+    assert cut[0]["n_cut"] == 0 and shared in cut[0]["clean_text"]
+    assert cut[1]["clean_text"] == "b1 b2 b3 b4 b5 b6 b7"
+
+
+def test_keep_rejects_unknown_policy(spark):
+    docs = _mkdocs(spark, ["a b c d e f g h i j k l"])
+    with pytest.raises(ValueError, match="keep"):
+        exact_substring_spans(docs, min_len=10, keep="last").collect()
+
+
+def test_fixpoint_removes_splice_created_duplicate(spark):
+    """Cutting 'a1 a2 a3' from doc 0 splices 'u1 B u2' — which doc 2
+    already contains verbatim — into existence; pass 1 misses it by
+    construction, pass 2 removes it."""
+    from spotify_etl_pipeline_spark.operators.text import (
+        substring_cut_corpus,
+        substring_cut_fixpoint,
+    )
+
+    docs = _mkdocs(
+        spark,
+        [
+            "u1 a1 a2 a3 B u2",  # cut a1 a2 a3 -> "u1 B u2"
+            "z1 a1 a2 a3 z2",  # the pass-1 partner
+            "u1 B u2",  # untouched in pass 1; duplicated after the splice
+        ],
+    )
+    one = {r["doc_id"]: r for r in substring_cut_corpus(docs, min_len=3).collect()}
+    assert one[0]["clean_text"] == "u1 B u2"  # the spliced duplicate SURVIVES
+    assert one[2]["clean_text"] == "u1 B u2"
+    fix = {r["doc_id"]: r for r in substring_cut_fixpoint(docs, min_len=3).collect()}
+    assert fix[0]["clean_text"] == "" and fix[0]["n_cut"] == 6
+    assert fix[2]["clean_text"] == "" and fix[2]["n_cut"] == 3
+    assert fix[1]["clean_text"] == "z1 z2" and fix[1]["n_cut"] == 3
+    # hygiene (the graph-operator convention): nothing left in the session
+    # DataFrame cache; localCheckpoint blocks are lineage-free and freed by
+    # the ContextCleaner when the per-pass handles go out of scope
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_fixpoint_is_identity_on_converged_corpus(spark, sf_dir):
+    """The synthetic fixture converges in one pass (no splice dups), so
+    fixpoint == one-pass cut there — the differential that lets the
+    driver entry's oracle be the iterated CTE."""
+    from pyspark.sql import functions as F
+    from spotify_etl_pipeline_spark.operators.text import (
+        substring_cut_corpus,
+        substring_cut_fixpoint,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    one = substring_cut_corpus(docs, min_len=10)
+    fix = substring_cut_fixpoint(docs, min_len=10)
+    assert one.exceptAll(fix).count() == 0 and fix.exceptAll(one).count() == 0
+
+
+def test_fixpoint_raises_on_max_passes(spark):
+    from spotify_etl_pipeline_spark.operators.text import substring_cut_fixpoint
+
+    docs = _mkdocs(
+        spark,
+        [
+            "u1 a1 a2 a3 B u2",
+            "z1 a1 a2 a3 z2",
+            "u1 B u2",
+        ],
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        substring_cut_fixpoint(docs, min_len=3, max_passes=1)
+
+
+def test_incremental_self_match_guard(spark):
+    """A batch overlapping the indexed corpus must not flag a document
+    against its own indexed copy — the stored min_doc/max_doc decide."""
+    from spotify_etl_pipeline_spark.operators.text import (
+        exact_substring_spans_incremental,
+        substring_gram_index,
+    )
+
+    t10 = " ".join(f"s{i}" for i in range(1, 13))
+    t11 = " ".join(f"e{i}" for i in range(1, 13))
+    idx = substring_gram_index(
+        _mkdocs_ids(spark, [(10, t10), (11, t11), (12, "q1 " + t11 + " q2")]),
+        min_len=10,
+    )
+    # doc 10 re-probes ITSELF: no other doc shares its text -> no span;
+    # doc 11 also self-matches BUT doc 12 shares its text -> flagged
+    got = _spans(
+        exact_substring_spans_incremental(
+            idx,
+            _mkdocs_ids(spark, [(10, t10), (11, t11)]),
+            min_len=10,
+        )
+    )
+    assert got == {(11, 1, 12)}
+
+
+def _mkdocs_ids(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_verified_probing_rejects_engineered_collision(spark):
+    """An index row carrying the RIGHT 64-bit key but the WRONG gram
+    digest (a forged/corrupt entry shaped like a 64-bit collision) is a
+    hit under default hash-exact probing and is REJECTED under
+    verify=True — the digest plays the batch operator's string-verify
+    role."""
+    from pyspark.sql import functions as F
+    from spotify_etl_pipeline_spark.operators.text import (
+        exact_substring_spans_incremental,
+    )
+
+    gram = " ".join(f"g{i}" for i in range(1, 11))  # exactly L=10 tokens
+    batch = _mkdocs_ids(spark, [(50, gram)])
+    (h_val,) = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit(gram)).alias("h"))
+        .collect()[0]
+    )
+    forged = spark.createDataFrame(
+        [(h_val, "0" * 16, 1, 1, 1)],
+        ["h", "dg", "min_doc", "max_doc", "n_pos"],
+    )
+    unverified = _spans(
+        exact_substring_spans_incremental(forged, batch, min_len=10)
+    )
+    assert unverified == {(50, 1, 10)}  # hash-exact mode is fooled
+    verified = _spans(
+        exact_substring_spans_incremental(forged, batch, min_len=10, verify=True)
+    )
+    assert verified == set()  # digest mismatch kills the forgery
+    # and a GENUINE digest index still matches under verify=True
+    from spotify_etl_pipeline_spark.operators.text import substring_gram_index
+
+    real_idx = substring_gram_index(
+        _mkdocs_ids(spark, [(1, "x0 " + gram)]), min_len=10, digest=True
+    )
+    assert _spans(
+        exact_substring_spans_incremental(real_idx, batch, min_len=10, verify=True)
+    ) == {(50, 1, 10)}
+
+
+def test_verify_requires_digest_index(spark):
+    from spotify_etl_pipeline_spark.operators.text import (
+        exact_substring_spans_incremental,
+        substring_gram_index,
+    )
+
+    idx = substring_gram_index(_mkdocs(spark, ["a b c"]), min_len=2)
+    with pytest.raises(ValueError, match="digest=True"):
+        exact_substring_spans_incremental(idx, _mkdocs(spark, ["a b"]), min_len=2, verify=True)
