@@ -118,6 +118,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
     prefix_filter: bool | str = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard similarity ≥ threshold.
 
@@ -137,10 +138,19 @@ def ngram_jaccard_pairs(
     :data:`PREFIX_FILTER_AUTO_MIN_DOCS`. Both plans emit identical rows
     (the filter is lossless by the PPJoin prefix guarantee), so the switch
     is invisible to callers and to the oracle.
+
+    ``n_docs`` short-circuits the auto dial's sizing job: callers that
+    already know the corpus size (catalog statistics, a stored-index
+    manifest, the previous pipeline stage's count) pass it and the plan
+    builds with ZERO extra Spark jobs — the ``pq_topk_auto`` convention.
+    At 100 TB a full scan to pick a regime is real money; the count
+    fallback exists for ad-hoc calls, not the production path.
     """
     if prefix_filter == "auto":
-        # bounded collect: one scalar count (pagerank |V| convention)
-        prefix_filter = df.count() >= PREFIX_FILTER_AUTO_MIN_DOCS
+        # caller-supplied size, else ONE bounded scalar count job
+        prefix_filter = (
+            df.count() if n_docs is None else int(n_docs)
+        ) >= PREFIX_FILTER_AUTO_MIN_DOCS
     elif not isinstance(prefix_filter, bool):
         raise ValueError(
             f'prefix_filter must be a bool or "auto", got {prefix_filter!r}'
@@ -548,6 +558,7 @@ def semdedup_dropped(
     n_centroids: int | str = 8,
     threshold: float = 0.45,
     assign: str = "auto",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     embedding dedup — k-means-partition the space, compare pairs ONLY
@@ -579,7 +590,9 @@ def semdedup_dropped(
 
     ``n_centroids="auto"`` derives C from the corpus itself via
     :func:`semdedup_auto_centroids` (√n, the paper's grow-C-with-corpus
-    dial) at the cost of one scalar count job before planning; an int
+    dial) at the cost of one scalar count job before planning — unless
+    the caller passes ``n_vectors`` (known corpus size from statistics
+    or a manifest), which sizes the dial with zero extra jobs; an int
     pins C explicitly (the fixture-scale oracle convention).
 
     Centroids here are PINNED to the ``n_centroids`` lowest-id vectors
@@ -606,9 +619,11 @@ def semdedup_dropped(
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     if n_centroids == "auto":
-        # bounded collect: ONE scalar (the corpus count) — the same
-        # sanctioned pattern as pagerank's |V| sizing constant
-        n_centroids = semdedup_auto_centroids(e.count())
+        # caller-supplied size (zero extra jobs — the pq_topk_auto
+        # convention), else ONE bounded scalar count job
+        n_centroids = semdedup_auto_centroids(
+            e.count() if n_vectors is None else int(n_vectors)
+        )
     elif not isinstance(n_centroids, int):
         raise ValueError(f'n_centroids must be an int or "auto", got {n_centroids!r}')
     asg = _semdedup_assign(e, n_centroids, assign).select(

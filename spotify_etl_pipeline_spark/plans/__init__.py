@@ -10,8 +10,15 @@ those shapes so a refactor that silently loses pushdown fails CI.
 from .inspect import (
     executed_plan,
     final_plan,
+    jobs_triggered,
     pushed_filter_lines,
     scan_lines,
 )
 
-__all__ = ["executed_plan", "final_plan", "pushed_filter_lines", "scan_lines"]
+__all__ = [
+    "executed_plan",
+    "final_plan",
+    "jobs_triggered",
+    "pushed_filter_lines",
+    "scan_lines",
+]

@@ -84,3 +84,27 @@ def read_schema_fields(scan_line: str) -> list[str]:
     if not m:
         return []
     return [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+
+
+def jobs_triggered(spark, thunk):
+    """Count the Spark jobs a callable fires — the eager-work probe.
+
+    Declarative plan construction should fire ZERO jobs; operators with
+    sanctioned bounded actions (auto dials sizing from a count, iterative
+    fixpoint probes) fire a known small number, and callers that supply
+    sizes from stored index metadata must fire none.  Implemented with a
+    throwaway job group: every job submitted while the thunk runs lands in
+    the group, and the status tracker reports the group's job ids.
+
+    Returns ``(n_jobs, thunk_result)``.
+    """
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"job-probe-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "jobs_triggered probe")
+    try:
+        result = thunk()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group)), result

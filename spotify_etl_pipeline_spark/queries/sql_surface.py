@@ -355,17 +355,31 @@ FROM chain
 )
 def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _view(spark, sf_dir, "orders", "rcte")
-    # Input-scaled recursion guard. The conf is read at EXECUTION time, so
-    # it must still be set when the caller materializes the returned
-    # DataFrame — set-and-leave on the session (monotonic: only ever
-    # raised), not set-and-restore around a lazy plan.
-    n_orders = spark.table(o).count()
+    return recursive_order_chain(spark, o)
+
+
+def recursive_order_chain(
+    spark: SparkSession, orders_view: str, n_orders: int | None = None
+) -> DataFrame:
+    """The recursive-CTE walk with its input-scaled recursion guard.
+
+    ``n_orders`` short-circuits the guard's sizing job (the
+    ``pq_topk_auto`` convention): callers that know the order count —
+    catalog statistics, a manifest, the upstream stage — pass it and the
+    plan builds with ZERO extra Spark jobs; absent, one bounded scalar
+    count sizes the guard.  The conf is read at EXECUTION time, so it
+    must still be set when the caller materializes the returned
+    DataFrame — set-and-leave on the session (monotonic: only ever
+    raised), not set-and-restore around a lazy plan.
+    """
+    if n_orders is None:
+        n_orders = spark.table(orders_view).count()
     key = "spark.sql.cteRecursionRowLimit"
     current = int(spark.conf.get(key, "1000000"))
-    scaled = max(current, 2 * n_orders + 10_000)
+    scaled = max(current, 2 * int(n_orders) + 10_000)
     if scaled > current:
         spark.conf.set(key, str(scaled))
-    return spark.sql(_RCTE_CHAIN_BODY.format(orders=o))
+    return spark.sql(_RCTE_CHAIN_BODY.format(orders=orders_view))
 
 
 _LATERAL_BODY = """
