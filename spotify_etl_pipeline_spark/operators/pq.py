@@ -404,6 +404,8 @@ def pq_ivfadc_topk(
     n_probe: int = 3,
     cluster_col: str = "label",
     id_col: str = "vec_id",
+    probe_mode: str = "mean",
+    int_units: bool = False,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): IVF probe routing generates the
     candidates, ADC scores ONLY those, exact L2 reranks the shortlist —
@@ -438,11 +440,25 @@ def pq_ivfadc_topk(
     Recall loses only mass outside probed clusters (vs exhaustive ADC's
     codebook error alone); floors are gated in tests and by the
     ``knn_ivfadc_recall`` driver query.
+
+    Determinism dials (both default off — the quality path): ``probe_mode
+    ="pinned"`` routes against lowest-vec_id member vectors instead of
+    float cluster means (see :func:`..similarity.ivf_probe_routing`);
+    ``int_units=True`` floors each LUT entry to integer micro-units
+    BEFORE the m-term ADC sum, making the sum exact integer arithmetic
+    with no float addition-order dependence (the ``knn_pq_pinned_topk``
+    convention).  Together with init-only codebooks they make the whole
+    pipeline value-hash-reproducible on an external SQL engine.
     """
     from .similarity import ivf_probe_routing
 
-    probes = ivf_probe_routing(corpus, queries, n_probe, cluster_col)
+    probes = ivf_probe_routing(corpus, queries, n_probe, cluster_col, mode=probe_mode)
     lut = pq_query_lut(queries, codebooks, id_col)
+    if int_units:
+        lut = lut.select(
+            "query_id", "sub", "code",
+            F.floor(F.col("d2") * 1_000_000).alias("d2"),
+        )
     probe_lut = probes.join(lut, "query_id").select(
         F.col("cluster"), "query_id", "sub", "code", "d2"
     )
@@ -519,6 +535,8 @@ def pq_topk_auto(
     n_corpus: int | None = None,
     n_queries: int | None = None,
     n_clusters: int | None = None,
+    probe_mode: str = "mean",
+    int_units: bool = False,
 ) -> DataFrame:
     """|Q|-aware PQ search dispatch: :func:`pq_adc_rerank_topk`
     (exhaustive ADC, Faiss ``IndexPQ``+refine) below the
@@ -534,6 +552,9 @@ def pq_topk_auto(
     convention); callers that track their index metadata pass them in
     and the dispatch plans with zero extra jobs — the stored-index
     serving path.
+
+    ``probe_mode``/``int_units`` are the IVFADC arm's determinism dials
+    (see :func:`pq_ivfadc_topk`); the exhaustive arm ignores them.
     """
     if n_corpus is None:
         n_corpus = corpus.count()
@@ -551,6 +572,7 @@ def pq_topk_auto(
         corpus, corpus_codes, queries, codebooks,
         k=k, shortlist=shortlist, n_probe=n_probe,
         cluster_col=cluster_col, id_col=id_col,
+        probe_mode=probe_mode, int_units=int_units,
     )
 
 

@@ -324,15 +324,40 @@ def ivf_probe_routing(
     queries: DataFrame,
     n_probe: int = 2,
     cluster_col: str = "label",
+    mode: str = "mean",
 ) -> DataFrame:
     """(query_id, cluster) rows: the ``n_probe`` clusters whose centroids
     are nearest (cosine) to each query — the routing stage shared by every
     IVF-blocked search (float :func:`ivf_topk`, int8-quantized variants).
 
+    ``mode="mean"`` (default) routes against per-cluster MEAN vectors —
+    the quality choice, but float means are summation-order-dependent,
+    so an external SQL engine cannot rederive them bit-for-bit (the
+    reason the IVF-probed entries are rows-only).  ``mode="pinned"``
+    routes against each cluster's lowest-vec_id member vector instead
+    (the ``pq_fit(max_iter=0)`` determinism convention applied to the
+    coarse quantizer): representatives are data rows, cosines are
+    index-ordered folds, ties break (cos DESC, cluster ASC) — every
+    step bit-reproducible cross-engine, which is what lets an IVFADC
+    pipeline carry a full value-hash oracle.
+
     The centroid table is k rows, so the query×centroid crossJoin is a
     broadcast of a tiny build side by construction — never an all-pairs
     shuffle."""
-    cents = cluster_centroids(corpus, cluster_col)
+    if mode == "pinned":
+        cents = (
+            corpus.select(
+                F.col(cluster_col).alias("cluster"),
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+            .groupBy("cluster")
+            .agg(F.min_by("v", "vec_id").alias("centroid"))
+        )
+    elif mode == "mean":
+        cents = cluster_centroids(corpus, cluster_col)
+    else:
+        raise ValueError(f'mode must be "mean" or "pinned", got {mode!r}')
     q = _as_double(queries).alias("q")
     ce = cents.alias("ce")
     cnorm = F.sqrt(

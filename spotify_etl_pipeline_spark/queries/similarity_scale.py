@@ -250,7 +250,9 @@ def knn_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction (k-means codebooks), like
     # both arms it dispatches between; the dispatch itself is
     # equality-tested against the arm pq_route selects
-    # (tests/test_pq_dispatch.py) and each arm has its own recall twin.
+    # (tests/test_pq_dispatch.py), each arm has its own recall twin, and
+    # the IVFADC arm now carries a FULL value-hash driver row of its own
+    # (knn_pq_auto_forced_ivfadc — pinned dials, forced route).
     survey="X3",
     doc="|Q|-aware PQ search dispatch (pq_topk_auto): exhaustive "
     "ADC+rerank below the pq_route candidate-volume crossover, IVFADC "
@@ -271,6 +273,140 @@ def knn_pq_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books, keep_cols=("label",)).persist()
     return pq_topk_auto(
         emb, codes, queries, books, k=5, shortlist=50, n_probe=3
+    )
+
+
+@register(
+    "knn_pq_auto_forced_ivfadc",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT UNNEST(range(4)) AS sub),
+    books AS (
+      SELECT subs.sub, init.code,
+             list_slice(init.v, subs.sub * 16 + 1, subs.sub * 16 + 16) AS cw
+      FROM init CROSS JOIN subs
+    ),
+    vsub AS (
+      SELECT e.vec_id, subs.sub,
+             list_slice(e.v, subs.sub * 16 + 1, subs.sub * 16 + 16) AS sv
+      FROM e CROSS JOIN subs
+    ),
+    dists AS (
+      SELECT vsub.vec_id, vsub.sub, books.code,
+             list_sum(list_transform(list_zip(vsub.sv, books.cw),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM vsub JOIN books ON vsub.sub = books.sub
+    ),
+    enc AS (
+      SELECT vec_id, sub, code
+      FROM (SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, code ASC) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    repid AS (SELECT label, MIN(vec_id) AS rid FROM e GROUP BY label),
+    reps AS (
+      SELECT repid.label AS cluster, e.v AS cv
+      FROM repid JOIN e ON e.vec_id = repid.rid
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    rt AS (
+      SELECT q.query_id, reps.cluster,
+             list_sum(list_transform(list_zip(q.qv, reps.cv),
+                                     p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(reps.cv, x -> x * x))))
+               AS c_cos
+      FROM q CROSS JOIN reps
+    ),
+    probes AS (
+      SELECT query_id, cluster
+      FROM (SELECT query_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c_cos DESC, cluster ASC)
+                       AS crank
+            FROM rt)
+      WHERE crank <= 3
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code,
+             CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2u
+      FROM dists WHERE vec_id < 10
+    ),
+    encl AS (SELECT enc.vec_id, enc.sub, enc.code, e.label
+             FROM enc JOIN e USING (vec_id)),
+    adc AS (
+      SELECT lut.query_id, encl.vec_id AS neighbor_id,
+             CAST(SUM(lut.d2u) AS BIGINT) AS adc_u
+      FROM encl
+      JOIN probes ON probes.cluster = encl.label
+      JOIN lut ON lut.query_id = probes.query_id
+              AND encl.sub = lut.sub AND encl.code = lut.code
+      WHERE lut.query_id != encl.vec_id
+      GROUP BY lut.query_id, encl.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_u ASC, neighbor_id ASC)
+                       AS srank
+            FROM adc)
+      WHERE srank <= 50
+    ),
+    rer AS (
+      SELECT short.query_id, short.neighbor_id,
+             list_sum(list_transform(list_zip(qe.v, ce.v),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM short
+      JOIN e qe ON qe.vec_id = short.query_id
+      JOIN e ce ON ce.vec_id = short.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM (SELECT query_id, neighbor_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2 ASC, neighbor_id ASC) AS rank
+          FROM rer)
+    WHERE rank <= 5
+    """,
+    survey="X3",
+    doc="The dispatcher's IVFADC arm under a FULL value-hash oracle — "
+    "closing the one rows-only cluster VERDICT r6 left: pq_topk_auto is "
+    "called with caller-supplied index metadata (n_corpus=10^7, "
+    "|Q|=500, C=10) whose saved-pairs volume exceeds the 10^7 crossover, "
+    "so pq_route provably selects 'ivfadc' (asserted in "
+    "tests/test_pq_dispatch.py) and the dispatch itself plans with zero "
+    "sizing jobs — the stored-index serving path. Determinism comes "
+    "from three pinned dials: init-only codebooks (pq_fit max_iter=0), "
+    "probe_mode='pinned' routing against each cluster's lowest-vec_id "
+    "member vector (index-ordered-fold cosines, ties cos DESC/cluster "
+    "ASC), and int_units=True flooring LUT entries to integer "
+    "micro-units before the ADC sum. The quality twins (trained "
+    "codebooks, mean centroids, float ADC) remain knn_ivfadc_topk + "
+    "knn_ivfadc_recall; this entry proves the dispatched IVFADC "
+    "machinery end-to-end exactly.",
+)
+def knn_pq_auto_forced_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_fit, pq_topk_auto
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, k=16, max_iter=0)
+    codes = pq_encode(emb, books, keep_cols=("label",))
+    return pq_topk_auto(
+        emb, codes, queries, books, k=5, shortlist=50, n_probe=3,
+        n_corpus=10_000_000, n_queries=500, n_clusters=10,
+        probe_mode="pinned", int_units=True,
     )
 
 

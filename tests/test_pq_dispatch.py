@@ -73,3 +73,65 @@ def test_dispatch_accepts_precomputed_sizes(spark, sf_dir):
     )
     ivfadc = pq_ivfadc_topk(emb, codes, queries, books, k=5, shortlist=50, n_probe=3)
     assert _rows(auto) == _rows(ivfadc)
+
+
+def test_forced_entry_sizes_route_to_ivfadc():
+    """The driver entry knn_pq_auto_forced_ivfadc supplies (10^7 corpus,
+    500 queries, C=10, n_probe=3); saved pairs 3.5e9 >> the 1e7 overhead,
+    so the dispatcher provably takes the IVFADC arm — the full-hash
+    driver row exercises that arm, not exhaustive."""
+    from spotify_etl_pipeline_spark.operators.pq import pq_route
+
+    assert pq_route(10_000_000, 500, 3, 10) == "ivfadc"
+
+
+def test_pinned_ivfadc_matches_mean_recall_contract(spark, sf_dir):
+    """probe_mode='pinned' + int_units=True is a determinism dial, not a
+    different algorithm: same schema, k rows per query, and candidates
+    still restricted to probed clusters (a neighbor outside every probed
+    cluster of its query cannot appear)."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+    from spotify_etl_pipeline_spark.operators.similarity import ivf_probe_routing
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, k=16, max_iter=0)
+    codes = pq_encode(emb, books, keep_cols=("label",))
+    out = pq_ivfadc_topk(
+        emb, codes, queries, books, k=5, shortlist=50, n_probe=3,
+        probe_mode="pinned", int_units=True,
+    )
+    assert out.columns == ["query_id", "neighbor_id", "rank", "d2_micro"]
+    probes = ivf_probe_routing(emb, queries, 3, "label", mode="pinned")
+    stray = (
+        out.join(emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                 "neighbor_id")
+        .join(
+            probes.withColumnRenamed("cluster", "label"),
+            ["query_id", "label"],
+            "left_anti",
+        )
+    )
+    assert stray.count() == 0, "candidate outside every probed cluster"
+    per_q = out.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] == 5 for r in per_q)
+
+
+def test_probe_routing_rejects_unknown_mode(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.similarity import ivf_probe_routing
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="mode"):
+        ivf_probe_routing(emb, q, 2, "label", mode="median")
