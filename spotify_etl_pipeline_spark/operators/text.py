@@ -768,3 +768,86 @@ def exact_substring_spans_incremental(
         )
         .select("doc_id", "span_start", "span_len")
     )
+
+
+#: Symbol sequences for BPE are each symbol wrapped in single underscores
+#: and concatenated ('key' → '_k__e__y_'), so applying a merge is a plain
+#: left-to-right non-overlapping substring replace ('_x__y_' → '_xy_') —
+#: identical semantics in Java String.replace and external SQL engines'
+#: replace(), and exactly greedy BPE merging (in '_a__a__a_' the first
+#: two merge, the third survives). See queries/substring_ops.py for the
+#: charset argument (corpus asserted [a-z]; the separator is unreachable).
+BPE_SEQ_SQL = (
+    "concat('_', array_join(transform(sequence(1, length(w)), "
+    "i -> substr(w, i, 1)), '__'), '_')"
+)
+
+_BPE_PAIRS_SQL = (
+    "transform(sequence(1, size(s) - 1), "
+    "i -> concat(element_at(s, i), '|', element_at(s, i + 1)))"
+)
+
+
+def bpe_train_merges(df: DataFrame, n_merges: int = 4) -> DataFrame:
+    """The BPE TRAINING LOOP (Sennrich et al. 2016) run for ``n_merges``
+    iterations, emitting the learned merge table — (step, x, y, n_pairs):
+    at each step the corpus-wide most frequent adjacent symbol pair
+    (ties: count DESC, then pair string ASC — deterministic) is recorded
+    and merged everywhere before recounting.  The merge table IS the
+    tokenizer-training artifact (apply the rules in step order to encode
+    text); ``bpe_merge_apply``'s single unrolled iteration is step 1 of
+    this loop plus the next iteration's candidate report.
+
+    Scale shape: every pass operates on the (word, count) VOCABULARY
+    aggregate, never the raw token stream, so per-iteration cost is
+    vocabulary-sized regardless of corpus size; the argmax is a bounded
+    1-row collect per step (k rows total — the pagerank-fixpoint
+    convention) because the winning pair must become a string literal in
+    the next pass's replace expression; the shrinking sequence table is
+    eagerly localCheckpointed per step so lineage stays flat (the
+    iterative-operator hygiene).  At 100 TB only the initial vocabulary
+    build touches the corpus — one groupBy(word) — and real tokenizer
+    trainers run exactly this loop at k≈30000.
+    """
+    k = int(n_merges)
+    if k < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    wc = (
+        df.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seqs = wc.select(F.expr(BPE_SEQ_SQL).alias("seq"), "n").localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        top = (
+            seqs.select(
+                F.split(F.expr("trim(BOTH '_' FROM seq)"), "__").alias("s"),
+                "n",
+            )
+            .filter(F.size("s") >= 2)
+            .select(F.explode(F.expr(_BPE_PAIRS_SQL)).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("np"))
+            .orderBy(F.desc("np"), F.asc("pair"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per training step
+        )
+        if not top:
+            break
+        x, y = top[0]["pair"].split("|", 1)
+        merges.append((step, x, y, int(top[0]["np"])))
+        pat = f"_{x}__{y}_"
+        rep = f"_{x}{y}_"
+        seqs = seqs.select(
+            F.expr(
+                f"replace(seq, '{pat}', '{rep}')"
+            ).alias("seq"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges, "step: bigint, x: string, y: string, n_pairs: bigint"
+    )

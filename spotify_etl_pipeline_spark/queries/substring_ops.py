@@ -515,6 +515,78 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Training steps for the bpe_train_merges driver entry. Six is enough to
+#: exercise multi-char symbols merging with each other (step 1 output
+#: participating in later pairs) while the unrolled oracle stays readable.
+BPE_TRAIN_K = 6
+
+
+def _bpe_pass_ctes(i: int) -> str:
+    """One BPE training iteration as CTEs: sequences ``s{i-1}`` →
+    argmax-merge row ``t{i}`` → merged sequences ``s{i}``.  Chained
+    ``BPE_TRAIN_K`` times by the trainer oracle; tie-break (count DESC,
+    pair ASC) and the underscore-wrapped replace are exactly
+    bpe_merge_apply's (same file, single-iteration entry)."""
+    return f"""
+    p{i} AS (
+      SELECT unnest(list_transform(range(1, len(s)),
+                    j -> s[j] || '|' || s[j + 1])) AS pair, n
+      FROM (SELECT string_split(trim(seq, '_'), '__') AS s, n FROM s{i - 1})
+      WHERE len(s) >= 2
+    ),
+    t{i} AS (
+      SELECT pair, np,
+             string_split(pair, '|')[1] AS x, string_split(pair, '|')[2] AS y
+      FROM (SELECT pair, SUM(n) AS np FROM p{i} GROUP BY pair
+            ORDER BY np DESC, pair ASC LIMIT 1)
+    ),
+    s{i} AS (
+      SELECT replace(seq, '_' || x || '__' || y || '_',
+                     '_' || x || y || '_') AS seq, n
+      FROM s{i - 1} CROSS JOIN t{i}
+    )"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, COUNT(*) AS n FROM words
+      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ),
+    s0 AS (SELECT {_DUCK_SEQ} AS seq, n FROM wc),
+    {",".join(_bpe_pass_ctes(i) for i in range(1, BPE_TRAIN_K + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, x, y, "
+        f"CAST(np AS BIGINT) AS n_pairs FROM t{i}"
+        for i in range(1, BPE_TRAIN_K + 1)
+    )}
+    """,
+    survey="X4",
+    doc=f"The full BPE training loop (Sennrich et al. 2016) for "
+    f"k={BPE_TRAIN_K} merge iterations, emitting the learned MERGE TABLE "
+    "(step, x, y, n_pairs) — the actual tokenizer-training artifact "
+    "bpe_merge_apply's single unrolled iteration only previews. Each "
+    "step: vocabulary-sized pair count, deterministic argmax (count "
+    "DESC, pair ASC), corpus-wide merge via the underscore-wrapped "
+    "replace, recount. Spark runs the driver loop (one bounded 1-row "
+    "collect per step — the winning pair must become a literal in the "
+    "next replace — with eager localCheckpoints keeping lineage flat); "
+    "the oracle unrolls the identical k passes as chained CTEs. Only "
+    "the initial vocabulary build ever touches the corpus; every "
+    "iteration is vocabulary-sized, which is why real trainers run "
+    "this exact loop to k~30000.",
+)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), n_merges=BPE_TRAIN_K)
+
+
 @register(
     "vocab_oov_rate",
     oracle=f"""

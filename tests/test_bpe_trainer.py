@@ -1,0 +1,96 @@
+"""operators/text.py::bpe_train_merges — the k-iteration BPE training
+loop must reproduce a reference implementation's merge list exactly
+(pure-Python greedy BPE over the same vocabulary, Sennrich et al. 2016
+semantics: argmax pair by frequency, ties lexicographic, merge
+left-to-right non-overlapping)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from spotify_etl_pipeline_spark.operators.text import bpe_train_merges
+from spotify_etl_pipeline_spark.schemas import load_fixture
+
+
+def _reference_bpe(word_counts: dict[str, int], k: int):
+    """Textbook greedy BPE trainer on a (word -> count) vocabulary."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, k + 1):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # argmax by count, ties toward the lexicographically smaller
+        # "x|y" pair string (the engine's ORDER BY np DESC, pair ASC)
+        (x, y), np = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}|{kv[0][1]}")
+        )
+        merges.append((step, x, y, np))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def _vocab_of(docs) -> dict[str, int]:
+    import re
+
+    wc: Counter = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if len(w) >= 2 and re.fullmatch(r"[a-z]+", w):
+                wc[w] += 1
+    return dict(wc)
+
+
+def test_trainer_matches_reference_on_fixture(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    k = 6
+    got = [
+        (r["step"], r["x"], r["y"], r["n_pairs"])
+        for r in bpe_train_merges(docs, n_merges=k).collect()
+    ]
+    want = _reference_bpe(_vocab_of(docs), k)
+    assert sorted(got) == sorted(want) and len(got) == k
+
+
+def test_trainer_merges_merged_symbols(spark):
+    """Multi-char symbols must merge with each other in later steps —
+    the property one unrolled iteration cannot show."""
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab abcd")], ["doc_id", "text"]
+    )
+    got = [
+        (r["step"], r["x"], r["y"], r["n_pairs"])
+        for r in bpe_train_merges(docs, n_merges=3).collect()
+    ]
+    want = _reference_bpe({"abab": 3, "abcd": 1}, 3)
+    assert got == want
+    # step >= 2 must consume a multi-char symbol produced earlier
+    assert any(len(x) > 1 or len(y) > 1 for _, x, y, _ in got[1:])
+
+
+def test_trainer_stops_when_pairs_exhaust(spark):
+    docs = spark.createDataFrame([(0, "ab ab cd")], ["doc_id", "text"])
+    rows = bpe_train_merges(docs, n_merges=10).collect()
+    # 'ab' -> 1 merge, 'cd' -> 1 merge, then every word is one symbol
+    assert len(rows) == 2
+
+
+def test_trainer_rejects_bad_k(spark):
+    docs = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(docs, n_merges=0)
