@@ -103,6 +103,13 @@ HEADLINE = [
     # basket self-join — the two shapes not represented above
     "events_holt_linear",
     "market_basket_pairs",
+    # round 7: the iterated substring cut (driver fixpoint loop over the
+    # heaviest hygiene shuffle family), the dispatcher's pinned IVFADC
+    # arm (full PQ pipeline routed through probing), and the k-iteration
+    # BPE trainer (k vocabulary-sized passes + 1-row argmax collects)
+    "dedup_substring_cut_fixpoint",
+    "knn_pq_auto_forced_ivfadc",
+    "bpe_train_merges",
 ]
 
 

@@ -33,6 +33,7 @@ PAIRWISE_OK = {
     "knn_quantized_topk",
     "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
     "knn_ivfadc_topk",  # same k-row centroid crossJoin (ivf_probe_routing)
+    "knn_pq_auto_forced_ivfadc",  # same routing crossJoin, pinned reps
     "knn_ivf_recall",  # embeds brute_force_topk (the recall reference)
     "knn_pq_recall",  # embeds brute_force_l2_topk (the recall reference)
     "knn_ivfadc_recall",  # embeds brute_force_l2_topk (the recall reference)

@@ -275,6 +275,9 @@ def test_fixpoint_removes_splice_created_duplicate(spark):
             "u1 B u2",  # untouched in pass 1; duplicated after the splice
         ],
     )
+    # establish a clean cache baseline (the session is shared; some tests
+    # leave deliberate session-lifetime caches — the graph-test protocol)
+    spark.catalog.clearCache()
     one = {r["doc_id"]: r for r in substring_cut_corpus(docs, min_len=3).collect()}
     assert one[0]["clean_text"] == "u1 B u2"  # the spliced duplicate SURVIVES
     assert one[2]["clean_text"] == "u1 B u2"
