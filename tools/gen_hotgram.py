@@ -11,6 +11,7 @@ only cross-doc duplication and the measured cost isolates the skew path.
 Usage::
 
     python tools/gen_hotgram.py 500000   # -> /tmp/sparkgraft_scale/hotgram
+    python tools/gen_hotgram.py 2000000 /tmp/sparkgraft_scale/hotgram2m
 """
 import os
 import sys
@@ -21,8 +22,8 @@ OUT = "/tmp/sparkgraft_scale/hotgram"
 HOT = " ".join(f"boiler{i}" for i in range(10))  # one 10-token gram
 
 
-def main(n_docs: int) -> None:
-    os.makedirs(OUT, exist_ok=True)
+def main(n_docs: int, out: str = OUT) -> None:
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # body: 30 unique tokens per doc (u<doc>_<i>) so nothing else repeats
     con.execute(
@@ -40,12 +41,15 @@ def main(n_docs: int) -> None:
                        j -> 'u' || i || '_' || j), ' ') AS body
             FROM range({n_docs}) t(i)
           )
-        ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
-    print(f"wrote {OUT}/documents.parquet n_docs={n_docs} "
+    print(f"wrote {out}/documents.parquet n_docs={n_docs} "
           f"hot gram in {n_docs // 2} docs")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500_000)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 500_000,
+        sys.argv[2] if len(sys.argv) > 2 else OUT,
+    )
