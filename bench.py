@@ -110,6 +110,14 @@ HEADLINE = [
     "dedup_substring_cut_fixpoint",
     "knn_pq_auto_forced_ivfadc",
     "bpe_train_merges",
+    # round-7 second batch: the tokenizer APPLY half (nested-replace
+    # codegen projection + one per-doc shuffle — the pair with
+    # bpe_train_merges records train-vs-encode cost), and the intra-doc
+    # repetition cut (the (doc_id, key)-bounded shuffle family; its
+    # cross-doc twin dedup_substring_cut stays catalog-only since the
+    # fixpoint entry above already embeds that shape)
+    "bpe_encode_corpus",
+    "dedup_intradoc_cut",
 ]
 
 

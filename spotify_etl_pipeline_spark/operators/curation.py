@@ -83,3 +83,56 @@ def mixture_sample(
             F.col("source") == src, F.lit(round(frac * granularity))
         ).otherwise(threshold)
     return docs.filter(bucket < threshold)
+
+
+def budget_mixture_sample(
+    docs: DataFrame,
+    stratum: str = "lang",
+    token_budget: int = 100_000,
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Token-BUDGET-driven mixture sampling: downsample each stratum
+    (language / source / domain) to at most ``token_budget`` tokens —
+    the data-mixing stage of multi-source pretraining when the recipe is
+    stated as per-domain token budgets rather than fractions (the common
+    form: "cap web text at N tokens, keep code whole").
+
+    Unlike :func:`mixture_sample`'s caller-supplied fractions, the keep
+    fraction here is DERIVED from the data: one map-side-combining
+    aggregate computes per-stratum token totals T_s, the keep threshold
+    is ``least(granularity, granularity * budget div T_s)`` — all-BIGINT
+    floor arithmetic, so the realized fraction is bit-reproducible on
+    any engine — and the decision predicate is the same content-
+    fingerprint bucket as every sampler here: stable under re-ingestion,
+    retries, and repartitioning, zero RNG state.  Strata under budget
+    clamp to keep-whole.
+
+    Returns the surviving documents with ``_nt`` (token count) attached
+    for downstream budget accounting.  Scale shape: one narrow aggregate
+    over the corpus (stratum-keyed, partial-agg) + one BROADCAST join of
+    the per-stratum thresholds (bounded by |strata|, never corpus-sized)
+    + a per-row predicate — the corpus itself never shuffles.
+    """
+    tk = docs.withColumn(
+        "_nt", F.size(F.split("text", " ")).cast("long")
+    )
+    thresholds = (
+        tk.groupBy(stratum)
+        .agg(F.sum("_nt").alias("_T"))
+        .select(
+            stratum,
+            F.least(
+                F.lit(int(granularity)).cast("long"),
+                F.expr(
+                    f"CAST({int(granularity)} AS BIGINT) * "
+                    f"CAST({int(token_budget)} AS BIGINT) div _T"
+                ),
+            ).alias("_f"),
+        )
+    )
+    bucket = content_fingerprint() % granularity
+    return (
+        tk.join(F.broadcast(thresholds), stratum)
+        .filter(bucket < F.col("_f"))
+        .drop("_f")
+    )

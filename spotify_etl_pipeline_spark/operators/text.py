@@ -465,8 +465,15 @@ def exact_substring_spans(
         dup = _keep_filter(
             grams.join(_cross_doc_keys(grams, "gram"), "gram"), keep
         )
-    # sweep: contiguous coverage runs (windows [p, p+L) touch or overlap
-    # exactly when the position gap is <= L)
+    return _coverage_spans(dup, L)
+
+
+def _coverage_spans(dup: DataFrame, L: int) -> DataFrame:
+    """Contiguous coverage runs over duplicated window positions
+    (doc_id, p) → maximal spans (doc_id, span_start, span_len): windows
+    [p, p+L) touch or overlap exactly when the position gap is <= L.
+    One lag + one running-sum window, both partitioned by doc_id —
+    per-doc bounded, never a global sort."""
     wd = Window.partitionBy("doc_id").orderBy("p")
     wrun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -630,6 +637,106 @@ def substring_cut_fixpoint(
         .alias("n_cut"),
         "clean_text",
     )
+
+
+def _intra_doc_dup(rows: DataFrame, key: str, keep: str) -> DataFrame:
+    """WITHIN-document duplicated-window test, skew-immune: positions
+    whose ``key`` (gram string or hash) occurs at ≥2 positions in the
+    SAME document.  ``groupBy(doc_id, key)`` partial-aggregates (the
+    :func:`_cross_doc_keys` rationale — a page-template line repeated
+    10 k times inside one scraped doc collapses map-side instead of
+    pinning a window task) and equi-joins back.  ``keep="first"``
+    exempts the earliest occurrence per (doc, window) so a cut leaves
+    one copy; ``keep="all"`` reports every occurrence."""
+    if keep not in ("first", "all"):
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
+    keys = (
+        rows.groupBy("doc_id", key)
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("p").alias("_mnp"))
+        .filter(F.col("_n") > 1)
+        .select("doc_id", key, "_mnp")
+    )
+    dup = rows.join(keys, ["doc_id", key])
+    if keep == "first":
+        dup = dup.filter(F.col("p") > F.col("_mnp"))
+    return dup.select("doc_id", "p")
+
+
+def intradoc_duplicate_spans(
+    df: DataFrame,
+    min_len: int = 10,
+    hash_prune: bool = True,
+    keep: str = "first",
+) -> DataFrame:
+    """Maximal WITHIN-document duplicated token spans — the intra-doc
+    complement of :func:`exact_substring_spans`: a position is covered
+    iff its L-token window occurs verbatim at ≥2 positions in the SAME
+    document.  Repeated boilerplate inside a single page (nav blocks,
+    pagination footers, scraper echo loops) is what the repetition
+    filters of Gopher (Rae et al. 2021 §A1.1) and RefinedWeb target
+    with fractions; this returns the actual EXTENTS — (doc_id,
+    span_start, span_len) — so a cut can remove the repeats while
+    ``keep="first"`` (default) leaves the earliest copy in place, the
+    keep-one policy every intra-doc cleaner uses (cutting all copies
+    would gut the document).
+
+    Same scale shape as the cross-doc tier: ``hash_prune=True`` shuffles
+    8-byte xxhash64 keys and string-verifies candidates only (collisions
+    cannot fabricate a span); the duplicate test is a partial-aggregating
+    ``groupBy(doc_id, key)`` + join-back (see :func:`_intra_doc_dup`);
+    the sweep is the shared per-doc lag/running-sum. No stage ever keys
+    on anything broader than (doc_id, window) — intra-doc dedup is
+    embarrassingly doc-parallel and this plan keeps it that way.
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    tt = df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    grams = tt.filter(F.col("n_tokens") >= L).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, n_tokens - {L} + 1)")).alias("p"),
+        F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+    )
+    if hash_prune:
+        seeds = grams.select("doc_id", "p", F.xxhash64("gram").alias("h"))
+        cand = seeds.join(
+            seeds.groupBy("doc_id", "h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select("doc_id", "h"),
+            ["doc_id", "h"],
+        ).select("doc_id", "p")
+        # exact verify on the real strings, candidates only; the keep
+        # policy is decided here, on string-exact groups
+        verif = cand.join(tt.select("doc_id", "toks"), "doc_id").select(
+            "doc_id",
+            "p",
+            F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
+        )
+        dup = _intra_doc_dup(verif, "gram", keep)
+    else:
+        dup = _intra_doc_dup(grams, "gram", keep)
+    return _coverage_spans(dup, L)
+
+
+def intradoc_cut_corpus(
+    df: DataFrame, min_len: int = 10, keep: str = "first"
+) -> DataFrame:
+    """APPLY step for intra-document repetition removal: every token
+    covered by a within-doc duplicated span of ≥ ``min_len`` tokens
+    (:func:`intradoc_duplicate_spans`) is cut, keeping the earliest
+    occurrence per repeated window by default (``keep="first"``) —
+    returns (doc_id, n_tokens, n_cut, clean_text) over the full corpus,
+    exactly :func:`substring_cut_corpus`'s contract but doc-local.
+    Shares :func:`_apply_cut`: one span explode + token posexplode +
+    (doc_id, idx) anti-join + doc-bounded reassembly — linear, every
+    shuffle doc_id-keyed, trivially partition-parallel at 100 TB since
+    no stage crosses document boundaries.
+    """
+    L = int(min_len)
+    return _apply_cut(df, intradoc_duplicate_spans(df, min_len=L, keep=keep), L)
 
 
 def substring_gram_index(
@@ -850,4 +957,54 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 4) -> DataFrame:
         ).localCheckpoint(eager=True)
     return df.sparkSession.createDataFrame(
         merges, "step: bigint, x: string, y: string, n_pairs: bigint"
+    )
+
+
+def bpe_encode_tokens(
+    df: DataFrame, merges: DataFrame | None = None, n_merges: int = 4
+) -> DataFrame:
+    """ENCODE the corpus with a learned BPE merge table — the apply half
+    of the tokenizer tier (``bpe_train_merges`` is the train half):
+    per document, the trainable-word count, character mass, and the
+    number of BPE symbols after applying every merge rule in step order
+    — (doc_id, n_words, n_chars, n_tokens).  n_chars/n_tokens is the
+    compression ratio tokenizer training exists to maximize; with an
+    empty merge table n_tokens == n_chars (every character its own
+    symbol), and each applied rule can only shrink n_tokens.
+
+    Scale shape: the merge table is collected once (bounded: k rules —
+    the driver-sized training artifact, k≈30 000 for production
+    tokenizers) and unrolled into ONE nested-``replace`` projection, so
+    encoding is a pure narrow map over the exploded word stream inside
+    whole-stage codegen — no join, no vocabulary shuffle; the only
+    shuffle in the whole operator is the final per-doc aggregate, which
+    map-side combines.  Greedy left-to-right merge semantics are the
+    trainer's own (underscore-wrapped symbols, non-overlapping
+    ``replace``), so train→encode round-trips bit-identically.
+    """
+    if merges is None:
+        merges = bpe_train_merges(df, n_merges=n_merges)
+    # bounded collect: k merge rules — the tokenizer artifact itself
+    rules = [
+        (r["x"], r["y"]) for r in merges.orderBy("step").select("x", "y").collect()
+    ]
+    enc_sql = BPE_SEQ_SQL
+    for x, y in rules:  # charset is asserted [a-z]+ — literals are quote-safe
+        enc_sql = f"replace({enc_sql}, '_{x}__{y}_', '_{x}{y}_')"
+    return (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
+        .select(
+            "doc_id",
+            F.length("w").alias("nc"),
+            F.size(
+                F.split(F.expr(f"trim(BOTH '_' FROM {enc_sql})"), "__")
+            ).alias("n_sym"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
     )

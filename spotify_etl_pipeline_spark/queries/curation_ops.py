@@ -91,6 +91,61 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+#: Per-language token budget for mixture_sample_to_budget. 4000 puts the
+#: sf0.01 fixture in all three regimes at once: en (~11.8k tokens) is
+#: deeply downsampled, zh (~4.1k) sits just under keep-whole, and
+#: es/fr/de (< 4k) clamp to the whole stratum.
+_TOKEN_BUDGET = 4_000
+
+
+@register(
+    "mixture_sample_to_budget",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, {fingerprint_sql()} AS h,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    tot AS (SELECT lang, SUM(nt) AS T FROM tk GROUP BY lang),
+    fr AS (
+      SELECT lang,
+             LEAST(CAST(10000 AS BIGINT),
+                   (CAST(10000 AS BIGINT) * {_TOKEN_BUDGET}) // T) AS f
+      FROM tot
+    ),
+    kept AS (
+      SELECT tk.lang, nt FROM tk JOIN fr USING (lang) WHERE h % 10000 < f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+    FROM kept GROUP BY lang
+    """,
+    survey="X4,X1",
+    doc="Token-BUDGET-driven mixture sampling: each language capped at "
+    f"{_TOKEN_BUDGET} tokens — the data-mixing stage when the recipe "
+    "says 'cap web text at N tokens', with the keep fraction DERIVED "
+    "from per-stratum token totals (least(1, budget/T_s) in all-BIGINT "
+    "floor arithmetic — bit-reproducible, no floats) and applied via "
+    "the shared content-fingerprint predicate (re-ingest-stable, zero "
+    "RNG). One partial-agg totals pass + a broadcast threshold join + a "
+    "per-row predicate: the corpus never shuffles. The fixture budget "
+    "exercises all three regimes: deep downsample (en), near-1 (zh), "
+    "and clamped keep-whole (es/fr/de).",
+)
+def mixture_sample_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import budget_mixture_sample
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    kept = budget_mixture_sample(
+        docs, stratum="lang", token_budget=_TOKEN_BUDGET
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("_nt").cast("long").alias("n_tokens_kept"),
+    )
+
+
 @register(
     "text_repetition_stats",
     oracle="""

@@ -168,6 +168,123 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_cut_corpus(_docs(spark, sf_dir), min_len=SPAN_MIN_LEN)
 
 
+#: Window width for the INTRA-document tier. The synthetic corpus plants
+#: its duplicates across documents, so within-doc verbatim repeats only
+#: survive down at L=4 (measured: the fixture has a handful of 4-token
+#: self-repeats and none at ≥5) — the entry runs where the data is;
+#: production corpora run the same operator at the cross-doc L.
+INTRA_L = 4
+
+#: Shared CTE chain for the intra-doc tier: maximal WITHIN-document
+#: duplicated spans at L=INTRA_L with the keep-first witness exemption
+#: (p > mnp — the earliest occurrence per (doc, gram) survives a cut).
+#: Ends with `ispans`; callers append their final SELECT / extra CTEs.
+_INTRA_CTES = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+    g AS (
+      SELECT doc_id, unnest(range(1, n_tokens - {INTRA_L} + 2)) AS p,
+             toks
+      FROM tt WHERE n_tokens >= {INTRA_L}
+    ),
+    grams AS (
+      SELECT doc_id, p,
+             array_to_string(list_slice(toks, p, p + {INTRA_L} - 1),
+                             ' ') AS gram
+      FROM g
+    ),
+    idup AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               COUNT(*) OVER (PARTITION BY doc_id, gram) AS nocc,
+               MIN(p) OVER (PARTITION BY doc_id, gram) AS mnp
+        FROM grams) WHERE nocc > 1 AND p > mnp
+    ),
+    ibrk AS (
+      SELECT doc_id, p,
+             CASE WHEN LAG(p) OVER w IS NULL
+                       OR p - LAG(p) OVER w > {INTRA_L}
+                  THEN 1 ELSE 0 END AS b
+      FROM idup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    iisl AS (
+      SELECT doc_id, p,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM ibrk
+    ),
+    ispans AS (
+      SELECT doc_id,
+             CAST(MIN(p) AS BIGINT) AS span_start,
+             CAST(MAX(p) + {INTRA_L} - MIN(p) AS BIGINT) AS span_len
+      FROM iisl GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "dedup_intradoc_spans",
+    oracle=_INTRA_CTES + "SELECT doc_id, span_start, span_len FROM ispans",
+    survey="X30",
+    doc="Maximal WITHIN-document duplicated token spans — the intra-doc "
+    "complement of the cross-doc X29 tier: positions whose L-window "
+    "repeats verbatim inside the SAME document (page-template "
+    "boilerplate, scraper echo loops — the Gopher/RefinedWeb "
+    "repetition-filter target), as span EXTENTS with the earliest "
+    f"occurrence exempted (keep-one policy). L={INTRA_L} because the "
+    "synthetic corpus plants duplicates across docs, not within. "
+    "Skew-immune duplicate test (partial-agg groupBy(doc_id, key) + "
+    "join-back), hash-pruned 8-byte shuffle with string verification of "
+    "candidates only; embarrassingly doc-parallel — no stage keys "
+    "broader than (doc_id, window).",
+)
+def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import intradoc_duplicate_spans
+
+    return intradoc_duplicate_spans(
+        _docs(spark, sf_dir), min_len=INTRA_L, hash_prune=True, keep="first"
+    )
+
+
+@register(
+    "dedup_intradoc_cut",
+    oracle=_INTRA_CTES + """,
+    cov AS (
+      SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS idx
+      FROM ispans
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx, toks FROM tt
+    ),
+    tok2 AS (SELECT doc_id, idx, toks[idx] AS tok FROM tok),
+    kept AS (SELECT tok2.* FROM tok2 ANTI JOIN cov USING (doc_id, idx)),
+    clean AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tt.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_cut,
+           COALESCE(clean_text, '') AS clean_text
+    FROM tt LEFT JOIN clean USING (doc_id)
+    """,
+    survey="X30",
+    doc="APPLY step for intra-document repetition removal: tokens "
+    "covered by a within-doc duplicated span are cut, keeping the "
+    "earliest occurrence per repeated window; emits the full cleaned "
+    "corpus (doc_id, n_tokens, n_cut, clean_text), clean_text "
+    "value-hash-checked verbatim — dense per-document output, so the "
+    "oracle exercises corpus reassembly even where self-repeats are "
+    "sparse. Shares the cut kernel with the X29 tier: span explode + "
+    "token posexplode + (doc_id, idx) anti-join + doc-bounded "
+    "reassembly, every shuffle doc_id-keyed.",
+)
+def dedup_intradoc_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import intradoc_cut_corpus
+
+    return intradoc_cut_corpus(_docs(spark, sf_dir), min_len=INTRA_L)
+
+
 def _cut_pass_ctes(src: str, pfx: str, keep: str = "all") -> str:
     """One substring-cut pass as a CTE chain: relation ``src`` (doc_id,
     text) → ``{pfx}clean`` (doc_id, text with every token covered by a
@@ -585,6 +702,67 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_train_merges
 
     return bpe_train_merges(_docs(spark, sf_dir), n_merges=BPE_TRAIN_K)
+
+
+def _bpe_encode_cte(i: int) -> str:
+    """One merge rule applied to the per-document word sequences —
+    ``e{i-1}`` × the 1-row argmax ``t{i}`` (shared with the trainer CTE
+    chain) → ``e{i}``.  Same underscore-wrapped replace as the trainer's
+    ``s{i}`` pass, carried per (doc_id, word occurrence) instead of per
+    vocabulary entry."""
+    return f"""
+    e{i} AS (
+      SELECT doc_id, nc,
+             replace(seq, '_' || x || '__' || y || '_',
+                     '_' || x || y || '_') AS seq
+      FROM e{i - 1} CROSS JOIN t{i}
+    )"""
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, COUNT(*) AS n FROM words
+      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ),
+    s0 AS (SELECT {_DUCK_SEQ} AS seq, n FROM wc),
+    {",".join(_bpe_pass_ctes(i) for i in range(1, BPE_TRAIN_K + 1))},
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      )
+      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+    ),
+    e0 AS (SELECT doc_id, length(w) AS nc, {_DUCK_SEQ} AS seq FROM docw),
+    {",".join(_bpe_encode_cte(i) for i in range(1, BPE_TRAIN_K + 1))}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(trim(seq, '_'), '__'))) AS BIGINT)
+             AS n_tokens
+    FROM e{BPE_TRAIN_K} GROUP BY doc_id
+    """,
+    survey="X4",
+    doc=f"The APPLY half of the tokenizer tier: encode every document "
+    f"with the k={BPE_TRAIN_K} merge table bpe_train_merges learns, "
+    "emitting per-doc (n_words, n_chars, n_tokens) — n_chars/n_tokens "
+    "is the compression ratio tokenizer training maximizes. The merge "
+    "table is collected once (bounded: k rules, the driver-sized "
+    "training artifact) and unrolled into ONE nested-replace projection, "
+    "so encoding is a narrow map in whole-stage codegen — no join, no "
+    "vocabulary shuffle; the only shuffle is the map-side-combining "
+    "per-doc aggregate. The oracle re-trains the identical merge chain "
+    "as CTEs and re-applies it per word occurrence.",
+)
+def bpe_encode_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_encode_tokens
+
+    return bpe_encode_tokens(_docs(spark, sf_dir), n_merges=BPE_TRAIN_K)
 
 
 @register(

@@ -94,3 +94,83 @@ def test_trainer_rejects_bad_k(spark):
     docs = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_merges(docs, n_merges=0)
+
+
+# --- bpe_encode_tokens (the apply half) ---
+
+
+def _apply_merges(word: str, rules: list[tuple[str, str]]) -> int:
+    """Symbol count of ``word`` after applying ``rules`` in order,
+    greedy left-to-right non-overlapping (the trainer's semantics)."""
+    syms = list(word)
+    for x, y in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_encoder_matches_reference_on_fixture(spark, sf_dir):
+    import re
+
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_tokens
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    k = 6
+    rules = [
+        (x, y) for _, x, y, _ in _reference_bpe(_vocab_of(docs), k)
+    ]
+    want: dict[int, tuple[int, int, int]] = {}
+    for r in docs.select("doc_id", "text").collect():
+        nw = nc = nt = 0
+        for w in r["text"].split(" "):
+            if len(w) >= 2 and re.fullmatch(r"[a-z]+", w):
+                nw += 1
+                nc += len(w)
+                nt += _apply_merges(w, rules)
+        if nw:
+            want[r["doc_id"]] = (nw, nc, nt)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in bpe_encode_tokens(docs, n_merges=k).collect()
+    }
+    assert got == want
+
+
+def test_encoder_empty_merges_is_char_count(spark):
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma x Delta7 delta")], ["doc_id", "text"]
+    )
+    empty = bpe_train_merges(docs, n_merges=1).filter("step < 1")
+    rows = {r["doc_id"]: r for r in bpe_encode_tokens(docs, merges=empty).collect()}
+    # no rules -> every character its own symbol; non-trainable words
+    # ('x', 'Delta7') are excluded from all three counts
+    assert rows[0]["n_tokens"] == rows[0]["n_chars"] == 9
+    assert rows[1]["n_words"] == 2 and rows[1]["n_tokens"] == 10
+
+
+def test_encoder_tokens_monotone_in_k(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_tokens
+
+    docs = load_fixture(spark, sf_dir, "documents").limit(50)
+    t2 = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_tokens(docs, n_merges=2).collect()
+    }
+    t6 = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_tokens(docs, n_merges=6).collect()
+    }
+    assert set(t2) == set(t6)
+    assert all(t6[d] <= t2[d] for d in t2)

@@ -90,3 +90,62 @@ def test_mixture_sample_unlisted_sources_kept_whole(spark, sf_dir):
     assert kept.filter(F.col("source") == "src0").count() == 0
     others = docs.filter(F.col("source") != "src0")
     assert kept.count() == others.count()
+
+
+def test_budget_sample_caps_and_clamps(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.curation import (
+        budget_mixture_sample,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    budget = 4_000
+    kept = budget_mixture_sample(docs, stratum="lang", token_budget=budget)
+    got = {
+        r["lang"]: (r["n"], r["t"])
+        for r in kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_nt").alias("t"))
+        .collect()
+    }
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, total in totals.items():
+        if total <= budget:
+            # under budget -> clamped keep-whole: every doc survives
+            assert got[lang] == (n_by_lang[lang], total)
+        else:
+            # over budget -> realized tokens near the cap (fingerprint
+            # buckets are ~uniform; fixture-scale binomial slack)
+            assert got[lang][1] <= budget * 1.5
+            assert got[lang][1] >= budget * 0.5
+            assert got[lang][0] < n_by_lang[lang]
+
+
+def test_budget_sample_deterministic_under_repartition(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.curation import (
+        budget_mixture_sample,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]
+        for r in budget_mixture_sample(docs, token_budget=4000)
+        .select("doc_id")
+        .collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in budget_mixture_sample(
+            docs.repartition(7, "source"), token_budget=4000
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and a

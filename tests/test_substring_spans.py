@@ -402,3 +402,76 @@ def test_verify_requires_digest_index(spark):
     idx = substring_gram_index(_mkdocs(spark, ["a b c"]), min_len=2)
     with pytest.raises(ValueError, match="digest=True"):
         exact_substring_spans_incremental(idx, _mkdocs(spark, ["a b"]), min_len=2, verify=True)
+
+
+# --- intradoc_duplicate_spans / intradoc_cut_corpus (the X30 tier) ---
+
+
+def test_intradoc_planted_repeat_extents(spark):
+    from spotify_etl_pipeline_spark.operators.text import (
+        intradoc_duplicate_spans,
+    )
+
+    # R (10 tokens) appears twice INSIDE doc 0, nowhere else
+    rep = " ".join(f"r{i}" for i in range(1, 11))
+    docs = _mkdocs(
+        spark,
+        [
+            "u1 u2 u3 u4 u5 " + rep + " v1 v2 v3 v4 v5 " + rep + " w1 w2",
+            "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12",
+        ],
+    )
+    # keep="first": only the SECOND occurrence (pos 21..30) is cut-listed
+    assert _spans(intradoc_duplicate_spans(docs, min_len=10)) == {(0, 21, 10)}
+    # keep="all": both occurrences, two islands (gap 15 > L)
+    assert _spans(
+        intradoc_duplicate_spans(docs, min_len=10, keep="all")
+    ) == {(0, 6, 10), (0, 21, 10)}
+
+
+def test_intradoc_blind_to_cross_doc_duplicates(spark):
+    from spotify_etl_pipeline_spark.operators.text import (
+        intradoc_duplicate_spans,
+    )
+
+    shared = " ".join(f"d{i}" for i in range(1, 13))
+    docs = _mkdocs(spark, [shared + " a1 a2", shared + " b1 b2"])
+    # duplicated ACROSS docs but never within one -> intra-doc sees nothing
+    assert _spans(intradoc_duplicate_spans(docs, min_len=10)) == set()
+
+
+def test_intradoc_run_collapses_to_first_window(spark):
+    from spotify_etl_pipeline_spark.operators.text import (
+        intradoc_cut_corpus,
+        intradoc_duplicate_spans,
+    )
+
+    docs = _mkdocs(spark, [" ".join(["x"] * 30)])
+    # all 27 windows of L=4 are identical; keep-first exempts p=1 so the
+    # covered run is positions 2..30 -> one span, and the cut collapses
+    # the whole repetition to its first window's surviving token prefix
+    assert _spans(intradoc_duplicate_spans(docs, min_len=4)) == {(0, 2, 29)}
+    row = intradoc_cut_corpus(docs, min_len=4).collect()[0]
+    assert (row["n_tokens"], row["n_cut"], row["clean_text"]) == (30, 29, "x")
+
+
+def test_intradoc_hash_prune_equals_string_path(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.text import (
+        intradoc_duplicate_spans,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    a = _spans(intradoc_duplicate_spans(docs, min_len=4, hash_prune=True))
+    b = _spans(intradoc_duplicate_spans(docs, min_len=4, hash_prune=False))
+    assert a == b
+
+
+def test_intradoc_cut_keep_all_removes_every_copy(spark):
+    from spotify_etl_pipeline_spark.operators.text import intradoc_cut_corpus
+
+    rep = " ".join(f"r{i}" for i in range(1, 6))  # 5 tokens
+    docs = _mkdocs(spark, ["a1 " + rep + " b1 " + rep + " c1"])
+    row = intradoc_cut_corpus(docs, min_len=5, keep="all").collect()[0]
+    assert (row["n_cut"], row["clean_text"]) == (10, "a1 b1 c1")
+    row = intradoc_cut_corpus(docs, min_len=5, keep="first").collect()[0]
+    assert row["clean_text"] == "a1 " + rep + " b1 c1"
