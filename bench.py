@@ -118,6 +118,10 @@ HEADLINE = [
     # fixpoint entry above already embeds that shape)
     "bpe_encode_corpus",
     "dedup_intradoc_cut",
+    # the residual-encoded IVFADC: pairs with knn_ivfadc_topk above to
+    # record the cost of per-(query, probed-cell) LUTs + the encode-time
+    # reference-subtraction join vs the shared-LUT raw variant
+    "knn_ivfadc_residual_topk",
 ]
 
 

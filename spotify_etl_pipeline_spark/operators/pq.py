@@ -490,6 +490,150 @@ def pq_ivfadc_topk(
     return _exact_rerank(short, corpus, queries, k, id_col)
 
 
+def cluster_reference_vectors(
+    corpus: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    mode: str = "pinned",
+) -> DataFrame:
+    """(cluster, cv): one reference vector per coarse cell — the value
+    residual encoding subtracts.  ``mode="pinned"`` takes each cell's
+    lowest-``id_col`` member vector (a data row: bit-reproducible on an
+    external SQL engine, the coarse-quantizer analogue of
+    ``pq_fit(max_iter=0)``); ``mode="mean"`` takes the float per-cell
+    mean (the quality choice; summation-order-dependent, so rows-only).
+    One partial-agg groupBy over the corpus, C output rows — always a
+    broadcast side."""
+    d = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    if mode == "pinned":
+        return d.groupBy("cluster").agg(F.min_by("v", id_col).alias("cv"))
+    if mode == "mean":
+        from .similarity import cluster_centroids
+
+        return cluster_centroids(corpus, cluster_col).select(
+            "cluster", F.col("centroid").alias("cv")
+        )
+    raise ValueError(f'mode must be "pinned" or "mean", got {mode!r}')
+
+
+def pq_ivfadc_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    shortlist: int = 50,
+    n_probe: int = 3,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    coarse_mode: str = "pinned",
+    books_max_iter: int = 0,
+    int_units: bool = True,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the composition as Jégou et al.
+    2011 §IV.A actually publish it (and as Faiss ``IndexIVFPQ`` ships
+    it): PQ quantizes the residual r(x) = x − c(cell(x)) instead of x,
+    so the codebooks spend their 2^codebits only on what the coarse
+    quantizer failed to explain — residual variance is what is left
+    AFTER cell assignment, so quantization error drops at the same code
+    budget (reconstruction-error differential pinned in
+    tests/test_pq_residual.py).  :func:`pq_ivfadc_topk` is the
+    raw-vector variant kept for the shared-LUT optimization it enables
+    (ONE LUT per query); residual encoding needs one LUT per (query,
+    probed cell) — |Q|·n_probe·m·k broadcast rows instead of |Q|·m·k,
+    still KBs for any sane batch, and the heavy ADC stage is the
+    IDENTICAL fused broadcast-join + map-side partial aggregate over
+    cluster-restricted code rows (no extra shuffle vs the raw variant;
+    the only added corpus-side work is one broadcast join subtracting
+    the cell reference at encode time).
+
+    Determinism dials (all default ON — this operator's driver entry is
+    full value-hash): ``coarse_mode="pinned"`` cell references +
+    routing against lowest-id member vectors, ``books_max_iter=0``
+    init-only residual codebooks, ``int_units=True`` micro-unit integer
+    ADC.  The quality configuration (kmeans cells, ``coarse_mode=
+    "mean"``, trained books, float ADC) is exercised by the recall
+    differential test against the raw-vector variant.
+    """
+    from .similarity import ivf_probe_routing
+
+    cents = cluster_reference_vectors(corpus, cluster_col, id_col, coarse_mode)
+    d = corpus.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    resid = d.join(F.broadcast(cents), "cluster").select(
+        id_col,
+        "cluster",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
+    )
+    books = pq_fit(
+        resid, m=m, k=k_codes, id_col=id_col, max_iter=books_max_iter
+    )
+    codes = pq_encode(resid, books, id_col=id_col, keep_cols=("cluster",))
+    probes = ivf_probe_routing(
+        corpus, queries, n_probe, cluster_col, mode=coarse_mode
+    )
+    q = _as_double_vec(queries, id_col)
+    qres = (
+        probes.join(
+            q.select(F.col(id_col).alias("query_id"), "v"), "query_id"
+        )
+        .join(F.broadcast(cents), "cluster")
+        .select(
+            "query_id",
+            "cluster",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+        )
+    )
+    sub_d = len(books[0][0])
+    dists = _sub_dists_sql(
+        _books_literal_sql(books), f"slice(v, s * {sub_d} + 1, {sub_d})", "s"
+    )
+    lut = (
+        qres.select(
+            "query_id",
+            "cluster",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, {m - 1}), s -> {dists})")
+            ).alias("sub", "d2s"),
+        )
+        .select(
+            "query_id", "cluster", "sub", F.posexplode("d2s").alias("code", "d2")
+        )
+    )
+    if int_units:
+        lut = lut.select(
+            "query_id", "cluster", "sub", "code",
+            F.floor(F.col("d2") * 1_000_000).alias("d2"),
+        )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cluster",
+        F.posexplode("pq_codes").alias("sub", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["cluster", "sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, corpus, queries, k, id_col)
+
+
 #: Fixed-stage overhead of the IVFADC plan (coarse routing + probe-LUT
 #: pre-join + the rerank stage's smaller-but-extra jobs), expressed in the
 #: currency of the cost model: equivalent exhaustive-ADC candidate pairs.

@@ -411,6 +411,159 @@ def knn_pq_auto_forced_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivfadc_residual_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    repid AS (SELECT label, MIN(vec_id) AS rid FROM e GROUP BY label),
+    reps AS (
+      SELECT repid.label AS cluster, e.v AS cv
+      FROM repid JOIN e ON e.vec_id = repid.rid
+    ),
+    resid AS (
+      SELECT e.vec_id, e.label,
+             list_transform(list_zip(e.v, reps.cv), p -> p[1] - p[2]) AS rv
+      FROM e JOIN reps ON reps.cluster = e.label
+    ),
+    init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, rv
+      FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT UNNEST(range(4)) AS sub),
+    books AS (
+      SELECT subs.sub, init.code,
+             list_slice(init.rv, subs.sub * 16 + 1, subs.sub * 16 + 16) AS cw
+      FROM init CROSS JOIN subs
+    ),
+    vsub AS (
+      SELECT resid.vec_id, subs.sub,
+             list_slice(resid.rv, subs.sub * 16 + 1, subs.sub * 16 + 16)
+               AS sv
+      FROM resid CROSS JOIN subs
+    ),
+    rdists AS (
+      SELECT vsub.vec_id, vsub.sub, books.code,
+             list_sum(list_transform(list_zip(vsub.sv, books.cw),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2])))
+               AS d2
+      FROM vsub JOIN books ON vsub.sub = books.sub
+    ),
+    enc AS (
+      SELECT vec_id, sub, code
+      FROM (SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, code ASC) AS rn
+            FROM rdists)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    rt AS (
+      SELECT q.query_id, reps.cluster,
+             list_sum(list_transform(list_zip(q.qv, reps.cv),
+                                     p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(reps.cv, x -> x * x))))
+               AS c_cos
+      FROM q CROSS JOIN reps
+    ),
+    probes AS (
+      SELECT query_id, cluster
+      FROM (SELECT query_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c_cos DESC, cluster ASC)
+                       AS crank
+            FROM rt)
+      WHERE crank <= 3
+    ),
+    qres AS (
+      SELECT probes.query_id, probes.cluster,
+             list_transform(list_zip(q.qv, reps.cv), p -> p[1] - p[2])
+               AS qrv
+      FROM probes
+      JOIN q USING (query_id)
+      JOIN reps ON reps.cluster = probes.cluster
+    ),
+    qsub AS (
+      SELECT query_id, cluster, subs.sub,
+             list_slice(qrv, subs.sub * 16 + 1, subs.sub * 16 + 16) AS sv
+      FROM qres CROSS JOIN subs
+    ),
+    lut AS (
+      SELECT qsub.query_id, qsub.cluster, qsub.sub, books.code,
+             CAST(FLOOR(list_sum(list_transform(list_zip(qsub.sv, books.cw),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000)
+                  AS BIGINT) AS d2u
+      FROM qsub JOIN books ON qsub.sub = books.sub
+    ),
+    encl AS (SELECT enc.vec_id, enc.sub, enc.code, e.label
+             FROM enc JOIN e USING (vec_id)),
+    adc AS (
+      SELECT lut.query_id, encl.vec_id AS neighbor_id,
+             CAST(SUM(lut.d2u) AS BIGINT) AS adc_u
+      FROM encl
+      JOIN lut ON lut.cluster = encl.label
+              AND encl.sub = lut.sub AND encl.code = lut.code
+      WHERE lut.query_id != encl.vec_id
+      GROUP BY lut.query_id, encl.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_u ASC, neighbor_id ASC)
+                       AS srank
+            FROM adc)
+      WHERE srank <= 50
+    ),
+    rer AS (
+      SELECT short.query_id, short.neighbor_id,
+             list_sum(list_transform(list_zip(qe.v, ce.v),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2])))
+               AS d2
+      FROM short
+      JOIN e qe ON qe.vec_id = short.query_id
+      JOIN e ce ON ce.vec_id = short.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM (SELECT query_id, neighbor_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2 ASC, neighbor_id ASC) AS rank
+          FROM rer)
+    WHERE rank <= 5
+    """,
+    survey="X3",
+    doc="IVFADC with RESIDUAL encoding — the composition as Jégou et "
+    "al. 2011 §IV.A publish it (Faiss IndexIVFPQ): PQ quantizes "
+    "r(x) = x − c(cell(x)), spending the code budget only on what the "
+    "coarse quantizer failed to explain (reconstruction-error "
+    "differential vs raw-vector PQ pinned in tests/test_pq_residual.py)."
+    " Residual encoding costs one LUT per (query, probed cell) instead "
+    "of per query — |Q|·n_probe·m·k broadcast rows, still KBs — and the "
+    "heavy ADC stage keeps the identical fused broadcast-join + "
+    "map-side partial aggregate over cluster-restricted code rows. "
+    "FULL value-hash from round-7 birth via the established pinned "
+    "dials (lowest-id cell references + routing, init-only residual "
+    "codebooks, integer-micro ADC); the quality path (kmeans cells, "
+    "mean references, trained books, float ADC) is recall-tested "
+    "against the raw-vector variant.",
+)
+def knn_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_ivfadc_residual_topk
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    return pq_ivfadc_residual_topk(
+        emb, queries, m=4, k_codes=16, k=5, shortlist=50, n_probe=3,
+        cluster_col="label", coarse_mode="pinned", books_max_iter=0,
+        int_units=True,
+    )
+
+
+@register(
     "knn_quantized_ivf",
     oracle=None,  # probe routing depends on float centroid means (engine
     # summation order) → rows-only; recall floor vs the exact quantized

@@ -191,6 +191,133 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_score_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document integer milli-score from the shared char-bigram LM
+    (text_lm_score's pipeline): (doc_id, lang, m) with
+    ``m = floor(avg_logp * 10000 + 0.5)`` — floor(x+0.5), not round()/
+    cast(), because IEEE mul/add are bit-identical across engines while
+    round-half rules and double→int casts are not (the repo-wide
+    quantization idiom)."""
+    sc = text_lm_score(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("avg_logp") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("m"),
+    )
+    lg = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select("doc_id", "lang")
+    )
+    return sc.join(lg, "doc_id")
+
+
+def lm_quality_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 3, approx: bool = False
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    split each language's documents into ``n_buckets`` equal tiers by LM
+    score (head = best-scoring) and report per-(lang, bucket) document
+    counts and summed integer milli-scores.
+
+    ``approx=False`` ranks with ``ntile`` over (score DESC, doc_id) —
+    exact equal division, fully deterministic (integer score + id
+    tie-break), and the oracle-checkable formulation; but a per-lang
+    NTILE window materializes one language's corpus in one task, so at
+    100 TB use ``approx=True``: two ``percentile_approx`` cutoffs per
+    language (one partial-agg pass), broadcast back as thresholds — the
+    corpus is never globally sorted and bucket sizes converge to the
+    exact tiers as the sketch tightens (tolerance-tested against the
+    exact mode, the approx_count_distinct convention).
+    """
+    scored = _lm_score_milli(spark, sf_dir)
+    if approx:
+        k = int(n_buckets)
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx(
+                "m", [i / k for i in range(1, k)], 10_000
+            ).alias("qs")
+        )
+        bucketed = scored.join(F.broadcast(cuts), "lang").select(
+            "lang",
+            "m",
+            # bucket 1 = head (highest scores): count cutoffs >= m,
+            # descending-quantile convention mirroring the ntile order
+            (
+                F.lit(k)
+                - F.aggregate(
+                    "qs",
+                    F.lit(0),
+                    lambda acc, q: acc
+                    + F.when(F.col("m") > q, F.lit(1)).otherwise(F.lit(0)),
+                )
+            ).alias("bucket"),
+        )
+    else:
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("m"), F.asc("doc_id")
+        )
+        bucketed = scored.select(
+            "lang", "m", F.ntile(int(n_buckets)).over(w).alias("bucket")
+        )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("sum_score_milli"),
+    ).select("lang", F.col("bucket").cast("long").alias("bucket"),
+             "n_docs", "sum_score_milli")
+
+
+@register(
+    "quality_lm_buckets",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([substring(t, CAST(x AS INTEGER), 2)
+                     for x in range(1, length(t))]) AS bg
+      FROM d
+    ),
+    lm AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM lm),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(ROUND(AVG(LN(lm.c / tot.tc)), 4) * 10000 + 0.5)
+                  AS BIGINT) AS m
+      FROM bg b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
+      GROUP BY b.doc_id
+    ),
+    lg AS (
+      SELECT doc_id, lang FROM documents WHERE length(text) >= 2
+    ),
+    rk AS (
+      SELECT lang, m,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY m DESC, doc_id)
+               AS bucket
+      FROM sc JOIN lg USING (doc_id)
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(m) AS BIGINT) AS sum_score_milli
+    FROM rk GROUP BY lang, bucket
+    """,
+    survey="X4,X10",
+    doc="CCNet-style per-language quality tiers (Wenzek et al. 2020): "
+    "each language's documents split into head/middle/tail thirds by "
+    "the shared char-bigram LM score, reported as per-(lang, bucket) "
+    "counts + summed integer milli-scores. Deterministic ntile over "
+    "(integer score DESC, doc_id) — all-integer output, no float "
+    "aggregates cross the engine boundary. The exact ntile is the "
+    "oracle formulation; the operator's approx=True mode (two "
+    "percentile_approx cutoffs broadcast per language, corpus never "
+    "globally sorted) is the 100 TB path, tolerance-tested against "
+    "this exact mode.",
+)
+def quality_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_quality_buckets(spark, sf_dir, n_buckets=3, approx=False)
+
+
 # --- correlation / covariance aggregates ------------------------------------
 @register(
     "lineitem_correlations",
