@@ -136,3 +136,66 @@ def budget_mixture_sample(
         .filter(bucket < F.col("_f"))
         .drop("_f")
     )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    stratum: str = "lang",
+    total_token_budget: int = 100_000,
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Temperature-based multilingual sampling at α = 0.5 (Conneau &
+    Lample 2019; the XLM-R recipe): a TOTAL token budget is divided
+    among strata proportionally to √T_s instead of T_s, so low-resource
+    languages are up-weighted relative to their raw share — kept tokens
+    per stratum ∝ √T_s, the flattening that keeps small languages from
+    vanishing under proportional sampling.
+
+    Exactly α = 0.5 and only α = 0.5: IEEE ``sqrt`` is a
+    correctly-rounded operation, so ``floor(sqrt(T) * 1000 + 0.5)`` is
+    the SAME BIGINT on any engine and the whole threshold derivation
+    stays in exact integer arithmetic (``pow(x, α)`` for general α is
+    not correctly rounded and would not oracle-check).  keep_s =
+    min(1, B·w_s / (Σw·T_s)) with w_s the quantized √T_s; the decision
+    predicate is the shared content fingerprint — deterministic, zero
+    RNG.  Same plan shape as :func:`budget_mixture_sample`: one
+    partial-agg totals pass, a 1-row Σw broadcast, a |strata|-row
+    threshold broadcast, per-row predicate — the corpus never shuffles.
+    BIGINT headroom note: the numerator gran·B·w_s overflows int64
+    around T_s ≈ 10^13 tokens per stratum at the default scales; past
+    that, compute the |strata| thresholds driver-side (they are C
+    scalars) or drop the w quantization scale.
+    """
+    tk = docs.withColumn("_nt", F.size(F.split("text", " ")).cast("long"))
+    w = (
+        tk.groupBy(stratum)
+        .agg(F.sum("_nt").alias("_T"))
+        .select(
+            stratum,
+            "_T",
+            F.floor(F.sqrt(F.col("_T").cast("double")) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    sw = w.agg(F.sum("_w").alias("_sw"))
+    thresholds = (
+        w.crossJoin(F.broadcast(sw))
+        .select(
+            stratum,
+            F.least(
+                F.lit(int(granularity)).cast("long"),
+                F.expr(
+                    f"CAST({int(granularity)} AS BIGINT) * "
+                    f"CAST({int(total_token_budget)} AS BIGINT) * _w "
+                    f"div (_sw * _T)"
+                ),
+            ).alias("_f"),
+        )
+    )
+    bucket = content_fingerprint() % granularity
+    return (
+        tk.join(F.broadcast(thresholds), stratum)
+        .filter(bucket < F.col("_f"))
+        .drop("_f")
+    )

@@ -146,6 +146,72 @@ def mixture_sample_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Total token budget for the temperature entry. 22000 against the
+#: sf0.01 fixture (~27k tokens, en ~11.8k) lands the strata in three
+#: regimes: en deeply downsampled (keep ~0.57), zh/es/fr near-1, de
+#: clamped whole — the same three-regime coverage as the per-stratum
+#: budget entry, but under the sqrt-share division.
+_TEMP_BUDGET = 22_000
+
+
+@register(
+    "mixture_sample_temperature",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, {fingerprint_sql()} AS h,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    tot AS (SELECT lang, SUM(nt) AS T FROM tk GROUP BY lang),
+    w AS (
+      SELECT lang, T,
+             CAST(FLOOR(sqrt(CAST(T AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+               AS wq
+      FROM tot
+    ),
+    sw AS (SELECT SUM(wq) AS swq FROM w),
+    fr AS (
+      SELECT lang,
+             LEAST(CAST(10000 AS BIGINT),
+                   (CAST(10000 AS BIGINT) * {_TEMP_BUDGET} * wq)
+                     // (swq * T)) AS f
+      FROM w CROSS JOIN sw
+    ),
+    kept AS (
+      SELECT tk.lang, nt FROM tk JOIN fr USING (lang) WHERE h % 10000 < f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+    FROM kept GROUP BY lang
+    """,
+    survey="X4,X1",
+    doc=f"Temperature-based multilingual sampling at alpha=0.5 (Conneau "
+    f"& Lample 2019, the XLM-R recipe): a TOTAL budget of {_TEMP_BUDGET} "
+    "tokens divided among languages proportionally to sqrt(T_s), "
+    "up-weighting low-resource strata — kept tokens per language "
+    "converge to the sqrt-share targets. Works as a full value-hash "
+    "oracle BECAUSE alpha=0.5: IEEE sqrt is correctly rounded, so the "
+    "quantized weights floor(sqrt(T)*1000+0.5) are the same BIGINT on "
+    "both engines and the whole threshold chain is exact integer "
+    "arithmetic (general pow() is not correctly rounded and would not "
+    "hash-check). Same never-shuffle-the-corpus plan as the budget "
+    "sampler: totals partial-agg, 1-row sum-of-weights broadcast, "
+    "|strata|-row threshold broadcast, fingerprint predicate.",
+)
+def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import temperature_mixture_sample
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(
+        docs, stratum="lang", total_token_budget=_TEMP_BUDGET
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("_nt").cast("long").alias("n_tokens_kept"),
+    )
+
+
 @register(
     "text_repetition_stats",
     oracle="""

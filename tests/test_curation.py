@@ -149,3 +149,54 @@ def test_budget_sample_deterministic_under_repartition(spark, sf_dir):
         .collect()
     }
     assert a == b and a
+
+
+def test_temperature_sample_flattens_toward_sqrt_shares(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    kept = temperature_mixture_sample(docs, total_token_budget=22_000)
+    got = {
+        r["lang"]: r["t"]
+        for r in kept.groupBy("lang").agg(F.sum("_nt").alias("t")).collect()
+    }
+    # keep FRACTION must be anti-monotone in stratum size: bigger
+    # languages are downsampled harder (kept tokens ~ sqrt share)
+    fracs = {lang: got[lang] / totals[lang] for lang in totals}
+    ordered = sorted(totals, key=totals.get)  # small -> large
+    assert fracs[ordered[0]] >= fracs[ordered[-1]]
+    big = ordered[-1]
+    assert fracs[big] < 0.8  # the dominant stratum is really downsampled
+    # and kept tokens never exceed the stratum itself
+    assert all(got[lang] <= totals[lang] for lang in totals)
+
+
+def test_temperature_sample_deterministic_under_repartition(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(docs, total_token_budget=22_000)
+        .select("doc_id")
+        .collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            docs.repartition(5, "lang"), total_token_budget=22_000
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and a
