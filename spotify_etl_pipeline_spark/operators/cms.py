@@ -1,0 +1,90 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005): the mergeable
+frequency sketch — point-queryable approximate counts in d·w fixed
+integers regardless of corpus size.
+
+Why it belongs in a 100 TB engine next to the membership sketch
+(operators/bloom.py) and the distinct sketch (HLL via
+approx_count_distinct): the CMS table is a pure SUM-mergeable aggregate,
+so it partial-aggregates map-side, merges across partitions / days /
+streams for free, and answers "how often did key k occur" without
+storing keys — the standard building block for frequency capping,
+heavy-hitter monitoring, and repeated-ngram tracking over streams too
+wide to groupBy exactly.
+
+Guarantee: estimates never undercount (every occurrence lands in all d
+counters it hashes to; collisions only ADD), and overcount is bounded by
+e·N/w with probability 1−e^−d.  Both halves are in-query assertions in
+the driver entry (`cms_heavy_hitters_check`).
+
+Hash family: the repo's cross-engine md5-slice bigint
+(queries/oracle_sql_helpers.MD5_SID_* — first 60 digest bits), row-salted
+with a ``i:`` prefix, bucketed by ``% w`` — bit-identical in DuckDB, so
+the whole sketch is value-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Spark-side md5-slice bigint (keep in sync with MD5_SID_SPARK in
+#: queries/oracle_sql_helpers.py — the cross-engine hash family).
+_SID = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _bucket_expr(row_col: str, key_sql: str, w: int) -> F.Column:
+    # explicit cast: ANSI mode (Spark 4 default) rejects implicit
+    # int→string coercion inside concat
+    return F.expr(
+        _SID.format(x=f"concat(cast({row_col} as string), ':', {key_sql})")
+        + f" % {int(w)}"
+    )
+
+
+def count_min_build(
+    items: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Build the sketch: (row, bucket, n) with d·w live cells at most.
+
+    One explode (×d, constant) + ONE groupBy(row, bucket) — the shuffle
+    carries at most d·w distinct keys after map-side partial aggregation
+    no matter how many input rows arrive, which is the sketch's entire
+    scale argument.  Merging sketches from two corpora/partitions/days
+    is ``unionByName`` + the same groupBy-SUM — no rescan.
+    """
+    exploded = items.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.array(*[F.lit(i) for i in range(int(d))])).alias("row"),
+    )
+    return (
+        exploded.select(
+            "row", _bucket_expr("row", "k", w).alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, candidates: DataFrame, key_col: str, d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: (key, cms_n) with
+    ``cms_n = min over the d salted rows`` — never below the true count.
+
+    The sketch is ≤ d·w rows by construction, so it BROADCASTS and the
+    candidate side never shuffles for the lookup; the only shuffle is
+    the d-row min-fold per candidate, keyed on the candidate itself.
+    """
+    probes = candidates.select(
+        F.col(key_col).cast("string").alias("k")
+    ).select(
+        "k",
+        F.explode(F.array(*[F.lit(i) for i in range(int(d))])).alias("row"),
+    ).select("k", "row", _bucket_expr("row", "k", w).alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("cms_n"))
+        .select(F.col("k").alias(key_col), "cms_n")
+    )

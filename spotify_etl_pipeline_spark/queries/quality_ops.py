@@ -182,6 +182,78 @@ def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-min geometry for cms_heavy_hitters_check: d=4 salted rows,
+#: w=1024 buckets — 4096 cells total; small enough that the sketch
+#: broadcasts, large enough that fixture word frequencies stay readable
+#: through collisions.
+CMS_D, CMS_W = 4, 1024
+
+
+@register(
+    "cms_heavy_hitters_check",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS k FROM documents
+    ),
+    rows_ AS (SELECT UNNEST(range({CMS_D})) AS row),
+    cells AS (
+      SELECT rows_.row,
+             (('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || words.k),
+                                 1, 15))::BIGINT) % {CMS_W} AS bucket
+      FROM words CROSS JOIN rows_
+    ),
+    cms AS (SELECT row, bucket, COUNT(*) AS n FROM cells GROUP BY row, bucket),
+    tc AS (SELECT k, COUNT(*) AS true_n FROM words GROUP BY k),
+    top AS (SELECT k, true_n FROM tc ORDER BY true_n DESC, k ASC LIMIT 20),
+    probes AS (
+      SELECT top.k, top.true_n, rows_.row,
+             (('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || top.k),
+                                 1, 15))::BIGINT) % {CMS_W} AS bucket
+      FROM top CROSS JOIN rows_
+    ),
+    est AS (
+      SELECT probes.k, probes.true_n, MIN(COALESCE(cms.n, 0)) AS cms_n
+      FROM probes LEFT JOIN cms USING (row, bucket)
+      GROUP BY probes.k, probes.true_n
+    )
+    SELECT k AS word, CAST(true_n AS BIGINT) AS true_n,
+           CAST(cms_n AS BIGINT) AS cms_n,
+           cms_n >= true_n AS over_ok
+    FROM est
+    """,
+    survey="X6",
+    doc="Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) "
+    f"— the mergeable FREQUENCY sketch completing the sketch tier "
+    f"(Bloom = membership, HLL = distinct, CMS = counts): d={CMS_D} "
+    f"salted md5 rows x w={CMS_W} buckets, built in ONE "
+    "groupBy(row, bucket) whose shuffle carries at most d*w keys after "
+    "map-side partial aggregation regardless of corpus size, merged "
+    "across partitions/days/streams by SUM. The entry point-queries the "
+    "top-20 true-frequency words and emits (word, true_n, cms_n, "
+    "over_ok): the no-undercount guarantee is oracle-asserted per row, "
+    "and the sketch table itself is bit-identical in DuckDB via the "
+    "shared md5-slice hash family — the estimate column is hash-checked "
+    "exactly, not just bounded.",
+)
+def cms_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cms import count_min_build, count_min_estimate
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    sketch = count_min_build(words, "w", d=CMS_D, w=CMS_W)
+    true_counts = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    top = true_counts.orderBy(F.desc("true_n"), F.asc("w")).limit(20)
+    est = count_min_estimate(sketch, top.select("w"), "w", d=CMS_D, w=CMS_W)
+    return top.join(est, "w").select(
+        F.col("w").alias("word"),
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") >= F.col("true_n")).alias("over_ok"),
+    )
+
+
 FUZZY_KEY_MAX = 500  # constant-size match set at every SF
 
 
