@@ -1,0 +1,72 @@
+"""Streaming count-min sketch maintenance — the online half of
+``operators.cms``.
+
+CMS is SUM-mergeable, which makes its streaming form trivial-by-design
+and exactly the reason the sketch exists: each micro-batch builds its
+OWN d×w sketch (one groupBy whose shuffle carries ≤ d·w keys whatever
+the batch size) and writes it epoch-partitioned; the serving sketch is
+the SUM over epochs — no per-key state store, no watermark, no
+shuffle-growing state, and a replayed epoch overwrites its own
+partition instead of double-counting (the epoch-keyed exactly-once
+scheme shared by dedup_index.py / decontam_stream.py / the gold-table
+writers).
+
+Merged-stream == whole-corpus-batch is asserted in tests both at the
+sketch-cell level and through point estimates, including after a forced
+epoch replay.
+
+At 100 TB / unbounded streams: per-trigger cost is O(batch) narrow work
++ a ≤ d·w-row write; the store grows by d·w rows per epoch and
+compaction is the same SUM (a maintenance job can fold history into one
+epoch at any time without changing any estimate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cms import count_min_build
+from ..schemas import DOCUMENTS_SCHEMA
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    checkpoint: str,
+    d: int = 4,
+    w: int = 1024,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the sketch-maintenance stream over current files: per
+    micro-batch, build the batch's word-frequency sketch and write it
+    under ``epoch=<n>``."""
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        words = batch.select(F.explode(F.split("text", " ")).alias("k"))
+        sketch = count_min_build(words, "k", d=d, w=w)
+        sketch.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
+
+    q = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_merged_sketch(spark: SparkSession, out_path: str) -> DataFrame:
+    """The serving sketch: SUM the epoch partitions cell-wise. Identical
+    schema to :func:`..operators.cms.count_min_build`, so
+    ``count_min_estimate`` works on it unchanged — and folding history
+    into fewer epochs (compaction) is this same aggregation."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

@@ -68,3 +68,55 @@ def test_cms_estimate_zero_for_absent_key(spark):
     # an absent key can only collide upward, but with 4 rows over 1024
     # buckets and 2 live keys the min row is empty -> exact zero
     assert got["never-seen"] == 0
+
+
+def test_cms_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
+    """Streamed per-epoch sketches summed cell-wise must equal the
+    whole-corpus batch sketch (SUM-mergeability through the actual
+    streaming machinery), and overwriting a replayed epoch must not
+    double-count."""
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        read_merged_sketch,
+        run_cms_stream,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    out = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    run_cms_stream(spark, src, out, ckpt, d=D, w=W, max_files_per_trigger=1)
+
+    merged = read_merged_sketch(spark, out)
+    words = docs.select(F.explode(F.split("text", " ")).alias("k"))
+    whole = count_min_build(words, "k", d=D, w=W)
+    as_set = lambda df: {  # noqa: E731
+        (r["row"], r["bucket"], r["n"]) for r in df.collect()
+    }
+    assert as_set(merged) == as_set(whole)
+
+    # forced replay: rewrite epoch 0 with identical content — the
+    # overwrite must leave the merged sketch unchanged (exactly-once).
+    # Materialize first (bounded: <= d*w rows) — Spark cannot lazily
+    # read the same files an overwrite is deleting.
+    epoch0_rows = spark.read.parquet(f"{out}/epoch=0").collect()
+    spark.createDataFrame(
+        epoch0_rows, "row: int, bucket: bigint, n: bigint"
+    ).write.mode("overwrite").parquet(f"{out}/epoch=0")
+    # drop the stale file-status cache for both the partition dir and
+    # the root listing (they are cached as separate paths)
+    spark.catalog.refreshByPath(out)
+    merged = read_merged_sketch(spark, out)  # pre-overwrite plan is stale
+    assert as_set(merged) == as_set(whole)
+
+    # and estimates through the merged sketch behave identically
+    probes = words.groupBy("k").count().orderBy(F.desc("count"), "k").limit(5)
+    est_m = {
+        r["k"]: r["cms_n"]
+        for r in count_min_estimate(merged, probes.select("k"), "k", D, W).collect()
+    }
+    est_w = {
+        r["k"]: r["cms_n"]
+        for r in count_min_estimate(whole, probes.select("k"), "k", D, W).collect()
+    }
+    assert est_m == est_w and est_m
