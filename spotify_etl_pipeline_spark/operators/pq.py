@@ -533,6 +533,7 @@ def pq_ivfadc_residual_topk(
     coarse_mode: str = "pinned",
     books_max_iter: int = 0,
     int_units: bool = True,
+    materialize_index: bool = True,
 ) -> DataFrame:
     """IVFADC with RESIDUAL encoding — the composition as Jégou et al.
     2011 §IV.A actually publish it (and as Faiss ``IndexIVFPQ`` ships
@@ -576,6 +577,17 @@ def pq_ivfadc_residual_topk(
         resid, m=m, k=k_codes, id_col=id_col, max_iter=books_max_iter
     )
     codes = pq_encode(resid, books, id_col=id_col, keep_cols=("cluster",))
+    if materialize_index:
+        # The encoded index IS the stored artifact (in production it is
+        # written once and served many times — the raw variant's entries
+        # persist it for the same reason). Leaving it lazy lets the
+        # search DAG's several jobs (broadcast builds, AQE stages, the
+        # rerank branch) re-evaluate the join+encode lineage repeatedly:
+        # measured 61.7 s → ~18 s at the 200 K-vector tile with this
+        # eager localCheckpoint (SCALE.md §Round-7). localCheckpoint,
+        # not persist: nothing left registered in the cache manager
+        # (the iterative-operator hygiene convention).
+        codes = codes.localCheckpoint(eager=True)
     probes = ivf_probe_routing(
         corpus, queries, n_probe, cluster_col, mode=coarse_mode
     )

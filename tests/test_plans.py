@@ -34,6 +34,7 @@ PAIRWISE_OK = {
     "knn_quantized_ivf",  # k-row centroid crossJoin for probe routing
     "knn_ivfadc_topk",  # same k-row centroid crossJoin (ivf_probe_routing)
     "knn_pq_auto_forced_ivfadc",  # same routing crossJoin, pinned reps
+    "knn_ivfadc_residual_topk",  # same routing crossJoin + C-row reference attach
     "knn_ivf_recall",  # embeds brute_force_topk (the recall reference)
     "knn_pq_recall",  # embeds brute_force_l2_topk (the recall reference)
     "knn_ivfadc_recall",  # embeds brute_force_l2_topk (the recall reference)
@@ -55,6 +56,8 @@ SCALAR_ATTACH_OK = {
     "lang_source_chi2",  # margin-sized grid cross (|langs|×|sources|) + 1-row attaches
     "hll_sketch_merge_check",  # 1-row merged estimate × 1-row exact count
     "knn_brute_force_arrow_agree",  # 1-row hit count × 1-row exact totals
+    "quality_lm_buckets",  # 1-row LM total-count attach (text_lm_score inside)
+    "mixture_sample_temperature",  # 1-row sum-of-weights attach (broadcast)
 }
 
 
