@@ -122,6 +122,10 @@ HEADLINE = [
     # record the cost of per-(query, probed-cell) LUTs + the encode-time
     # reference-subtraction join vs the shared-LUT raw variant
     "knn_ivfadc_residual_topk",
+    # the round-7 composed capstone (intra-doc cut → quality tiers →
+    # temperature mix): a regression in any stage's shuffle shape or the
+    # checkpoint boundary moves BENCH here
+    "corpus_curation_quality_mix",
 ]
 
 

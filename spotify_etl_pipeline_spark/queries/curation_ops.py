@@ -408,3 +408,150 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     return bloom_contamination(corpus, bench, n=DECONTAM_N)
+
+
+#: Total token budget for the curation-quality-mix capstone's final
+#: temperature stage, sized against the post-cut post-quality survivor
+#: mass at sf0.01 so the sqrt-share division leaves some languages
+#: downsampled and some near-or-at clamp.
+_QMIX_BUDGET = 15_000
+
+
+def _qmix_oracle() -> str:
+    """Assembled capstone oracle: the intra-doc cut CTE prefix (shared
+    verbatim with the X30 entries, substring_ops._INTRA_CTES) + cleaned
+    corpus reassembly + the LM/ntile tier + the temperature stage —
+    each fragment the same SQL its standalone entry hash-checks."""
+    from .substring_ops import _INTRA_CTES
+
+    return _INTRA_CTES + f""",
+    cov AS (
+      SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS idx
+      FROM ispans
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx, toks FROM tt
+    ),
+    tok2 AS (SELECT doc_id, idx, toks[idx] AS tok FROM tok),
+    kept0 AS (SELECT tok2.* FROM tok2 ANTI JOIN cov USING (doc_id, idx)),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+      FROM kept0 GROUP BY doc_id
+    ),
+    cdocs AS (
+      SELECT tt.doc_id, d.lang, COALESCE(clean.clean_text, '') AS text
+      FROM tt JOIN documents d USING (doc_id)
+      LEFT JOIN clean USING (doc_id)
+    ),
+    ld AS (
+      SELECT doc_id, lang, lower(text) AS t FROM cdocs WHERE length(text) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([substring(t, CAST(x AS INTEGER), 2)
+                     for x in range(1, length(t))]) AS bg
+      FROM ld
+    ),
+    lm AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM lm),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(ROUND(AVG(LN(lm.c / tot.tc)), 4) * 10000 + 0.5)
+                  AS BIGINT) AS m
+      FROM bg b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
+      GROUP BY b.doc_id
+    ),
+    rk AS (
+      SELECT ld.doc_id,
+             NTILE(3) OVER (PARTITION BY ld.lang
+                            ORDER BY sc.m DESC, ld.doc_id) AS b
+      FROM sc JOIN ld USING (doc_id)
+    ),
+    surv AS (
+      SELECT cdocs.doc_id, cdocs.lang, cdocs.text
+      FROM cdocs JOIN rk USING (doc_id) WHERE rk.b <= 2
+    ),
+    stk AS (
+      SELECT lang, {fingerprint_sql()} AS h,
+             len(string_split(text, ' ')) AS nt
+      FROM surv
+    ),
+    stot AS (SELECT lang, SUM(nt) AS T FROM stk GROUP BY lang),
+    sw_ AS (
+      SELECT lang, T,
+             CAST(FLOOR(sqrt(CAST(T AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+               AS wq
+      FROM stot
+    ),
+    ssw AS (SELECT SUM(wq) AS swq FROM sw_),
+    sfr AS (
+      SELECT lang,
+             LEAST(CAST(10000 AS BIGINT),
+                   (CAST(10000 AS BIGINT) * {_QMIX_BUDGET} * wq)
+                     // (swq * T)) AS f
+      FROM sw_ CROSS JOIN ssw
+    ),
+    skept AS (
+      SELECT stk.lang, nt FROM stk JOIN sfr USING (lang) WHERE h % 10000 < f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+    FROM skept GROUP BY lang
+    """
+
+
+@register(
+    "corpus_curation_quality_mix",
+    oracle=_qmix_oracle(),
+    survey="X30,X10,X4,X1",
+    doc="The modern pretraining curation chain as ONE composed plan "
+    "(RefinedWeb/CCNet stage order): intra-document repetition cut "
+    "(keep-first, L=4) → char-bigram LM quality tiers computed on the "
+    "CLEANED text with the tail third dropped per language → "
+    f"temperature mixing at alpha=0.5 to a {_QMIX_BUDGET}-token total "
+    "budget over the survivors — reporting per-language kept "
+    "docs/tokens. Every stage reuses the individually-oracle-checked "
+    "operator (shared CTE fragments, the corpus_curation convention), "
+    "so the capstone pins the COMPOSITION: the LM trains on cleaned "
+    "text, the tiers rank cleaned scores, the mixture thresholds and "
+    "fingerprints derive from cleaned survivors. Scale shape is the "
+    "union of its parts: doc-bounded cut shuffles, one vocabulary-sized "
+    "LM fit, per-lang ntile (approx-cutoff mode is the 100 TB swap-in), "
+    "broadcast mixture thresholds — the corpus never joins itself.",
+)
+def corpus_curation_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.curation import temperature_mixture_sample
+    from ..operators.text import intradoc_cut_corpus
+    from .stats_ops import lm_score_milli
+    from .substring_ops import INTRA_L
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    cleaned = (
+        intradoc_cut_corpus(docs, min_len=INTRA_L)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        # the cleaned corpus is read by FOUR downstream consumers (LM
+        # fit, LM scoring, the survivor join, mixture totals) — eager
+        # localCheckpoint so the cut pipeline runs once, not per
+        # consumer (the stored-artifact lesson measured on the residual
+        # PQ index, SCALE.md §Round-7)
+        .localCheckpoint(eager=True)
+    )
+    scored = lm_score_milli(cleaned)  # (doc_id, m, lang) — cleaned text
+    w = Window.partitionBy("lang").orderBy(F.desc("m"), F.asc("doc_id"))
+    keep_ids = (
+        scored.select("doc_id", F.ntile(3).over(w).alias("b"))
+        .filter(F.col("b") <= 2)
+        .select("doc_id")
+    )
+    survivors = cleaned.join(keep_ids, "doc_id")
+    kept = temperature_mixture_sample(
+        survivors, stratum="lang", total_token_budget=_QMIX_BUDGET
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("_nt").cast("long").alias("n_tokens_kept"),
+    )

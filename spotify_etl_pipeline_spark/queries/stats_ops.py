@@ -167,9 +167,17 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-aggregation, both keyed and partial-agg friendly.",
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score_per_doc(_t(spark, sf_dir, "documents"))
+
+
+def lm_score_per_doc(src: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp) for any (doc_id, text) relation —
+    the char-bigram LM fit + score, factored out so compositions (the
+    curation capstones) can run it over CLEANED text rather than the
+    raw `documents` table.  Same plan as the entry above: one groupBy
+    to fit, alphabet²-row broadcast to score, per-doc re-aggregation."""
     docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.length("text") >= 2)
+        src.filter(F.length("text") >= 2)
         .select("doc_id", F.lower(F.col("text")).alias("t"))
     )
     bg = docs.select(
@@ -191,25 +199,25 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lm_score_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_score_milli(src: DataFrame) -> DataFrame:
     """Per-document integer milli-score from the shared char-bigram LM
-    (text_lm_score's pipeline): (doc_id, lang, m) with
+    over any (doc_id, lang, text) relation: (doc_id, lang, m) with
     ``m = floor(avg_logp * 10000 + 0.5)`` — floor(x+0.5), not round()/
     cast(), because IEEE mul/add are bit-identical across engines while
     round-half rules and double→int casts are not (the repo-wide
     quantization idiom)."""
-    sc = text_lm_score(spark, sf_dir).select(
+    sc = lm_score_per_doc(src).select(
         "doc_id",
         F.floor(F.col("avg_logp") * 10000 + F.lit(0.5))
         .cast("long")
         .alias("m"),
     )
-    lg = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.length("text") >= 2)
-        .select("doc_id", "lang")
-    )
+    lg = src.filter(F.length("text") >= 2).select("doc_id", "lang")
     return sc.join(lg, "doc_id")
+
+
+def _lm_score_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score_milli(_t(spark, sf_dir, "documents"))
 
 
 def lm_quality_buckets(

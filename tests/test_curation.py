@@ -200,3 +200,32 @@ def test_temperature_sample_deterministic_under_repartition(spark, sf_dir):
         .collect()
     }
     assert a == b and a
+
+
+def test_quality_mix_capstone_invariants(spark, sf_dir):
+    """The composed chain must respect its stages: output strata are the
+    input languages, kept tokens per language never exceed the cleaned
+    survivor mass, and the global kept total lands at-or-under the
+    temperature budget plus fingerprint-bucket slack."""
+    from spotify_etl_pipeline_spark.queries.curation_ops import (
+        _QMIX_BUDGET,
+        corpus_curation_quality_mix,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    out = {
+        r["lang"]: (r["n_docs_kept"], r["n_tokens_kept"])
+        for r in corpus_curation_quality_mix(spark, sf_dir).collect()
+    }
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(out) <= langs and out
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    for lang, (nd, nt) in out.items():
+        assert 0 < nt <= totals[lang]  # never more than the raw stratum
+    # binomial slack on the fingerprint buckets at fixture scale
+    assert sum(nt for _, nt in out.values()) <= _QMIX_BUDGET * 1.5
