@@ -65,3 +65,74 @@ def logistic_fit(
                 f"diverged (non-finite weight) — lower lr={lr} or scale features"
             )
     return w
+
+
+def power_iteration_top_component(
+    vectors: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_scale: int = 1_000_000,
+) -> list[float]:
+    """Dominant eigenvector of the (uncentered) second-moment matrix
+    X^T X by power iteration — the spectral primitive behind PCA
+    whitening, spectral hashing, and embedding-drift monitoring — run
+    so that EVERY step is bit-reproducible on an external SQL engine.
+
+    v_{t+1} ∝ X^T (X v_t), one distributed pass per iteration, never
+    materializing the d×d matrix.  The reproducibility problem is the
+    cross-ROW float sum (summation order is engine- and partition-
+    dependent); the fix is the repo's quantization idiom applied per
+    step: the corpus is floor-quantized once (xq = floor(x·q_scale),
+    BIGINT), each row's projection q_i = floor(Σ_j xq_ij·v_j) is a
+    per-row LEFT-TO-RIGHT fold (deterministic), and the d accumulators
+    w_j = Σ_i q_i·xq_ij are EXACT integer sums — order-free.
+    Normalization (sqrt, divide) uses only correctly-rounded IEEE ops
+    on exactly-agreed integers, so the next v is the same doubles
+    everywhere.  The driver holds only v (d floats) and w (d integers)
+    — the kmeans/logistic convention; iterations × one scan.
+
+    Quantization error is ~1/q_scale per step and cannot accumulate
+    (power iteration is self-correcting).  BIGINT headroom: |w_j| ≲
+    n·q²·|x|²/q_scale... in practice n·q_scale·|x·v|·|x| — drop
+    ``q_scale`` to 10³ beyond ~10⁸ rows.  Uncentered on purpose:
+    the mean would be a float AVG (order-dependent); callers wanting
+    centered PCA pre-subtract an integer-quantized mean.
+
+    Init is e_1 (deterministic); raises if the corpus is numerically
+    orthogonal to it.  Returns the unit component as plain floats.
+    """
+    d_row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not d_row:
+        raise ValueError("power_iteration_top_component: empty input")
+    d = int(d_row[0]["d"])
+    xq = vectors.select(
+        F.col(id_col),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * q_scale)
+        ).alias("xq"),
+    )
+    v = [1.0] + [0.0] * (d - 1)
+    for _ in range(int(n_iter)):
+        v_arr = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("xq"), v_arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        q = F.floor(s).cast("long")
+        w_rows = (
+            xq.select(q.alias("q"), "xq")
+            .select("q", F.posexplode("xq").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("q") * F.col("x")).alias("w"))
+            .collect()  # bounded: d rows — the kmeans convention
+        )
+        w = [0] * d
+        for r in w_rows:
+            w[r["dim"]] = int(r["w"])
+        norm = math.sqrt(float(sum(wj * wj for wj in w)))
+        if norm == 0.0:
+            raise ValueError("power iteration collapsed to the zero vector")
+        v = [float(wj) / norm for wj in w]
+    return v

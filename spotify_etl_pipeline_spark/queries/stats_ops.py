@@ -1075,3 +1075,85 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("s", 1).cast("bigint").alias("level_cents"),
         F.element_at("s", 2).cast("bigint").alias("trend_cents"),
     )
+
+
+# --- spectral: exact cross-engine power iteration ---------------------------
+PI_ITERS = 3
+PI_D = 64  # embeddings fixture dimensionality
+PI_Q = 1_000_000
+
+
+def _pi_pass_ctes(i: int) -> str:
+    """One power-iteration step as CTEs: per-row quantized projection
+    ``p{i}`` (LEFT-TO-RIGHT list fold — deterministic), exact-integer
+    accumulators ``w{i}``, norm ``n{i}``, next unit vector ``v{i}`` —
+    every float op correctly rounded over exactly-agreed integers, so
+    the chain reproduces operators/ml.py::power_iteration_top_component
+    bit-for-bit (see its docstring for the argument)."""
+    return f"""
+    p{i} AS (
+      SELECT vec_id, xq,
+             CAST(FLOOR(list_sum(list_transform(list_zip(xq, v{i - 1}.v),
+                        p -> CAST(p[1] AS DOUBLE) * p[2]))) AS BIGINT) AS q
+      FROM base CROSS JOIN v{i - 1}
+    ),
+    w{i} AS (
+      SELECT dims.dim,
+             SUM(CAST(p{i}.q AS HUGEINT) * p{i}.xq[dims.dim + 1]) AS w
+      FROM p{i} CROSS JOIN dims GROUP BY dims.dim
+    ),
+    n{i} AS (SELECT SQRT(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w{i}),
+    v{i} AS (
+      SELECT list(CAST(w AS DOUBLE) / n{i}.nrm ORDER BY dim) AS v
+      FROM w{i} CROSS JOIN n{i}
+    )"""
+
+
+@register(
+    "embedding_top_component",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * {PI_Q}) AS BIGINT))
+               AS xq
+      FROM embeddings
+    ),
+    dims AS (SELECT UNNEST(range({PI_D})) AS dim),
+    v0 AS (
+      SELECT list_prepend(CAST(1.0 AS DOUBLE),
+                 list_transform(range({PI_D - 1}),
+                                i -> CAST(0.0 AS DOUBLE))) AS v
+    ),
+    {",".join(_pi_pass_ctes(i) for i in range(1, PI_ITERS + 1))}
+    SELECT dims.dim AS dim,
+           CAST(FLOOR(v{PI_ITERS}.v[dims.dim + 1] * 1000000 + 0.5)
+                AS BIGINT) AS comp_micro
+    FROM v{PI_ITERS} CROSS JOIN dims
+    """,
+    survey="X12,X3",
+    doc=f"Dominant eigenvector of the embedding second-moment matrix by "
+    f"{PI_ITERS}-step power iteration — the spectral primitive behind "
+    "PCA whitening / spectral hashing / drift monitoring — with EVERY "
+    "step bit-reproducible cross-engine: the corpus is floor-quantized "
+    "once, each row's projection is a deterministic left-to-right fold "
+    "then floor-quantized, the d accumulators are EXACT integer sums "
+    "(order-free — the cross-row float-sum trap is engineered out), "
+    "and normalization uses only correctly-rounded IEEE ops on "
+    "exactly-agreed integers. One scan per iteration; the driver holds "
+    "d floats (the kmeans convention); oracle unrolls the identical "
+    "chain as CTEs. Emits (dim, comp_micro), the unit component in "
+    "integer micro-units.",
+)
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.ml import power_iteration_top_component
+    from ..schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    comp = power_iteration_top_component(emb, n_iter=PI_ITERS, q_scale=PI_Q)
+    return spark.createDataFrame(
+        [(j, math.floor(c * 1_000_000 + 0.5)) for j, c in enumerate(comp)],
+        "dim: bigint, comp_micro: bigint",
+    )

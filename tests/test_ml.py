@@ -35,3 +35,72 @@ def test_balanced_symmetric_data_keeps_zero_bias(spark):
     w = logistic_fit(df, ["x1"], "y", iterations=5, lr=0.5)
     assert abs(w[0]) < 1e-12
     assert w[1] > 0
+
+
+def test_power_iteration_approximates_numpy_top_eigvec(spark, sf_dir):
+    """The quantized power iteration must land on the true dominant
+    eigenvector of X^T X: Rayleigh quotient within a whisker of numpy's
+    top eigenvalue, despite the per-step integer quantization."""
+    import numpy as np
+
+    from spotify_etl_pipeline_spark.operators.ml import (
+        power_iteration_top_component,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    # planted dominant direction (big eigengap -> fast convergence):
+    # 40 vectors near +/- u, 20 small-noise vectors elsewhere
+    d = 8
+    rows = []
+    for i in range(40):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        rows.append(
+            (i, [sign * 10.0 + (i % 5) / 10.0] + [(i % 3) / 10.0] * (d - 1))
+        )
+    for i in range(40, 60):
+        rows.append((i, [((i * 7 + j) % 5) / 10.0 for j in range(d)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    v = np.array(power_iteration_top_component(emb, n_iter=4))
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    M = X.T @ X
+    evals, evecs = np.linalg.eigh(M)
+    rayleigh = float(v @ M @ v)
+    assert rayleigh >= 0.999 * float(evals[-1])
+    assert abs(float(v @ evecs[:, -1])) >= 0.999  # aligned with the top eigvec
+    # and on the (near-isotropic) fixture spectrum it still climbs most
+    # of the way in a few steps
+    fx = load_fixture(spark, sf_dir, "embeddings")
+    vf = np.array(power_iteration_top_component(fx, n_iter=6))
+    Xf = np.array(
+        [r["embedding"] for r in fx.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Mf = Xf.T @ Xf
+    assert float(vf @ Mf @ vf) >= 0.85 * float(np.linalg.eigvalsh(Mf)[-1])
+
+
+def test_power_iteration_is_deterministic(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.ml import (
+        power_iteration_top_component,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    a = power_iteration_top_component(emb, n_iter=3)
+    b = power_iteration_top_component(
+        emb.repartition(7), n_iter=3
+    )  # partitioning must not change a single bit
+    assert a == b
+
+
+def test_power_iteration_guards(spark):
+    import pytest as _pytest
+
+    from spotify_etl_pipeline_spark.operators.ml import (
+        power_iteration_top_component,
+    )
+
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        power_iteration_top_component(empty)

@@ -58,6 +58,7 @@ SCALAR_ATTACH_OK = {
     "knn_brute_force_arrow_agree",  # 1-row hit count × 1-row exact totals
     "quality_lm_buckets",  # 1-row LM total-count attach (text_lm_score inside)
     "mixture_sample_temperature",  # 1-row sum-of-weights attach (broadcast)
+    "corpus_curation_quality_mix",  # both of the above inside the capstone
 }
 
 
