@@ -32,17 +32,27 @@ from pyspark.sql import functions as F
 _SID = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
-def _bucket_expr(row_col: str, key_sql: str, w: int) -> F.Column:
+def _bucket_expr(row_col: str, key_sql: str, w: int, hash_fn: str) -> F.Column:
     # explicit cast: ANSI mode (Spark 4 default) rejects implicit
     # int→string coercion inside concat
-    return F.expr(
-        _SID.format(x=f"concat(cast({row_col} as string), ':', {key_sql})")
-        + f" % {int(w)}"
-    )
+    salted = f"concat(cast({row_col} as string), ':', {key_sql})"
+    if hash_fn == "md5":
+        # cross-engine bigint (oracle-checkable) — ~1 µs/row: at 10⁸+
+        # occurrences the digest IS the build cost, so production runs
+        # use the xxhash64 dial below and keep md5 for audits
+        return F.expr(_SID.format(x=salted) + f" % {int(w)}")
+    if hash_fn == "xxhash64":
+        # JVM-native, an order of magnitude cheaper; same guarantees
+        # (the CMS bounds need pairwise-independent-ish hashing, not
+        # cryptographic) — not reproducible on an external SQL engine,
+        # which is the only reason it isn't the default here
+        return F.expr(f"pmod(xxhash64({salted}), {int(w)})")
+    raise ValueError(f'hash_fn must be "md5" or "xxhash64", got {hash_fn!r}')
 
 
 def count_min_build(
-    items: DataFrame, key_col: str, d: int = 4, w: int = 1024
+    items: DataFrame, key_col: str, d: int = 4, w: int = 1024,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Build the sketch: (row, bucket, n) with d·w live cells at most.
 
@@ -58,7 +68,7 @@ def count_min_build(
     )
     return (
         exploded.select(
-            "row", _bucket_expr("row", "k", w).alias("bucket")
+            "row", _bucket_expr("row", "k", w, hash_fn).alias("bucket")
         )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -67,7 +77,7 @@ def count_min_build(
 
 def count_min_estimate(
     sketch: DataFrame, candidates: DataFrame, key_col: str, d: int = 4,
-    w: int = 1024,
+    w: int = 1024, hash_fn: str = "md5",
 ) -> DataFrame:
     """Point-query the sketch for each candidate key: (key, cms_n) with
     ``cms_n = min over the d salted rows`` — never below the true count.
@@ -81,7 +91,7 @@ def count_min_estimate(
     ).select(
         "k",
         F.explode(F.array(*[F.lit(i) for i in range(int(d))])).alias("row"),
-    ).select("k", "row", _bucket_expr("row", "k", w).alias("bucket"))
+    ).select("k", "row", _bucket_expr("row", "k", w, hash_fn).alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("k")

@@ -116,6 +116,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_semdedup_clusters",
     "sql_recursive_order_chain",
+    # round-7 second half: the LM scoring core was factored to take any
+    # (doc_id, lang, text) relation (lm_score_per_doc) — same semantics,
+    # changed code, so the row re-verifies this sweep
+    "text_lm_score",
 )
 
 

@@ -221,7 +221,8 @@ def _lm_score_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lm_quality_buckets(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 3, approx: bool = False
+    spark: SparkSession, sf_dir: str, n_buckets: int = 3,
+    approx: bool = False, materialize_scores: bool = True,
 ) -> DataFrame:
     """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
     split each language's documents into ``n_buckets`` equal tiers by LM
@@ -239,6 +240,13 @@ def lm_quality_buckets(
     exact mode, the approx_count_distinct convention).
     """
     scored = _lm_score_milli(spark, sf_dir)
+    if materialize_scores:
+        # the per-doc score table is read by two consumers (the
+        # cutoff/ntile stage AND the bucket assignment join in approx
+        # mode) and is itself the artifact a production pipeline stores;
+        # left lazy, each consumer re-runs the full 2-pass bigram LM
+        # pipeline (the stored-artifact lesson, SCALE.md §Round-7)
+        scored = scored.localCheckpoint(eager=True)
     if approx:
         k = int(n_buckets)
         cuts = scored.groupBy("lang").agg(

@@ -120,3 +120,17 @@ def test_cms_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
         for r in count_min_estimate(whole, probes.select("k"), "k", D, W).collect()
     }
     assert est_m == est_w and est_m
+
+
+def test_cms_xxhash_dial_keeps_guarantees(spark, sf_dir):
+    """The production hash dial (xxhash64 — JVM-native, not
+    oracle-checkable) must keep both CMS guarantees."""
+    words = _words(spark, sf_dir)
+    n_total = words.count()
+    sk = count_min_build(words, "w", d=D, w=W, hash_fn="xxhash64")
+    tc = words.groupBy("w").agg(F.count(F.lit(1)).alias("tn"))
+    est = count_min_estimate(sk, tc.select("w"), "w", d=D, w=W,
+                             hash_fn="xxhash64")
+    slack = max(10, (3 * n_total) // W)
+    for r in tc.join(est, "w").collect():
+        assert r["tn"] <= r["cms_n"] <= r["tn"] + slack
