@@ -143,6 +143,7 @@ def temperature_mixture_sample(
     stratum: str = "lang",
     total_token_budget: int = 100_000,
     granularity: int = 10_000,
+    thresholds_mode: str = "plan",
 ) -> DataFrame:
     """Temperature-based multilingual sampling at α = 0.5 (Conneau &
     Lample 2019; the XLM-R recipe): a TOTAL token budget is divided
@@ -161,11 +162,24 @@ def temperature_mixture_sample(
     RNG.  Same plan shape as :func:`budget_mixture_sample`: one
     partial-agg totals pass, a 1-row Σw broadcast, a |strata|-row
     threshold broadcast, per-row predicate — the corpus never shuffles.
-    BIGINT headroom note: the numerator gran·B·w_s overflows int64
-    around T_s ≈ 10^13 tokens per stratum at the default scales; past
-    that, compute the |strata| thresholds driver-side (they are C
-    scalars) or drop the w quantization scale.
+
+    BIGINT headroom (r8, the audited axis): the numerator gran·B·w_s
+    overflows int64 around T_s ≈ 10^13 tokens per stratum at the
+    default scales.  ``thresholds_mode="plan"`` (default, the
+    oracle-checked arm) keeps the all-BIGINT in-plan arithmetic but
+    GUARDS both the numerator and the denominator — it raises a clear
+    error strictly before any wraparound (tested on an engineered
+    tile), never a wrong fraction.  ``thresholds_mode="driver"``
+    computes the |strata| thresholds driver-side in arbitrary-precision
+    Python ints from the same bounded totals collect (|strata| rows —
+    the kmeans-centroid convention) — bit-identical to plan mode in the
+    shared domain and exact at ANY magnitude; that is the 100 TB dial.
     """
+    if thresholds_mode not in ("plan", "driver"):
+        raise ValueError(
+            f"thresholds_mode must be 'plan' or 'driver', got {thresholds_mode!r}"
+        )
+    gran, budget = int(granularity), int(total_token_budget)
     tk = docs.withColumn("_nt", F.size(F.split("text", " ")).cast("long"))
     w = (
         tk.groupBy(stratum)
@@ -178,21 +192,53 @@ def temperature_mixture_sample(
             .alias("_w"),
         )
     )
-    sw = w.agg(F.sum("_w").alias("_sw"))
-    thresholds = (
-        w.crossJoin(F.broadcast(sw))
-        .select(
-            stratum,
-            F.least(
-                F.lit(int(granularity)).cast("long"),
-                F.expr(
-                    f"CAST({int(granularity)} AS BIGINT) * "
-                    f"CAST({int(total_token_budget)} AS BIGINT) * _w "
-                    f"div (_sw * _T)"
-                ),
-            ).alias("_f"),
+    if thresholds_mode == "driver":
+        # bounded collect: |strata| rows; Python ints never overflow,
+        # and floor division here is the same exact integer div
+        rows = w.collect()
+        sw_exact = sum(int(r["_w"]) for r in rows)
+        thresholds = docs.sparkSession.createDataFrame(
+            [
+                (
+                    r[stratum],
+                    min(gran, (gran * budget * int(r["_w"]))
+                        // (sw_exact * int(r["_T"]))),
+                )
+                for r in rows
+            ],
+            [stratum, "_f"],
         )
-    )
+    else:
+        # max _w such that gran*budget*_w fits int64; 0 when gran*budget
+        # alone exceeds it (then the guard always fires — correct)
+        max_w = (2**63 - 1) // (gran * budget)
+        overflow = F.raise_error(
+            F.lit(
+                "temperature_mixture_sample: BIGINT threshold arithmetic "
+                "would overflow (gran*budget*w or sum_w*T exceeds int64) — "
+                "use thresholds_mode='driver'"
+            )
+        )
+        guarded = F.when(
+            (F.col("_w") <= F.lit(max_w))
+            & (
+                F.col("_sw")
+                <= F.expr(f"CAST({2**63 - 1} AS BIGINT) div _T")
+            ),
+            F.expr(
+                f"CAST({gran} AS BIGINT) * "
+                f"CAST({budget} AS BIGINT) * _w "
+                f"div (_sw * _T)"
+            ),
+        ).otherwise(overflow)
+        sw = w.agg(F.sum("_w").alias("_sw"))
+        thresholds = (
+            w.crossJoin(F.broadcast(sw))
+            .select(
+                stratum,
+                F.least(F.lit(gran).cast("long"), guarded).alias("_f"),
+            )
+        )
     bucket = content_fingerprint() % granularity
     return (
         tk.join(F.broadcast(thresholds), stratum)

@@ -93,9 +93,15 @@ def power_iteration_top_component(
     — the kmeans/logistic convention; iterations × one scan.
 
     Quantization error is ~1/q_scale per step and cannot accumulate
-    (power iteration is self-correcting).  BIGINT headroom: |w_j| ≲
-    n·q²·|x|²/q_scale... in practice n·q_scale·|x·v|·|x| — drop
-    ``q_scale`` to 10³ beyond ~10⁸ rows.  Uncentered on purpose:
+    (power iteration is self-correcting).  Headroom (r8): the
+    accumulators sum q·xq as ``decimal(38,0)`` — the same ~10³⁸
+    capacity as the DuckDB oracle's HUGEINT, so both engines stay exact
+    over the same domain instead of Spark's LongType failing ~10²⁰
+    while the oracle kept going (the asymmetric-contract defect this
+    fixes); and the per-row projection guards |Σ xq·v| < 2⁵³ — past
+    that the double fold loses integer exactness BEFORE any cast
+    overflows, so the operator raises a clear error rather than
+    returning silently non-reproducible values.  Uncentered on purpose:
     the mean would be a float AVG (order-dependent); callers wanting
     centered PCA pre-subtract an integer-quantized mean.
 
@@ -120,12 +126,39 @@ def power_iteration_top_component(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        q = F.floor(s).cast("long")
+        # guard BEFORE precision loss: a double fold is integer-exact
+        # only below 2^53; past that the projection is silently
+        # non-reproducible, so fail loudly instead
+        q = (
+            F.when(
+                F.abs(s) < F.lit(float(2**53)),
+                F.floor(s),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "power_iteration_top_component: per-row projection "
+                        "|sum(xq*v)| >= 2^53 — double fold loses integer "
+                        "exactness; lower q_scale"
+                    )
+                )
+            )
+            .cast("long")
+        )
         w_rows = (
             xq.select(q.alias("q"), "xq")
+            # q*x as decimal(19,0)x(19,0) -> decimal(38,0) sum: HUGEINT-
+            # class headroom, matching the DuckDB oracle's exactness
+            # domain (LongType accumulation failed ~10^18 while the
+            # oracle stayed exact — the r8 asymmetric-contract fix)
             .select("q", F.posexplode("xq").alias("dim", "x"))
             .groupBy("dim")
-            .agg(F.sum(F.col("q") * F.col("x")).alias("w"))
+            .agg(
+                F.sum(
+                    F.col("q").cast("decimal(19,0)")
+                    * F.col("x").cast("decimal(19,0)")
+                ).alias("w")
+            )
             .collect()  # bounded: d rows — the kmeans convention
         )
         w = [0] * d
@@ -136,3 +169,121 @@ def power_iteration_top_component(
             raise ValueError("power iteration collapsed to the zero vector")
         v = [float(wj) / norm for wj in w]
     return v
+
+
+def _proj_q(vec_xq_col, v: list[float]):
+    """Per-row quantized projection floor(Σ_j xq_j·v_j) — deterministic
+    left-to-right fold, the scheme's per-row primitive."""
+    v_arr = F.array(*[F.lit(float(x)) for x in v])
+    s = F.aggregate(
+        F.zip_with(vec_xq_col, v_arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(s).cast("long")
+
+
+def power_iteration_components(
+    vectors: DataFrame,
+    n_components: int = 2,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_scale: int = 1_000_000,
+) -> list[list[float]]:
+    """Top ``n_components`` eigenvectors of X^T X by power iteration
+    with PROJECTION DEFLATION — every step bit-reproducible on an
+    external SQL engine, extending
+    :func:`power_iteration_top_component`'s exact-integer scheme to the
+    deflated components (the OPQ/PCA-rotation primitive, Ge et al.
+    2013 §3.1 parametric case).
+
+    Component 1 is exactly :func:`power_iteration_top_component`.
+    Component c iterates on the deflated operator
+    (I − Σ_u v_u v_uᵀ)·M: per iteration the distributed pass computes
+    the usual exact accumulators w_j = Σ_i q_i·xq_ij PLUS one exact
+    cross-projection per previous component, α_u = Σ_i q^(u)_i·q_i
+    with q^(u)_i = floor(xq_i·v_u) (both integer sums — order-free,
+    decimal(38,0) headroom); the deflation correction
+    w_j − Σ_u α_u·v_uj happens driver-side in plain IEEE doubles
+    applied LEFT-TO-RIGHT in component order, then floor-quantizes so
+    the norm is again an exact integer sum.  Every float op is a
+    correctly-rounded function of exactly-agreed integers and
+    previously-agreed doubles, so a SQL engine unrolling the same CTE
+    chain reproduces each component bit-for-bit (the
+    ``embedding_top_components`` oracle does).
+
+    Per component: n_iter × (1 accumulator pass + 1 cross-projection
+    aggregate) distributed scans; driver state is c·d floats — the
+    kmeans convention.  Deflation is self-correcting the same way the
+    base iteration is; the usual caveat applies that power iteration
+    resolves component c only when an eigengap separates it.
+    """
+    r = int(n_components)
+    if r < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    comps = [
+        power_iteration_top_component(
+            vectors, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            q_scale=q_scale,
+        )
+    ]
+    if r == 1:
+        return comps
+    d = len(comps[0])
+    xq = vectors.select(
+        F.col(id_col),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * q_scale)
+        ).alias("xq"),
+    )
+    dec = "decimal(19,0)"
+    for _ in range(1, r):
+        # init: e_{c+1} shifted off the span of previous components
+        v = [0.0] * d
+        v[len(comps) % d] = 1.0
+        for _ in range(int(n_iter)):
+            q = _proj_q(F.col("xq"), v)
+            prev_qs = [_proj_q(F.col("xq"), u) for u in comps]
+            alphas = [
+                int(a)
+                for a in xq.select(
+                    q.alias("q"), *[pq.alias(f"q{u}") for u, pq in enumerate(prev_qs)]
+                )
+                .agg(
+                    *[
+                        F.sum(
+                            F.col(f"q{u}").cast(dec) * F.col("q").cast(dec)
+                        ).alias(f"a{u}")
+                        for u in range(len(comps))
+                    ]
+                )
+                .collect()[0]  # bounded: one row of c scalars
+            ]
+            w_rows = (
+                xq.select(q.alias("q"), "xq")
+                .select("q", F.posexplode("xq").alias("dim", "x"))
+                .groupBy("dim")
+                .agg(F.sum(F.col("q").cast(dec) * F.col("x").cast(dec)).alias("w"))
+                .collect()  # bounded: d rows
+            )
+            w_raw = [0] * d
+            for row in w_rows:
+                w_raw[row["dim"]] = int(row["w"])
+            # deflation correction + floor re-quantization, LEFT-TO-RIGHT
+            # in component order — plain IEEE doubles, mirrored verbatim
+            # by the SQL oracle
+            wq = []
+            for j in range(d):
+                x = float(w_raw[j])
+                for u, comp in enumerate(comps):
+                    x = x - float(alphas[u]) * comp[j]
+                wq.append(math.floor(x))
+            norm = math.sqrt(float(sum(wj * wj for wj in wq)))
+            if norm == 0.0:
+                raise ValueError(
+                    "deflated power iteration collapsed to the zero vector"
+                )
+            v = [float(wj) / norm for wj in wq]
+        comps.append(v)
+    return comps

@@ -761,3 +761,101 @@ def brute_force_l2_topk(
             F.floor(F.col("d2") * 1_000_000).alias("d2_micro"),
         )
     )
+
+
+# --- OPQ: PCA-rotated product quantization (Ge et al. 2013) -----------------
+
+
+def _dot_lr(a: list[float], b: list[float]) -> float:
+    """Left-to-right IEEE dot product — the index-ordered fold both
+    engines (Spark ``aggregate``/``zip_with``, DuckDB ``list_sum``/
+    ``list_transform``/``list_zip``) evaluate identically."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def opq_householders(
+    components: list[list[float]], m: int
+) -> list[tuple[list[float], float]]:
+    """Householder reflections realizing a partial-spectrum OPQ rotation
+    (Ge et al. 2013 §3.1, the parametric/eigenvalue-allocation case):
+    reflection c maps principal component c onto the FIRST dimension of
+    subspace c, so the top-r variance directions land in r DIFFERENT
+    subspaces — the balance full OPQ optimizes for, realized for the
+    dominant directions the deflated power iteration actually resolves
+    (:func:`..ml.power_iteration_components`); the orthogonal
+    complement rides along untouched.  Full (non-parametric) OPQ
+    alternates rotation and codebook updates; this is the one-shot
+    spectral construction.
+
+    Returns ``[(u, s)]`` with u the UNNORMALIZED Householder vector and
+    s = u·u: the reflection is x ↦ x − (2·(u·x)/s)·u, which needs no
+    square root — every scalar is an index-ordered fold and every
+    elementwise op a correctly-rounded IEEE op, so an external SQL
+    engine applying the same formulas reproduces the rotation
+    bit-for-bit (the pinned-dial oracle convention).  Reflections
+    compose left-to-right (reflection c is built from component c
+    ALREADY passed through reflections 1..c-1 — the QR recurrence).
+    A component already lying on its target axis contributes s ≈ 0 and
+    is skipped on BOTH engines (the same s < 1e-24 test).
+    """
+    d = len(components[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    if len(components) > m:
+        raise ValueError(
+            f"{len(components)} components > {m} subspaces — one balanced "
+            "axis target per subspace"
+        )
+    sub_d = d // m
+    hs: list[tuple[list[float], float]] = []
+    for c, comp in enumerate(components):
+        w = [float(x) for x in comp]
+        for u, s in hs:
+            t = _dot_lr(w, u)
+            coef = 2.0 * t / s
+            w = [a - coef * b for a, b in zip(w, u)]
+        u = list(w)
+        u[c * sub_d] = u[c * sub_d] - 1.0
+        s = _dot_lr(u, u)
+        if s < 1e-24:
+            continue  # already on the target axis — identity reflection
+        hs.append((u, s))
+    return hs
+
+
+def opq_rotate(
+    vectors: DataFrame,
+    householders: list[tuple[list[float], float]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Apply the OPQ rotation: (id, embedding array<double>) with every
+    reflection applied in order — rank-1 updates, one narrow projection
+    per reflection (the per-row scalar t = u·x is materialized as a
+    column first: Spark's subexpression elimination skips lambda-
+    bearing expressions, so an inlined t would re-fold per element).
+    L2 distances are preserved (reflections are orthonormal), so the
+    downstream PQ pipeline runs UNCHANGED on the rotated corpus and
+    rotated queries — search lives entirely in rotated space."""
+    cur = vectors.select(
+        F.col(id_col),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    for u, s in householders:
+        u_arr = F.array(*[F.lit(float(x)) for x in u])
+        t = F.aggregate(
+            F.zip_with("embedding", u_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cur = cur.withColumn("_t", t).select(
+            id_col,
+            F.zip_with(
+                "embedding",
+                u_arr,
+                lambda a, b: a - F.lit(2.0) * F.col("_t") / F.lit(float(s)) * b,
+            ).alias("embedding"),
+        )
+    return cur

@@ -343,9 +343,14 @@ def dup_span_coverage(df: DataFrame, w: int = 8) -> DataFrame:
     )
 
 
-def _cross_doc_keys(rows: DataFrame, key: str) -> DataFrame:
+def _cross_doc_keys(
+    rows: DataFrame, key: str, with_first_pos: bool = False
+) -> DataFrame:
     """Distinct ``key`` values occurring in ≥2 distinct doc_ids, as
-    (key, _mn) where ``_mn`` is the lowest doc_id containing the key.
+    (key, _mn) where ``_mn`` is the lowest doc_id containing the key;
+    ``with_first_pos`` adds ``_mnk`` = min (doc_id, p) struct — the
+    single earliest occurrence, for the keep-one witness policy (the
+    input must carry a position column ``p``).
 
     This is the skew-immune form of the cross-doc test: ``groupBy(key)``
     gets map-side partial aggregation (a gram occurring 10 M times
@@ -358,11 +363,15 @@ def _cross_doc_keys(rows: DataFrame, key: str) -> DataFrame:
     N rows × 1 row, which AQE's skew split handles, unlike a hot window
     partition, which nothing does.
     """
+    aggs = [F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")]
+    if with_first_pos:
+        aggs.append(F.min(F.struct("doc_id", "p")).alias("_mnk"))
+    cols = [key, "_mn"] + (["_mnk"] if with_first_pos else [])
     return (
         rows.groupBy(key)
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .agg(*aggs)
         .filter(F.col("_mn") != F.col("_mx"))
-        .select(key, "_mn")
+        .select(*cols)
     )
 
 
@@ -371,15 +380,17 @@ def _keep_filter(dup: DataFrame, keep: str) -> DataFrame:
 
     ``keep="all"``: every occurrence of a duplicated window is reported
     (so the cut step removes the content from the corpus entirely).
-    ``keep="first"``: occurrences in the LOWEST doc_id containing the
-    window are exempt — that document is the kept witness, so exactly
-    one copy of the duplicated content survives a subsequent cut, which
-    is the Lee et al. (ACL 2022) paper's stated policy of leaving one
-    occurrence in place.  Requires ``_mn`` (the per-key min doc_id) on
-    the input and drops it.
+    ``keep="first"``: the single EARLIEST occurrence per duplicated
+    window — min (doc_id, p), the first position in the lowest doc_id —
+    is exempt, so exactly one copy of the duplicated content survives a
+    subsequent cut: Lee et al. (ACL 2022)'s keep-one-occurrence policy,
+    exact.  (Until round 8 this exempted EVERY occurrence inside the
+    witness document, letting that document's own internal repeats
+    survive — strictly more lenient than the paper.)  Requires ``_mnk``
+    (the per-key min (doc_id, p) struct) on the input and drops it.
     """
     if keep == "first":
-        dup = dup.filter(F.col("_mn") < F.col("doc_id"))
+        dup = dup.filter(F.struct("doc_id", "p") != F.col("_mnk"))
     elif keep != "all":
         raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
     return dup.select("doc_id", "p")
@@ -409,10 +420,10 @@ def exact_substring_spans(
     width).
 
     ``keep="all"`` (default) lists every occurrence of duplicated
-    content; ``keep="first"`` exempts the lowest-doc_id witness per
-    duplicated window, so a cut driven by the list leaves exactly one
-    copy in the corpus — the paper's own policy (see
-    :func:`substring_cut_corpus` for the deviation discussion).
+    content; ``keep="first"`` exempts the single earliest occurrence
+    (min (doc_id, p)) per duplicated window, so a cut driven by the
+    list leaves exactly one copy in the corpus — the paper's
+    keep-one-occurrence policy, exact (r8; see :func:`_keep_filter`).
 
     Scale path (``hash_prune=True``): the corpus-wide shuffle carries
     8-byte ``xxhash64`` window keys instead of L-token strings (the
@@ -458,12 +469,16 @@ def exact_substring_spans(
             "p",
             F.expr(f"array_join(slice(toks, p, {L}), ' ')").alias("gram"),
         )
+        wf = keep == "first"
         dup = _keep_filter(
-            verif.join(_cross_doc_keys(verif, "gram"), "gram"), keep
+            verif.join(_cross_doc_keys(verif, "gram", with_first_pos=wf), "gram"),
+            keep,
         )
     else:
+        wf = keep == "first"
         dup = _keep_filter(
-            grams.join(_cross_doc_keys(grams, "gram"), "gram"), keep
+            grams.join(_cross_doc_keys(grams, "gram", with_first_pos=wf), "gram"),
+            keep,
         )
     return _coverage_spans(dup, L)
 
@@ -554,10 +569,12 @@ def substring_cut_corpus(
     catalog entry runs) cuts EVERY occurrence, so duplicated content
     vanishes entirely — the stricter hygiene some curation recipes
     want (e.g. suspected-contamination scrubbing).  ``keep="first"``
-    reproduces the paper's policy by exempting the lowest-doc_id
-    witness of each duplicated window: that document's copy survives a
-    cut verbatim.  Both are exact; they differ only in which
-    occurrences the span list names.
+    reproduces the paper's keep-one policy exactly by exempting the
+    single earliest occurrence — min (doc_id, p) — of each duplicated
+    window: one copy survives a cut, including against the witness
+    document's own internal repeats (r8 tightening; previously the
+    whole witness document was exempt).  Both are exact; they differ
+    only in which occurrences the span list names.
 
     Plan: spans → covered indices (one explode of the NON-overlapping
     merged spans, so no distinct), token stream with 1-based positions
@@ -960,8 +977,23 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 4) -> DataFrame:
     )
 
 
+#: Merge rules folded into one nested-``replace`` projection per pass.
+#: Bounds the Catalyst expression-tree depth (and the generated Java
+#: method size) regardless of how many rules the tokenizer has — a
+#: production merge table (k≈30 000, GPT-2-class) would otherwise build
+#: a 30 000-deep expression that fails analysis / whole-stage codegen
+#: long before the JVM's 64 KB method limit.  100 replaces per pass is
+#: comfortably inside codegen (verified with
+#: ``spark.sql.codegen.factoryMode=CODEGEN_ONLY`` at k=1 200 in
+#: tests/test_bpe_trainer.py) while keeping the pass count k/100 small.
+BPE_ENCODE_CHUNK = 100
+
+
 def bpe_encode_tokens(
-    df: DataFrame, merges: DataFrame | None = None, n_merges: int = 4
+    df: DataFrame,
+    merges: DataFrame | None = None,
+    n_merges: int = 4,
+    chunk_size: int = BPE_ENCODE_CHUNK,
 ) -> DataFrame:
     """ENCODE the corpus with a learned BPE merge table — the apply half
     of the tokenizer tier (``bpe_train_merges`` is the train half):
@@ -972,39 +1004,83 @@ def bpe_encode_tokens(
     empty merge table n_tokens == n_chars (every character its own
     symbol), and each applied rule can only shrink n_tokens.
 
-    Scale shape: the merge table is collected once (bounded: k rules —
-    the driver-sized training artifact, k≈30 000 for production
-    tokenizers) and unrolled into ONE nested-``replace`` projection, so
-    encoding is a pure narrow map over the exploded word stream inside
-    whole-stage codegen — no join, no vocabulary shuffle; the only
-    shuffle in the whole operator is the final per-doc aggregate, which
-    map-side combines.  Greedy left-to-right merge semantics are the
-    trainer's own (underscore-wrapped symbols, non-overlapping
-    ``replace``), so train→encode round-trips bit-identically.
+    Scale shape, two regimes on the merge-table axis (k rules, always a
+    bounded collect — the tokenizer artifact itself):
+
+    - k <= chunk_size: the rules unroll into ONE nested-``replace``
+      projection — a pure narrow map over the exploded word stream
+      inside whole-stage codegen, no join, no vocabulary shuffle; the
+      only shuffle is the final per-doc aggregate (map-side combines).
+    - k > chunk_size (production tokenizers run k≈30 000): a single
+      nested expression at that depth breaks Catalyst analysis and the
+      64 KB codegen method limit, so instead the rules are applied to
+      the DISTINCT-WORD VOCABULARY in ``chunk_size``-deep passes with an
+      eager localCheckpoint between passes (flat lineage, and each pass
+      is vocabulary-sized — independent of corpus size), then the
+      (word → n_sym) encoding joins back to the per-(doc, word) counts.
+      The join keys on the word type, AQE broadcast-sizes it when the
+      vocabulary is small; encoding work is paid once per word TYPE
+      rather than once per token — the standard production shape.
+
+    Both regimes produce identical results (greedy left-to-right merge
+    semantics are the trainer's own: underscore-wrapped symbols,
+    non-overlapping ``replace``), so train→encode round-trips
+    bit-identically; equality is pinned in tests/test_bpe_trainer.py.
     """
     if merges is None:
         merges = bpe_train_merges(df, n_merges=n_merges)
+    if int(chunk_size) < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     # bounded collect: k merge rules — the tokenizer artifact itself
     rules = [
         (r["x"], r["y"]) for r in merges.orderBy("step").select("x", "y").collect()
     ]
-    enc_sql = BPE_SEQ_SQL
-    for x, y in rules:  # charset is asserted [a-z]+ — literals are quote-safe
-        enc_sql = f"replace({enc_sql}, '_{x}__{y}_', '_{x}{y}_')"
-    return (
-        df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
-        .select(
-            "doc_id",
-            F.length("w").alias("nc"),
-            F.size(
-                F.split(F.expr(f"trim(BOTH '_' FROM {enc_sql})"), "__")
-            ).alias("n_sym"),
+    words = df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
+
+    def _fold(seq_sql: str, chunk: list[tuple[str, str]]) -> str:
+        # charset is asserted [a-z]+ — literals are quote-safe
+        for x, y in chunk:
+            seq_sql = f"replace({seq_sql}, '_{x}__{y}_', '_{x}{y}_')"
+        return seq_sql
+
+    if len(rules) <= int(chunk_size):
+        n_sym = F.size(
+            F.split(F.expr(f"trim(BOTH '_' FROM {_fold(BPE_SEQ_SQL, rules)})"), "__")
         )
+        return (
+            words.select("doc_id", F.length("w").alias("nc"), n_sym.alias("n_sym"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("nc").cast("long").alias("n_chars"),
+                F.sum("n_sym").cast("long").alias("n_tokens"),
+            )
+        )
+
+    # large-k regime: encode each word TYPE once, join back to counts
+    wdoc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        wdoc.select("w")
+        .distinct()
+        .select("w", F.expr(BPE_SEQ_SQL).alias("seq"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(0, len(rules), int(chunk_size)):
+        vocab = vocab.select(
+            "w", F.expr(_fold("seq", rules[i : i + int(chunk_size)])).alias("seq")
+        ).localCheckpoint(eager=True)
+    enc = vocab.select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")).alias("n_sym"),
+    )
+    return (
+        wdoc.join(enc, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("nc").cast("long").alias("n_chars"),
-            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
         )
     )

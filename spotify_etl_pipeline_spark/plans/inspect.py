@@ -102,9 +102,22 @@ def jobs_triggered(spark, thunk):
 
     sc = spark.sparkContext
     group = f"job-probe-{uuid.uuid4().hex[:8]}"
+    # save the caller's thread-local job labels: setJobGroup overwrites
+    # group id, description, AND interrupt-on-cancel, so all three must
+    # be restored or later jobs on this thread run mislabeled under the
+    # probe's description (and with its cancel policy).
+    prior = {
+        k: sc.getLocalProperty(k)
+        for k in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+        )
+    }
     sc.setJobGroup(group, "jobs_triggered probe")
     try:
         result = thunk()
     finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
+        for k, v in prior.items():
+            sc.setLocalProperty(k, v)
     return len(sc.statusTracker().getJobIdsForGroup(group)), result

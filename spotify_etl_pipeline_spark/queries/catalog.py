@@ -101,25 +101,24 @@ def _load_all() -> None:
 #: driver check is ever more than ~2 rounds old, with no per-round editing
 #: beyond this head list.
 #:
-#: Round 7 head: the entries whose PLAN or SEMANTICS changed this round —
-#: the substring tier's cross-doc test moved from Window.partitionBy
-#: min/max to skew-immune groupBy partial-agg + join-back (spans +
-#: incremental), the incremental prober gained the self-match guard and
-#: the verified-digest mode, the cut operator gained keep= semantics
-#: documentation, and the auto dials (ngram_jaccard prefix_filter,
-#: semdedup n_centroids, recursive-CTE gate) now accept caller-supplied
-#: sizes (driver path unchanged but re-greened to be safe).
+#: Round 8 head (r7's list rotated out — all re-greened in
+#: CORRECTNESS_r07): the entries whose PLAN, SEMANTICS, or ORACLE
+#: changed this round — the char-bigram LM core pre-aggregates to
+#: (doc_id, bg, k) and scores with the weighted Σk·ln(p)/Σk on BOTH
+#: engines (text_lm_score + both tier consumers), keep='first' now
+#: exempts only the single earliest (doc_id, p) occurrence per window
+#: (struct MIN on both engines), the BPE encoder gained the chunked
+#: vocabulary regime for k>100 merge tables (k<=100 driver path
+#: unchanged, re-greened to be safe), and the power-iteration
+#: accumulators moved to decimal(38,0) (same values, changed plan).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "dedup_exact_substring_spans",
-    "dedup_substring_cut",
-    "dedup_substring_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_semdedup_clusters",
-    "sql_recursive_order_chain",
-    # round-7 second half: the LM scoring core was factored to take any
-    # (doc_id, lang, text) relation (lm_score_per_doc) — same semantics,
-    # changed code, so the row re-verifies this sweep
     "text_lm_score",
+    "quality_lm_buckets",
+    "corpus_curation_quality_mix",
+    "dedup_substring_cut_keepfirst",
+    "bpe_encode_corpus",
+    "embedding_top_component",
+    "mixture_sample_temperature",
 )
 
 

@@ -452,13 +452,15 @@ def _qmix_oracle() -> str:
                      for x in range(1, length(t))]) AS bg
       FROM ld
     ),
-    lm AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS k FROM bg GROUP BY doc_id, bg),
+    lm AS (SELECT bg, SUM(k) AS c FROM bgc GROUP BY bg),
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM lm),
     sc AS (
       SELECT b.doc_id,
-             CAST(FLOOR(ROUND(AVG(LN(lm.c / tot.tc)), 4) * 10000 + 0.5)
+             CAST(FLOOR(ROUND(SUM(b.k * LN(lm.c / tot.tc)) / SUM(b.k), 4)
+                        * 10000 + 0.5)
                   AS BIGINT) AS m
-      FROM bg b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
+      FROM bgc b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
       GROUP BY b.doc_id
     ),
     rk AS (
@@ -520,12 +522,12 @@ def _qmix_oracle() -> str:
     "LM fit, per-lang ntile (approx-cutoff mode is the 100 TB swap-in), "
     "broadcast mixture thresholds — the corpus never joins itself.",
 )
-def corpus_curation_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+def corpus_curation_quality_mix(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     from ..operators.curation import temperature_mixture_sample
     from ..operators.text import intradoc_cut_corpus
-    from .stats_ops import lm_score_milli
+    from .stats_ops import assign_quality_buckets, lm_score_milli
     from .substring_ops import INTRA_L
 
     docs = load_fixture(spark, sf_dir, "documents")
@@ -541,10 +543,14 @@ def corpus_curation_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     scored = lm_score_milli(cleaned)  # (doc_id, m, lang) — cleaned text
-    w = Window.partitionBy("lang").orderBy(F.desc("m"), F.asc("doc_id"))
+    # the tier stage carries the same dial as quality_lm_buckets:
+    # approx=True swaps the per-lang ntile (one-task sort per language)
+    # for broadcast percentile_approx cutoffs — the 100 TB path; the
+    # oracle pins the exact mode, the approx arm is tolerance-tested at
+    # the capstone level (tests/test_curation.py)
     keep_ids = (
-        scored.select("doc_id", F.ntile(3).over(w).alias("b"))
-        .filter(F.col("b") <= 2)
+        assign_quality_buckets(scored, n_buckets=3, approx=approx)
+        .filter(F.col("bucket") <= 2)
         .select("doc_id")
     )
     survivors = cleaned.join(keep_ids, "doc_id")

@@ -150,12 +150,13 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for x in range(1, length(t))]) AS bg
       FROM d
     ),
-    lm AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS k FROM bg GROUP BY doc_id, bg),
+    lm AS (SELECT bg, SUM(k) AS c FROM bgc GROUP BY bg),
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM lm)
     SELECT b.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(LN(lm.c / tot.tc)), 4) AS avg_logp
-    FROM bg b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
+           CAST(SUM(b.k) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(b.k * LN(lm.c / tot.tc)) / SUM(b.k), 4) AS avg_logp
+    FROM bgc b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
     GROUP BY b.doc_id
     """,
     survey="X4",
@@ -174,27 +175,52 @@ def lm_score_per_doc(src: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, avg_logp) for any (doc_id, text) relation —
     the char-bigram LM fit + score, factored out so compositions (the
     curation capstones) can run it over CLEANED text rather than the
-    raw `documents` table.  Same plan as the entry above: one groupBy
-    to fit, alphabet²-row broadcast to score, per-doc re-aggregation."""
+    raw `documents` table.
+
+    r8 plan: the exploded occurrence stream pre-aggregates to
+    (doc_id, bg, k) FIRST — per-doc distinct char-bigrams are bounded
+    by the alphabet² (≲1 000 rows/doc) however long the document, so
+    the fit, the broadcast-LM score join, and the per-doc re-aggregation
+    all run over the compact weighted table instead of the raw stream
+    (~2 full explode passes saved at sf10 where the occurrence stream
+    is ~1.8·10⁸ rows/pass, SCALE.md §Round-8); the weighted table is
+    eagerly localCheckpointed because both the fit and the scoring
+    branch consume it (the stored-artifact rule).  avg_logp becomes
+    Σ k·ln(p) / Σ k — per-term k·ln(p) is one IEEE multiply
+    (bit-identical cross-engine) and the DuckDB oracles aggregate the
+    SAME distinct-(doc, bg) terms, so the engines sum term-sets of
+    identical values, exactly as order-robust as the previous
+    per-occurrence AVG under the 4-decimal round."""
     docs = (
         src.filter(F.length("text") >= 2)
         .select("doc_id", F.lower(F.col("text")).alias("t"))
     )
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
-        ).alias("bg"),
+    bgc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
     )
-    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    lm = bgc.groupBy("bg").agg(F.sum("k").alias("c"))
     tot = lm.agg(F.sum("c").cast("double").alias("tc"))
     return (
-        bg.join(F.broadcast(lm), "bg")
+        bgc.join(F.broadcast(lm), "bg")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(F.col("c") / F.col("tc"))), 4).alias("avg_logp"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * F.log(F.col("c") / F.col("tc")))
+                / F.sum("k"),
+                4,
+            ).alias("avg_logp"),
         )
     )
 
@@ -218,6 +244,49 @@ def lm_score_milli(src: DataFrame) -> DataFrame:
 
 def _lm_score_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_milli(_t(spark, sf_dir, "documents"))
+
+
+def assign_quality_buckets(
+    scored: DataFrame, n_buckets: int = 3, approx: bool = False
+) -> DataFrame:
+    """Per-language quality-tier assignment over (doc_id, lang, m) →
+    (doc_id, lang, m, bucket), bucket 1 = head (highest scores).
+
+    Shared by :func:`lm_quality_buckets` and the curation capstone so
+    both expose the same dial: ``approx=False`` ranks with ``ntile``
+    over (m DESC, doc_id) — exact equal tiers, deterministic, the
+    oracle formulation — but a per-lang NTILE window materializes one
+    language's corpus in ONE task, so at 100 TB use ``approx=True``:
+    k-1 ``percentile_approx`` cutoffs per language (one partial-agg
+    pass) broadcast back as thresholds — the corpus is never globally
+    sorted and tier sizes converge to exact as the sketch tightens."""
+    k = int(n_buckets)
+    if approx:
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx(
+                "m", [i / k for i in range(1, k)], 10_000
+            ).alias("qs")
+        )
+        return scored.join(F.broadcast(cuts), "lang").select(
+            "doc_id",
+            "lang",
+            "m",
+            # bucket 1 = head (highest scores): count cutoffs >= m,
+            # descending-quantile convention mirroring the ntile order
+            (
+                F.lit(k)
+                - F.aggregate(
+                    "qs",
+                    F.lit(0),
+                    lambda acc, q: acc
+                    + F.when(F.col("m") > q, F.lit(1)).otherwise(F.lit(0)),
+                )
+            ).alias("bucket"),
+        )
+    w = Window.partitionBy("lang").orderBy(F.desc("m"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id", "lang", "m", F.ntile(k).over(w).alias("bucket")
+    )
 
 
 def lm_quality_buckets(
@@ -247,35 +316,7 @@ def lm_quality_buckets(
         # left lazy, each consumer re-runs the full 2-pass bigram LM
         # pipeline (the stored-artifact lesson, SCALE.md §Round-7)
         scored = scored.localCheckpoint(eager=True)
-    if approx:
-        k = int(n_buckets)
-        cuts = scored.groupBy("lang").agg(
-            F.percentile_approx(
-                "m", [i / k for i in range(1, k)], 10_000
-            ).alias("qs")
-        )
-        bucketed = scored.join(F.broadcast(cuts), "lang").select(
-            "lang",
-            "m",
-            # bucket 1 = head (highest scores): count cutoffs >= m,
-            # descending-quantile convention mirroring the ntile order
-            (
-                F.lit(k)
-                - F.aggregate(
-                    "qs",
-                    F.lit(0),
-                    lambda acc, q: acc
-                    + F.when(F.col("m") > q, F.lit(1)).otherwise(F.lit(0)),
-                )
-            ).alias("bucket"),
-        )
-    else:
-        w = Window.partitionBy("lang").orderBy(
-            F.desc("m"), F.asc("doc_id")
-        )
-        bucketed = scored.select(
-            "lang", "m", F.ntile(int(n_buckets)).over(w).alias("bucket")
-        )
+    bucketed = assign_quality_buckets(scored, n_buckets=n_buckets, approx=approx)
     return bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("m").cast("long").alias("sum_score_milli"),
@@ -295,13 +336,15 @@ def lm_quality_buckets(
                      for x in range(1, length(t))]) AS bg
       FROM d
     ),
-    lm AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS k FROM bg GROUP BY doc_id, bg),
+    lm AS (SELECT bg, SUM(k) AS c FROM bgc GROUP BY bg),
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM lm),
     sc AS (
       SELECT b.doc_id,
-             CAST(FLOOR(ROUND(AVG(LN(lm.c / tot.tc)), 4) * 10000 + 0.5)
+             CAST(FLOOR(ROUND(SUM(b.k * LN(lm.c / tot.tc)) / SUM(b.k), 4)
+                        * 10000 + 0.5)
                   AS BIGINT) AS m
-      FROM bg b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
+      FROM bgc b JOIN lm ON b.bg = lm.bg CROSS JOIN tot
       GROUP BY b.doc_id
     ),
     lg AS (

@@ -288,17 +288,21 @@ def dedup_intradoc_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cut_pass_ctes(src: str, pfx: str, keep: str = "all") -> str:
     """One substring-cut pass as a CTE chain: relation ``src`` (doc_id,
     text) → ``{pfx}clean`` (doc_id, text with every token covered by a
-    cross-doc ≥L span removed).  ``keep="first"`` exempts the
-    lowest-doc_id witness per duplicated gram (``mn < doc_id`` instead
-    of ``mn <> mx`` — a strictly smaller cut set, the paper's
-    keep-one-occurrence policy).  Chained by the fixpoint oracle: pass
+    cross-doc ≥L span removed).  ``keep="first"`` exempts the single
+    earliest occurrence per duplicated gram — ``ROW(doc_id, p) <> mnk``
+    where ``mnk = MIN(ROW(doc_id, p)) OVER gram`` — a strictly smaller
+    cut set: the paper's keep-one-occurrence policy, exact (r8; struct
+    MIN orders lexicographically in both engines, so the exempted
+    occurrence is identical).  Chained by the fixpoint oracle: pass
     k+1 reads pass k's ``{pfx}clean``; a pass over an already-converged
     corpus cuts nothing, so unrolling MORE passes than needed is a
     no-op, which is what lets a fixed 3-pass unroll oracle-check the
     iterate-until-empty Spark operator (which raises if it ever needs
     more passes than the guard)."""
     L = SPAN_MIN_LEN
-    dup_filter = "mn < doc_id" if keep == "first" else "mn <> mx"
+    dup_filter = (
+        "mn <> mx AND ROW(doc_id, p) <> mnk" if keep == "first" else "mn <> mx"
+    )
     return f"""
     {pfx}t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
     {pfx}tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM {pfx}t),
@@ -315,7 +319,8 @@ def _cut_pass_ctes(src: str, pfx: str, keep: str = "all") -> str:
       SELECT doc_id, p FROM (
         SELECT doc_id, p,
                MIN(doc_id) OVER (PARTITION BY gram) AS mn,
-               MAX(doc_id) OVER (PARTITION BY gram) AS mx
+               MAX(doc_id) OVER (PARTITION BY gram) AS mx,
+               MIN(ROW(doc_id, p)) OVER (PARTITION BY gram) AS mnk
         FROM {pfx}grams) WHERE {dup_filter}
     ),
     {pfx}brk AS (
@@ -409,12 +414,14 @@ def dedup_substring_cut_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="X29",
     doc="The paper-faithful witness policy for the substring cut (Lee et "
     "al.'s ExactSubstr keeps ONE occurrence of each duplicated span): "
-    "keep='first' exempts the lowest-doc_id document containing each "
-    "duplicated window, so its copy survives the cut verbatim while "
-    "every later occurrence is removed — mn < doc_id replaces mn <> mx "
-    "as the cut condition on string-exact groups. Complements "
-    "dedup_substring_cut (keep='all', the scrub-everything default) so "
-    "both deviation arms carry driver evidence.",
+    "keep='first' exempts the single EARLIEST occurrence — min "
+    "(doc_id, p), struct MIN on string-exact groups, lexicographic in "
+    "both engines — of each duplicated window, so exactly one copy "
+    "survives the cut, even against the witness document's own "
+    "internal repeats (r8 tightening of the formerly whole-witness-doc "
+    "exemption). Complements dedup_substring_cut (keep='all', the "
+    "scrub-everything default) so both deviation arms carry driver "
+    "evidence.",
 )
 def dedup_substring_cut_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import substring_cut_corpus

@@ -38,14 +38,22 @@ def run_cms_stream(
     d: int = 4,
     w: int = 1024,
     max_files_per_trigger: int = 1,
+    hash_fn: str = "md5",
 ) -> None:
     """Drive the sketch-maintenance stream over current files: per
     micro-batch, build the batch's word-frequency sketch and write it
-    under ``epoch=<n>``."""
+    under ``epoch=<n>``.
+
+    ``hash_fn`` forwards to :func:`..operators.cms.count_min_build` so
+    the stream can run the ``xxhash64`` production dial (measured 6.7×
+    over md5 on the build stage, SCALE.md §Round-7) — estimates must of
+    course be probed with the SAME family the sketch was built with.
+    Epoch SUM-merging is family-agnostic (cells are (row, bucket, n)).
+    """
 
     def step(batch: DataFrame, epoch: int) -> None:
         words = batch.select(F.explode(F.split("text", " ")).alias("k"))
-        sketch = count_min_build(words, "k", d=d, w=w)
+        sketch = count_min_build(words, "k", d=d, w=w, hash_fn=hash_fn)
         sketch.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
 
     q = (

@@ -160,6 +160,92 @@ def test_encoder_empty_merges_is_char_count(spark):
     assert rows[1]["n_words"] == 2 and rows[1]["n_tokens"] == 10
 
 
+def test_encoder_chunked_equals_fastpath(spark, sf_dir):
+    """The large-k vocabulary regime (chunk_size forces it) must be
+    bit-identical to the single-projection narrow-map fast path."""
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+        bpe_train_merges,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents").limit(100)
+    merges = bpe_train_merges(docs, n_merges=6).localCheckpoint(eager=True)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    fast = sorted(bpe_encode_tokens(docs, merges=merges).collect(), key=key)
+    chunked = sorted(
+        bpe_encode_tokens(docs, merges=merges, chunk_size=2).collect(), key=key
+    )
+    assert fast == chunked and len(fast) > 0
+
+
+def test_encoder_production_k_codegen_strict(spark):
+    """k >= 1000 merge rules must encode WITHOUT codegen fallback —
+    the production merge-table axis (k≈30 000 for GPT-2-class
+    tokenizers).  CODEGEN_ONLY + fallback=false makes any interpreted-
+    path retreat a hard error instead of a logged warning, so passing
+    proves every chunked pass stays inside whole-stage codegen.
+
+    The corpus uses only letters a-f; the 1 200 padding rules use only
+    symbols over n-z, so they can never match and the expected counts
+    are those of the real rules alone — exercising the full chunked
+    replace chain while keeping the answer hand-checkable."""
+    import itertools
+
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cdcd beef"), (1, "abcd abab face")], ["doc_id", "text"]
+    )
+    wc = {"abab": 3, "cdcd": 1, "beef": 1, "abcd": 1, "face": 1}
+    real = _reference_bpe(wc, 3)
+    pads = [
+        ("n" + "".join(t), "zz")
+        for t in itertools.islice(itertools.product("nopqrstuvwxyz", repeat=3), 1197)
+    ]
+    rules = [(s, x, y, n) for s, x, y, n in real] + [
+        (len(real) + i + 1, x, y, 0) for i, (x, y) in enumerate(pads)
+    ]
+    assert len(rules) >= 1200
+    merges = spark.createDataFrame(
+        rules, "step: bigint, x: string, y: string, n_pairs: bigint"
+    )
+    real_rules = [(x, y) for _, x, y, _ in real]
+    want = {}
+    for doc_id, text in [(0, "abab abab cdcd beef"), (1, "abcd abab face")]:
+        ws = text.split(" ")
+        want[doc_id] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(_apply_merges(w, real_rules) for w in ws),
+        )
+    prior = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+            for r in bpe_encode_tokens(docs, merges=merges).collect()
+        }
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
+
+
+def test_encoder_rejects_bad_chunk_size(spark):
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_tokens
+
+    docs = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="chunk_size"):
+        bpe_encode_tokens(docs, n_merges=1, chunk_size=0)
+
+
 def test_encoder_tokens_monotone_in_k(spark, sf_dir):
     from spotify_etl_pipeline_spark.operators.text import bpe_encode_tokens
 

@@ -202,6 +202,68 @@ def test_temperature_sample_deterministic_under_repartition(spark, sf_dir):
     assert a == b and a
 
 
+def test_temperature_sample_driver_mode_matches_plan(spark, sf_dir):
+    """thresholds_mode='driver' (bounded |strata| collect, Python-int
+    exact arithmetic) must keep the EXACT same documents as the default
+    in-plan BIGINT arithmetic inside the shared headroom domain."""
+    from spotify_etl_pipeline_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    plan = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(docs, total_token_budget=22_000)
+        .select("doc_id")
+        .collect()
+    }
+    driver = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            docs, total_token_budget=22_000, thresholds_mode="driver"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert plan == driver and plan
+
+
+def test_temperature_sample_overflow_guard_raises(spark):
+    """The r8 BIGINT headroom audit: at adversarial magnitudes the
+    in-plan arithmetic must RAISE (clear message) strictly before
+    wraparound, and thresholds_mode='driver' must compute the correct
+    (budget >> corpus, keep-everything) answer on the same tile."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", "tok " * 50) for i in range(4)], ["doc_id", "lang", "text"]
+    )
+    # gran*budget*w ~ 1e4 * 1e13 * ~1.4e4 ~ 1.4e21 >> 2^63
+    huge = 10_000_000_000_000
+    with pytest.raises(Exception, match="overflow|thresholds_mode"):
+        temperature_mixture_sample(docs, total_token_budget=huge).collect()
+    kept = temperature_mixture_sample(
+        docs, total_token_budget=huge, thresholds_mode="driver"
+    )
+    assert kept.count() == 4  # budget dwarfs the corpus -> keep whole
+
+
+def test_temperature_sample_rejects_bad_mode(spark):
+    import pytest
+
+    from spotify_etl_pipeline_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.createDataFrame([(0, "en", "a b")], ["doc_id", "lang", "text"])
+    with pytest.raises(ValueError, match="thresholds_mode"):
+        temperature_mixture_sample(docs, thresholds_mode="collect")
+
+
 def test_quality_mix_capstone_invariants(spark, sf_dir):
     """The composed chain must respect its stages: output strata are the
     input languages, kept tokens per language never exceed the cleaned
@@ -229,3 +291,29 @@ def test_quality_mix_capstone_invariants(spark, sf_dir):
         assert 0 < nt <= totals[lang]  # never more than the raw stratum
     # binomial slack on the fingerprint buckets at fixture scale
     assert sum(nt for _, nt in out.values()) <= _QMIX_BUDGET * 1.5
+
+
+def test_quality_mix_capstone_approx_close_to_exact(spark, sf_dir):
+    """The capstone's approx=True arm (percentile_approx tier cutoffs —
+    the 100 TB path, no per-language single-task ntile sort) must land
+    within tier-boundary slack of the exact composition: same language
+    set, per-language kept docs/tokens close (tier-edge documents can
+    flip sides of a sketch cutoff, shifting the survivor set and with
+    it the mixture thresholds — bounded drift, not divergence)."""
+    from spotify_etl_pipeline_spark.queries.curation_ops import (
+        corpus_curation_quality_mix,
+    )
+
+    exact = {
+        r["lang"]: (r["n_docs_kept"], r["n_tokens_kept"])
+        for r in corpus_curation_quality_mix(spark, sf_dir).collect()
+    }
+    approx = {
+        r["lang"]: (r["n_docs_kept"], r["n_tokens_kept"])
+        for r in corpus_curation_quality_mix(spark, sf_dir, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, (nd, nt) in exact.items():
+        nda, nta = approx[lang]
+        assert abs(nda - nd) <= max(3, 0.25 * nd), (lang, nd, nda)
+        assert abs(nta - nt) <= max(60, 0.25 * nt), (lang, nt, nta)

@@ -104,3 +104,36 @@ def test_power_iteration_guards(spark):
     empty = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
     with _pytest.raises(ValueError, match="empty"):
         power_iteration_top_component(empty)
+
+
+def test_power_iteration_decimal_accumulators_beyond_long(spark):
+    """The r8 headroom fix: accumulators sum q*xq as decimal(38,0), so
+    a tile whose per-dim sum exceeds int64 (previously an ANSI
+    ArithmeticException while the HUGEINT oracle kept going) now
+    computes exactly.  20 rows of magnitude-1000 2-d vectors at
+    q_scale=1e6: per-row q ~ 1.4e9, per-element xq ~ 1e9, per-dim sum
+    ~ 20 * 1.4e18 ~ 2.8e19 > 2^63-1."""
+    from spotify_etl_pipeline_spark.operators.ml import (
+        power_iteration_top_component,
+    )
+
+    rows = [(i, [1000.0, 1000.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    v = power_iteration_top_component(df, n_iter=1)
+    # exact expectation: all vectors identical -> component = (1,1)/sqrt(2)
+    assert abs(v[0] - v[1]) < 1e-12
+    assert abs(v[0] - 1 / math.sqrt(2)) < 1e-9
+
+
+def test_power_iteration_projection_guard_raises(spark):
+    """Per-row |sum(xq*v)| >= 2^53 means the double fold already lost
+    integer exactness — the operator must raise a clear error, never
+    return silently non-reproducible values (r8 audit)."""
+    from spotify_etl_pipeline_spark.operators.ml import (
+        power_iteration_top_component,
+    )
+
+    rows = [(0, [1.0e10, 0.0]), (1, [1.0e10, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    with pytest.raises(Exception, match="2\\^53|q_scale"):
+        power_iteration_top_component(df, n_iter=1)

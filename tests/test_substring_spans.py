@@ -252,6 +252,32 @@ def test_keep_first_exempts_lowest_doc_witness(spark):
     assert cut[1]["clean_text"] == "b1 b2 b3 b4 b5 b6 b7"
 
 
+def test_keep_first_cuts_witness_docs_internal_repeats(spark):
+    """Lee et al.'s keep-one policy, exact (r8): when the witness
+    document ITSELF repeats the duplicated window, only the single
+    earliest occurrence — min (doc_id, p) — survives; the witness
+    doc's later internal copy is cut like any other occurrence (the
+    pre-r8 policy exempted the whole witness document)."""
+    shared = " ".join(f"d{i}" for i in range(1, 13))  # 12 tokens
+    docs = _mkdocs(
+        spark,
+        [
+            shared + " x1 x2 " + shared,  # witness doc, internal repeat
+            shared + " b1 b2 b3 b4 b5 b6 b7",
+        ],
+    )
+    got = _spans(exact_substring_spans(docs, min_len=10, keep="first"))
+    assert got == {(0, 15, 12), (1, 1, 12)}
+    from spotify_etl_pipeline_spark.operators.text import substring_cut_corpus
+
+    cut = {
+        r["doc_id"]: r
+        for r in substring_cut_corpus(docs, min_len=10, keep="first").collect()
+    }
+    assert cut[0]["n_cut"] == 12 and cut[0]["clean_text"] == shared + " x1 x2"
+    assert cut[1]["clean_text"] == "b1 b2 b3 b4 b5 b6 b7"
+
+
 def test_keep_rejects_unknown_policy(spark):
     docs = _mkdocs(spark, ["a b c d e f g h i j k l"])
     with pytest.raises(ValueError, match="keep"):
