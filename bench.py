@@ -126,6 +126,13 @@ HEADLINE = [
     # temperature mix): a regression in any stage's shuffle shape or the
     # checkpoint boundary moves BENCH here
     "corpus_curation_quality_mix",
+    # round 8: OPQ — the rotated-PQ chain (deflated power iteration +
+    # Householder rotation feeding the pinned PQ pipeline; pairs with
+    # knn_pq_topk to record the spectrum+rotation overhead), and the
+    # CMS-served heavy-hitter top-k (sketch + bounded candidate probe —
+    # the serve-without-groupBy shape)
+    "knn_opq_pinned_topk",
+    "cms_topk_serving",
 ]
 
 

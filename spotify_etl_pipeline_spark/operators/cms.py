@@ -98,3 +98,33 @@ def count_min_estimate(
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("cms_n"))
         .select(F.col("k").alias(key_col), "cms_n")
     )
+
+
+def count_min_topk(
+    sketch: DataFrame, candidates: DataFrame, key_col: str, k: int = 20,
+    d: int = 4, w: int = 1024, hash_fn: str = "md5",
+) -> DataFrame:
+    """Serve top-k heavy hitters FROM THE SKETCH: probe every candidate
+    key, rank by estimate — (key, cms_n, rank), ties toward the
+    lexicographically smaller key.
+
+    The CMS stores no keys, so heavy-hitter serving is sketch + a
+    CANDIDATE SET (Cormode & Muthukrishnan 2005 §4's CM+heap pattern):
+    candidates come from bounded per-batch/per-epoch top-c lists (see
+    streaming/cms_stream.py), never from a corpus-wide raw-key groupBy
+    — the candidate table is |epochs|·c rows, the probe is a broadcast
+    join against the ≤ d·w-row sketch, and the final rank is a
+    ROW_NUMBER over ≤ |candidates| estimates.  No stage touches the raw
+    corpus at serve time.  The no-undercount guarantee makes the served
+    set a superset-biased approximation: a true heavy hitter in the
+    candidate set can never be ranked below its true mass."""
+    from pyspark.sql.window import Window
+
+    est = count_min_estimate(sketch, candidates, key_col, d=d, w=w,
+                             hash_fn=hash_fn)
+    rk = Window.orderBy(F.desc("cms_n"), F.asc(key_col))
+    return (
+        est.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= int(k))
+        .select(key_col, "cms_n", F.col("rank").cast("long").alias("rank"))
+    )

@@ -112,12 +112,17 @@ def power_iteration_top_component(
     if not d_row:
         raise ValueError("power_iteration_top_component: empty input")
     d = int(d_row[0]["d"])
+    # the quantized corpus is re-read by EVERY iteration (and by every
+    # deflated component's passes when the caller is
+    # power_iteration_components) — materialize it once, the
+    # stored-artifact rule; production would persist xq anyway as the
+    # fit input
     xq = vectors.select(
         F.col(id_col),
         F.transform(
             vec_col, lambda x: F.floor(x.cast("double") * q_scale)
         ).alias("xq"),
-    )
+    ).localCheckpoint(eager=True)
     v = [1.0] + [0.0] * (d - 1)
     for _ in range(int(n_iter)):
         v_arr = F.array(*[F.lit(float(x)) for x in v])
@@ -231,12 +236,15 @@ def power_iteration_components(
     if r == 1:
         return comps
     d = len(comps[0])
+    # consumed 2× per deflated iteration — stored-artifact rule (the
+    # top-component call above checkpoints its own copy; at component
+    # counts where that duplication mattered, thread one xq through)
     xq = vectors.select(
         F.col(id_col),
         F.transform(
             vec_col, lambda x: F.floor(x.cast("double") * q_scale)
         ).alias("xq"),
-    )
+    ).localCheckpoint(eager=True)
     dec = "decimal(19,0)"
     for _ in range(1, r):
         # init: e_{c+1} shifted off the span of previous components

@@ -833,29 +833,32 @@ def opq_rotate(
 ) -> DataFrame:
     """Apply the OPQ rotation: (id, embedding array<double>) with every
     reflection applied in order — rank-1 updates, one narrow projection
-    per reflection (the per-row scalar t = u·x is materialized as a
-    column first: Spark's subexpression elimination skips lambda-
-    bearing expressions, so an inlined t would re-fold per element).
-    L2 distances are preserved (reflections are orthonormal), so the
-    downstream PQ pipeline runs UNCHANGED on the rotated corpus and
-    rotated queries — search lives entirely in rotated space."""
+    per reflection.  The per-row scalar t = u·x is bound through the
+    single-element-``transform`` let-binding (the ``_argmin_sql``
+    trick): a plain ``withColumn`` is collapsed into the consuming
+    projection by Catalyst, and since subexpression elimination skips
+    lambda-bearing expressions the d-step fold would then re-evaluate
+    PER OUTPUT ELEMENT — d² interpreted-HOF steps per reflection per
+    row, measured 69 s of a 123 s sf10 run before the binding (SCALE.md
+    §Round-8).  L2 distances are preserved (reflections are
+    orthonormal), so the downstream PQ pipeline runs UNCHANGED on the
+    rotated corpus and rotated queries — search lives entirely in
+    rotated space."""
     cur = vectors.select(
         F.col(id_col),
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     for u, s in householders:
-        u_arr = F.array(*[F.lit(float(x)) for x in u])
-        t = F.aggregate(
-            F.zip_with("embedding", u_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        u_sql = "array(" + ", ".join(f"{float(x)!r}D" for x in u) + ")"
+        t_sql = (
+            f"aggregate(zip_with(embedding, {u_sql}, (a, b) -> a * b), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-        cur = cur.withColumn("_t", t).select(
-            id_col,
-            F.zip_with(
-                "embedding",
-                u_arr,
-                lambda a, b: a - F.lit(2.0) * F.col("_t") / F.lit(float(s)) * b,
-            ).alias("embedding"),
+        # ((2.0*t)/s)*b association — verbatim the oracle CTEs' formula
+        y_sql = (
+            f"element_at(transform(array({t_sql}), t -> "
+            f"zip_with(embedding, {u_sql}, "
+            f"(a, b) -> a - 2.0D * t / {float(s)!r}D * b)), 1)"
         )
+        cur = cur.select(id_col, F.expr(y_sql).alias("embedding"))
     return cur

@@ -86,6 +86,7 @@ def _load_all() -> None:
         quality_ops,
         stats_ops,
         substring_ops,
+        opq_ops,
     )
 
 

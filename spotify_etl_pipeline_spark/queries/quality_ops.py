@@ -254,6 +254,95 @@ def cms_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cms_topk_serving dials: the corpus splits into CMS_EPOCHS epochs
+#: (doc_id % CMS_EPOCHS — the batch twin of the stream's file batches),
+#: each contributing its top-CMS_CANDS exact within-epoch keys to the
+#: candidate set; CMS_TOPK keys are served from the sketch.
+CMS_EPOCHS, CMS_CANDS, CMS_TOPK = 5, 10, 20
+
+
+@register(
+    "cms_topk_serving",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id % {CMS_EPOCHS} AS ep,
+             unnest(string_split(text, ' ')) AS k
+      FROM documents
+    ),
+    rows_ AS (SELECT UNNEST(range({CMS_D})) AS row),
+    cells AS (
+      SELECT rows_.row,
+             (('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || words.k),
+                                 1, 15))::BIGINT) % {CMS_W} AS bucket
+      FROM words CROSS JOIN rows_
+    ),
+    cms AS (SELECT row, bucket, COUNT(*) AS n FROM cells GROUP BY row, bucket),
+    pc AS (SELECT ep, k, COUNT(*) AS n FROM words GROUP BY ep, k),
+    cand AS (
+      SELECT DISTINCT k
+      FROM (SELECT ep, k,
+                   ROW_NUMBER() OVER (PARTITION BY ep
+                                      ORDER BY n DESC, k ASC) AS rn
+            FROM pc)
+      WHERE rn <= {CMS_CANDS}
+    ),
+    probes AS (
+      SELECT cand.k, rows_.row,
+             (('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || cand.k),
+                                 1, 15))::BIGINT) % {CMS_W} AS bucket
+      FROM cand CROSS JOIN rows_
+    ),
+    est AS (
+      SELECT probes.k, MIN(COALESCE(cms.n, 0)) AS cms_n
+      FROM probes LEFT JOIN cms USING (row, bucket)
+      GROUP BY probes.k
+    )
+    SELECT k AS word, CAST(cms_n AS BIGINT) AS cms_n,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT k, cms_n,
+                 ROW_NUMBER() OVER (ORDER BY cms_n DESC, k ASC) AS rank
+          FROM est)
+    WHERE rank <= {CMS_TOPK}
+    """,
+    survey="X6,X8",
+    doc="CMS-backed heavy-hitter TOP-K SERVING (Cormode & Muthukrishnan "
+    "2005 §4, the CM+candidate-set pattern): the corpus splits into "
+    f"{CMS_EPOCHS} epochs (doc_id-keyed — the deterministic batch twin "
+    "of the maintenance stream's file batches), each epoch contributes "
+    f"its top-{CMS_CANDS} exact WITHIN-EPOCH keys to the candidate set "
+    "(batch-bounded groupBy — the corpus-wide raw-key groupBy is what "
+    "the sketch replaces), and the served top-20 is ranked purely by "
+    "sketch estimates probed for those candidates — at serve time "
+    "nothing touches the raw corpus: a <=d*w-row broadcast sketch, an "
+    "|epochs|*c-row candidate probe, one bounded rank. The streaming "
+    "twin (run_cms_topk_stream/serve_cms_topk) is equality-tested "
+    "against this composition including a forced epoch replay.",
+)
+def cms_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as Wd
+
+    from ..operators.cms import count_min_build, count_min_topk
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    words = docs.select(
+        (F.col("doc_id") % CMS_EPOCHS).alias("ep"),
+        F.explode(F.split("text", " ")).alias("k"),
+    )
+    sketch = count_min_build(words, "k", d=CMS_D, w=CMS_W)
+    rn = Wd.partitionBy("ep").orderBy(F.desc("n"), F.asc("k"))
+    cand = (
+        words.groupBy("ep", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= CMS_CANDS)
+        .select("k")
+        .distinct()
+    )
+    return count_min_topk(
+        sketch, cand, "k", k=CMS_TOPK, d=CMS_D, w=CMS_W
+    ).select(F.col("k").alias("word"), "cms_n", "rank")
+
+
 FUZZY_KEY_MAX = 500  # constant-size match set at every SF
 
 

@@ -78,3 +78,75 @@ def read_merged_sketch(spark: SparkSession, out_path: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def run_cms_topk_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    checkpoint: str,
+    d: int = 4,
+    w: int = 1024,
+    per_epoch_candidates: int = 10,
+    max_files_per_trigger: int = 1,
+    hash_fn: str = "md5",
+) -> None:
+    """Heavy-hitter maintenance stream: per micro-batch write (a) the
+    batch's sketch under ``sketch/epoch=<n>`` and (b) the batch's top
+    ``per_epoch_candidates`` keys by WITHIN-BATCH exact count under
+    ``cands/epoch=<n>`` — the bounded candidate-set half of the
+    CM+heap heavy-hitter pattern (a batch-local groupBy is batch-sized;
+    the corpus-wide raw-key groupBy is exactly what the sketch
+    replaces).  Both artifacts are epoch-keyed, so a replayed epoch
+    overwrites itself: the sketch SUM and the candidate-union are both
+    replay-idempotent (the shared exactly-once scheme).  A key that is
+    a true heavy hitter globally is a heavy hitter in SOME batch for
+    any bounded stream partitioning of its mass at c ≥ batch
+    cardinality of competitors — the standard candidate-recall caveat,
+    tested as stream==batch equality under a matching epoch split."""
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        words = batch.select(F.explode(F.split("text", " ")).alias("k"))
+        sketch = count_min_build(words, "k", d=d, w=w, hash_fn=hash_fn)
+        sketch.write.mode("overwrite").parquet(
+            f"{out_path}/sketch/epoch={epoch}"
+        )
+        cand = (
+            words.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("k"))
+            .limit(int(per_epoch_candidates))
+            .select("k")
+        )
+        cand.write.mode("overwrite").parquet(f"{out_path}/cands/epoch={epoch}")
+
+    q = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def serve_cms_topk(
+    spark: SparkSession,
+    out_path: str,
+    k: int = 20,
+    d: int = 4,
+    w: int = 1024,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Serve "current top-k frequent keys" from the store WITHOUT
+    touching the raw corpus: SUM the epoch sketches cell-wise, union
+    the epoch candidate lists (distinct — |epochs|·c rows), probe, rank
+    (``operators.cms.count_min_topk``).  Probing with the SAME hash
+    family the sketches were built with is the caller's contract."""
+    from ..operators.cms import count_min_topk
+
+    merged = read_merged_sketch(spark, f"{out_path}/sketch")
+    cands = spark.read.parquet(f"{out_path}/cands").select("k").distinct()
+    return count_min_topk(merged, cands, "k", k=k, d=d, w=w, hash_fn=hash_fn)

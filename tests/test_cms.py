@@ -134,3 +134,78 @@ def test_cms_xxhash_dial_keeps_guarantees(spark, sf_dir):
     slack = max(10, (3 * n_total) // W)
     for r in tc.join(est, "w").collect():
         assert r["tn"] <= r["cms_n"] <= r["tn"] + slack
+
+
+def test_cms_topk_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
+    """Heavy-hitter serving (r8): the maintenance stream's epoch-summed
+    sketch + unioned per-epoch candidates must serve the SAME top-k as
+    the batch composition (cms_topk_serving's shape) when the stream's
+    file batches match the batch twin's doc_id % E epoch split — and a
+    forced epoch replay (sketch AND candidate partitions rewritten)
+    must leave the served ranking unchanged (exactly-once)."""
+    from spotify_etl_pipeline_spark.operators.cms import (
+        count_min_build,
+        count_min_topk,
+    )
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        run_cms_topk_stream,
+        serve_cms_topk,
+    )
+
+    E, C, K = 5, 10, 20
+    docs = load_fixture(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    for e in range(E):  # one file per epoch -> batches == epoch split
+        docs.filter(F.col("doc_id") % E == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "hh")
+    ckpt = str(tmp_path / "ckpt")
+    run_cms_topk_stream(
+        spark, src, out, ckpt, d=D, w=W, per_epoch_candidates=C,
+        max_files_per_trigger=1,
+    )
+    served = [
+        (r["k"], r["cms_n"], r["rank"])
+        for r in serve_cms_topk(spark, out, k=K, d=D, w=W).collect()
+    ]
+
+    words = docs.select(
+        (F.col("doc_id") % E).alias("ep"),
+        F.explode(F.split("text", " ")).alias("k"),
+    )
+    sketch = count_min_build(words, "k", d=D, w=W)
+    from pyspark.sql.window import Window
+
+    rn = Window.partitionBy("ep").orderBy(F.desc("n"), F.asc("k"))
+    cand = (
+        words.groupBy("ep", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= C)
+        .select("k")
+        .distinct()
+    )
+    batch = [
+        (r["k"], r["cms_n"], r["rank"])
+        for r in count_min_topk(sketch, cand, "k", k=K, d=D, w=W).collect()
+    ]
+    assert served == batch and len(served) == K
+
+    # forced replay of epoch 0: rewrite both artifacts with identical
+    # content — serving must not change (the epoch-keyed exactly-once
+    # scheme covers the candidate lists too)
+    for part, schema in (
+        ("sketch", "row: int, bucket: bigint, n: bigint"),
+        ("cands", "k: string"),
+    ):
+        rows = spark.read.parquet(f"{out}/{part}/epoch=0").collect()
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{out}/{part}/epoch=0"
+        )
+        spark.catalog.refreshByPath(f"{out}/{part}")
+    replayed = [
+        (r["k"], r["cms_n"], r["rank"])
+        for r in serve_cms_topk(spark, out, k=K, d=D, w=W).collect()
+    ]
+    assert replayed == batch

@@ -1,0 +1,150 @@
+"""OPQ tier (operators/pq.py::opq_householders/opq_rotate +
+operators/ml.py::power_iteration_components, Ge et al. 2013): the
+deflated spectrum must match numpy, the rotation must be orthonormal
+and land the components on their balanced subspace axes, and — the
+tier's reason to exist — ADC recall must improve over plain PQ when
+the dominant variance directions straddle subspace boundaries.
+
+The recall tile is ENGINEERED anisotropic (two planted factor
+directions spread across every subspace): the repo's embeddings
+fixture is near-isotropic, where rotation provably cannot help — which
+is the textbook statement of when OPQ pays, not a weakness of the
+test."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from spotify_etl_pipeline_spark.operators.ml import power_iteration_components
+from spotify_etl_pipeline_spark.operators.pq import (
+    brute_force_l2_topk,
+    opq_householders,
+    opq_rotate,
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
+)
+
+D = 16
+N = 400
+N_Q = 20
+
+
+def _anisotropic(rng, n=N, d=D):
+    """Two orthogonal factor directions with energy in EVERY dim (the
+    worst case for axis-aligned subspace splitting) + small noise."""
+    a = np.ones(d) / math.sqrt(d)
+    b = np.array([1.0 if i % 2 == 0 else -1.0 for i in range(d)]) / math.sqrt(d)
+    X = (
+        (rng.normal(size=(n, 1)) * 10.0) @ a[None, :]
+        + (rng.normal(size=(n, 1)) * 4.0) @ b[None, :]
+        + rng.normal(size=(n, d)) * 0.3
+    )
+    return X, a, b
+
+
+def _df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id: long, embedding: array<double>",
+    )
+
+
+def test_deflated_components_match_numpy(spark):
+    rng = np.random.default_rng(7)
+    X, _, _ = _anisotropic(rng)
+    comps = power_iteration_components(_df(spark, X), n_components=2, n_iter=6)
+    M = X.T @ X
+    _, evecs = np.linalg.eigh(M)
+    v1, v2 = np.array(comps[0]), np.array(comps[1])
+    assert abs(v1 @ evecs[:, -1]) >= 0.999
+    assert abs(v2 @ evecs[:, -2]) >= 0.999
+    assert abs(v1 @ v2) < 1e-6  # deflation keeps the pair orthogonal
+
+
+def test_rotation_is_isometric_and_balances_axes(spark):
+    rng = np.random.default_rng(7)
+    X, _, _ = _anisotropic(rng)
+    df = _df(spark, X)
+    comps = power_iteration_components(df, n_components=2, n_iter=6)
+    hs = opq_householders(comps, m=4)
+    Y = np.array(
+        [
+            r["embedding"]
+            for r in opq_rotate(df, hs).orderBy("vec_id").collect()
+        ]
+    )
+    # isometry: pairwise distances preserved to rounding
+    for i, j in [(0, 1), (5, 9), (100, 300)]:
+        assert math.isclose(
+            float(np.linalg.norm(X[i] - X[j])),
+            float(np.linalg.norm(Y[i] - Y[j])),
+            rel_tol=1e-9,
+        )
+    # eigenvalue balance: the two dominant directions land on the first
+    # dim of subspaces 0 and 1 (dims 0 and 4 at d=16, m=4) — those two
+    # coordinates carry essentially all the planted variance
+    var = Y.var(axis=0)
+    rest = np.delete(var, [0, 4])
+    assert var[0] > 50 and var[4] > 5
+    assert rest.max() < 1.0
+
+
+def test_opq_recall_beats_plain_pq_on_anisotropic_tile(spark):
+    """The tier's quality claim, pinned: pure-ADC recall@10 vs exact L2
+    with TRAINED codebooks (the quality dials), rotated vs not. The
+    planted factors straddle every subspace unrotated, so plain PQ
+    quantizes correlated subvectors independently; rotation concentrates
+    them on two axes in different subspaces."""
+    rng = np.random.default_rng(11)
+    X, _, _ = _anisotropic(rng)
+    df = _df(spark, X).localCheckpoint(eager=True)
+    queries = df.filter(f"vec_id < {N_Q}")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_l2_topk(df, queries, k=10).collect()
+    }
+
+    def adc_recall(corpus):
+        q = corpus.filter(f"vec_id < {N_Q}")
+        books = pq_fit(corpus, m=4, k=16, max_iter=4)
+        codes = pq_encode(corpus, books)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_adc_topk(codes, q, books, k=10).collect()
+        }
+        # truth is in ORIGINAL space; rotation preserves L2, so the
+        # exact top-10 sets are identical in rotated space
+        return len(got & truth) / len(truth)
+
+    plain = adc_recall(df)
+    comps = power_iteration_components(df, n_components=2, n_iter=6)
+    rot = opq_rotate(df, opq_householders(comps, m=4)).localCheckpoint(
+        eager=True
+    )
+    rotated = adc_recall(rot)
+    assert rotated >= plain, (rotated, plain)
+    assert rotated - plain >= 0.05  # a real gap, not tie-noise
+
+
+def test_opq_guards(spark):
+    comps = [[1.0] + [0.0] * 15]
+    with pytest.raises(ValueError, match="components"):
+        opq_householders(comps * 5, m=4)  # more components than subspaces
+    with pytest.raises(ValueError, match="divisible"):
+        opq_householders([[1.0, 0.0, 0.0]], m=2)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="n_components"):
+        power_iteration_components(df, n_components=0)
+
+
+def test_householder_skips_aligned_component(spark):
+    """A component already on its target axis must contribute NO
+    reflection (s ~ 0) — the rotation degenerates to identity."""
+    comps = [[1.0] + [0.0] * 15]
+    assert opq_householders(comps, m=4) == []

@@ -501,3 +501,40 @@ def test_intradoc_cut_keep_all_removes_every_copy(spark):
     assert (row["n_cut"], row["clean_text"]) == (10, "a1 b1 c1")
     row = intradoc_cut_corpus(docs, min_len=5, keep="first").collect()[0]
     assert row["clean_text"] == "a1 " + rep + " b1 c1"
+
+
+def test_intradoc_production_L_planted_extents(spark):
+    """X30 at PRODUCTION extent (r8): Lee et al. cut spans of >=50
+    tokens; the catalog runs the tier at L=4 only because the fixture
+    self-repeats nowhere longer — this pins the operator at L=50 on
+    planted within-doc blocks.  Doc layout: B(60) F(30) B(60) — the
+    60-token block B repeats inside the doc with doc-unique tokens, so
+    every duplicated window is strictly intra-doc.  Expected under
+    keep='first': the second copy's full 60-token extent, exactly."""
+    from spotify_etl_pipeline_spark.operators.text import (
+        intradoc_cut_corpus,
+        intradoc_duplicate_spans,
+    )
+
+    L = 50
+    rows = []
+    for d in range(20):
+        block = " ".join(f"b{d}x{i}" for i in range(60))
+        filler = " ".join(f"f{d}w{j}" for j in range(30))
+        if d % 2 == 0:  # planted repeat
+            rows.append((d, block + " " + filler + " " + block))
+        else:  # control: no repetition
+            rows.append((d, block + " " + filler))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = _spans(intradoc_duplicate_spans(docs, min_len=L))
+    # second block starts at position 60 + 30 + 1 = 91, extends 60 tokens
+    assert got == {(d, 91, 60) for d in range(20) if d % 2 == 0}
+    cut = {r["doc_id"]: r for r in intradoc_cut_corpus(docs, min_len=L).collect()}
+    for d in range(20):
+        if d % 2 == 0:
+            assert cut[d]["n_cut"] == 60
+            block = " ".join(f"b{d}x{i}" for i in range(60))
+            assert cut[d]["clean_text"].startswith(block)
+            assert cut[d]["clean_text"].count(f"b{d}x0 ") == 1
+        else:
+            assert cut[d]["n_cut"] == 0
