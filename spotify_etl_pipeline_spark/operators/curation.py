@@ -245,3 +245,104 @@ def temperature_mixture_sample(
         .filter(bucket < F.col("_f"))
         .drop("_f")
     )
+
+
+def stratified_exact_n_sample(
+    docs: DataFrame,
+    stratum: str = "lang",
+    n_per_stratum: int = 30,
+    prefilter: bool = False,
+    prefilter_margin: int = 4,
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Exact-N-per-stratum deterministic sample — the EVAL-SET CARVING
+    op: where the mixture samplers realize target FRACTIONS (sizes
+    drift binomially), benchmark/eval construction needs exactly N
+    documents per language/source, reproducibly.  Documents rank within
+    each stratum by (content fingerprint, doc_id) — a pseudo-random but
+    purely content-derived order, so the sample is stable under
+    re-ingestion, retries, and repartitioning, zero RNG state — and the
+    first N survive (a stratum smaller than N is kept whole).  The full
+    sort key is (fp % granularity, fp, doc_id): the leading BUCKET term
+    is what lets the prefilter below stay exact.
+
+    Scale shape: exact-N is a per-stratum top-N, and a ROW_NUMBER
+    window sorts each stratum in one task — fine for |stratum| in the
+    millions, wrong for a corpus-sized stratum.  ``prefilter=True`` is
+    the 100 TB dial: one partial-agg totals pass sizes a per-stratum
+    fingerprint-bucket threshold t_s ≈ margin·N/T_s·granularity, only
+    rows with ``fp % granularity < t_s`` enter the window, and the
+    selection stays EXACT by construction — the N smallest
+    (fp, doc_id) keys all lie below any threshold that admits ≥ N rows
+    — with that admission count VERIFIED per stratum (one aggregate;
+    raises with the margin dial named if a stratum under-fills, never
+    silently approximates).  The window then sorts ~margin·N rows per
+    stratum instead of T_s.
+
+    Returns (stratum, doc_id, n_tokens) plus ``_rk`` dropped; both
+    arms are equality-tested and the default arm is the driver-checked
+    oracle formulation.
+    """
+    from pyspark.sql.window import Window
+
+    n = int(n_per_stratum)
+    if n < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    base = docs.select(
+        F.col(stratum),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        content_fingerprint().alias("_fp"),
+    ).withColumn("_bk", F.col("_fp") % int(granularity))
+    if prefilter:
+        gran = int(granularity)
+        totals = base.groupBy(stratum).agg(F.count(F.lit(1)).alias("_T"))
+        thr = totals.select(
+            stratum,
+            F.least(
+                F.lit(gran).cast("long"),
+                F.ceil(
+                    F.lit(float(prefilter_margin * n * gran)) / F.col("_T")
+                ).cast("long"),
+            ).alias("_t"),
+        )
+        base = base.join(F.broadcast(thr), stratum).filter(
+            F.col("_bk") < F.col("_t")
+        )
+        # totals drives the probe via a LEFT join: a stratum whose
+        # prefilter admitted ZERO rows has no group in the kept counts
+        # at all — exactly the case that must flag loudest
+        short = (
+            totals.join(
+                base.groupBy(stratum).agg(F.count(F.lit(1)).alias("_kept")),
+                stratum,
+                "left",
+            )
+            .select(
+                stratum,
+                "_T",
+                F.coalesce("_kept", F.lit(0)).alias("_kept"),
+            )
+            .filter((F.col("_kept") < n) & (F.col("_T") >= n))
+            .limit(1)
+            .collect()  # bounded: emptiness probe
+        )
+        if short:
+            raise ValueError(
+                f"stratified_exact_n_sample: prefilter admitted "
+                f"{short[0]['_kept']} < n={n} rows for stratum "
+                f"{short[0][stratum]!r} — raise prefilter_margin "
+                f"(currently {prefilter_margin})"
+            )
+    # rank by (bucket, fp, doc_id): the prefilter cuts on the BUCKET, so
+    # exactness needs the bucket leading the sort key — the N smallest
+    # composite keys provably lie below any bucket threshold admitting
+    # >= N rows; fp and doc_id break ties deterministically
+    w = Window.partitionBy(stratum).orderBy(
+        F.asc("_bk"), F.asc("_fp"), F.asc("doc_id")
+    )
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .select(stratum, "doc_id", "n_tokens")
+    )

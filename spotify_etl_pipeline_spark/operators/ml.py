@@ -253,31 +253,45 @@ def power_iteration_components(
         for _ in range(int(n_iter)):
             q = _proj_q(F.col("xq"), v)
             prev_qs = [_proj_q(F.col("xq"), u) for u in comps]
-            alphas = [
-                int(a)
-                for a in xq.select(
-                    q.alias("q"), *[pq.alias(f"q{u}") for u, pq in enumerate(prev_qs)]
+            # ONE pass per iteration: the d accumulators AND the c-1
+            # cross-projections ride the same posexplode groupBy — the
+            # alpha_u sums attach to the dim=0 group (each input row
+            # contributes its (q^(u), q) product exactly once there).
+            # All sums are exact integers, so fusing cannot change a
+            # value; it halves the per-iteration scan count, which IS
+            # the wall time on a driver-loop iterative operator.
+            w_rows = (
+                xq.select(
+                    q.alias("q"),
+                    *[pq.alias(f"q{u}") for u, pq in enumerate(prev_qs)],
+                    "xq",
                 )
+                .select(
+                    "q",
+                    *[f"q{u}" for u in range(len(comps))],
+                    F.posexplode("xq").alias("dim", "x"),
+                )
+                .groupBy("dim")
                 .agg(
+                    F.sum(F.col("q").cast(dec) * F.col("x").cast(dec)).alias("w"),
                     *[
                         F.sum(
-                            F.col(f"q{u}").cast(dec) * F.col("q").cast(dec)
+                            F.when(
+                                F.col("dim") == 0,
+                                F.col(f"q{u}").cast(dec) * F.col("q").cast(dec),
+                            )
                         ).alias(f"a{u}")
                         for u in range(len(comps))
-                    ]
+                    ],
                 )
-                .collect()[0]  # bounded: one row of c scalars
-            ]
-            w_rows = (
-                xq.select(q.alias("q"), "xq")
-                .select("q", F.posexplode("xq").alias("dim", "x"))
-                .groupBy("dim")
-                .agg(F.sum(F.col("q").cast(dec) * F.col("x").cast(dec)).alias("w"))
                 .collect()  # bounded: d rows
             )
             w_raw = [0] * d
+            alphas = [0] * len(comps)
             for row in w_rows:
                 w_raw[row["dim"]] = int(row["w"])
+                if row["dim"] == 0:
+                    alphas = [int(row[f"a{u}"]) for u in range(len(comps))]
             # deflation correction + floor re-quantization, LEFT-TO-RIGHT
             # in component order — plain IEEE doubles, mirrored verbatim
             # by the SQL oracle

@@ -561,3 +561,48 @@ def corpus_curation_quality_mix(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
         F.sum("_nt").cast("long").alias("n_tokens_kept"),
     )
+
+
+#: stratified_exact_n_sample's N: 30 per language selects a strict
+#: subset at sf0.01+ (≈100 docs/lang) and keeps-whole at sf0.001
+#: (≈10 docs/lang) — both regimes exercised across the driver's scales.
+_EVAL_N = 30
+
+
+@register(
+    "eval_set_stratified_sample",
+    oracle=f"""
+    WITH fp AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {fingerprint_sql()} AS f
+      FROM documents
+    )
+    SELECT lang, doc_id, n_tokens
+    FROM (SELECT lang, doc_id, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY f % 10000 ASC, f ASC,
+                                             doc_id ASC) AS rk
+          FROM fp)
+    WHERE rk <= {_EVAL_N}
+    """,
+    survey="X1,X4",
+    doc=f"Exact-N-per-stratum deterministic sampling — EVAL-SET CARVING: "
+    f"exactly {_EVAL_N} documents per language (whole stratum when "
+    "smaller), ranked by (content fingerprint, doc_id) — pseudo-random "
+    "but purely content-derived, so the carved set is bit-stable under "
+    "re-ingestion/retries/repartitioning with zero RNG state, unlike "
+    "the mixture samplers' fraction targets whose realized sizes drift "
+    "binomially. Per-stratum top-N via ROW_NUMBER; the operator's "
+    "prefilter=True dial is the 100 TB arm — a totals pass sizes a "
+    "fingerprint-bucket threshold admitting ~margin*N rows per stratum "
+    "into the window (admission VERIFIED >= N per stratum, raises "
+    "rather than approximating: the N smallest keys provably lie below "
+    "any threshold admitting >= N rows), so no corpus-sized stratum "
+    "ever sorts in one task; equality-tested against this exact arm.",
+)
+def eval_set_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_exact_n_sample
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return stratified_exact_n_sample(docs, stratum="lang", n_per_stratum=_EVAL_N)

@@ -417,3 +417,100 @@ def knn_opq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(short, rot, queries, k=K)
+
+
+# --- embedding drift: the spectrum primitive applied as a monitor ----------
+
+
+def _pi_pass_ctes_pfx(pfx: str, i: int) -> str:
+    """The verified power-iteration step CTEs (stats_ops._pi_pass_ctes)
+    with every name prefixed, so two independent chains — one per
+    corpus half — coexist in one drift-monitor oracle."""
+    return f"""
+    {pfx}p{i} AS (
+      SELECT vec_id, xq,
+             CAST(FLOOR(list_sum(list_transform(list_zip(xq, {pfx}v{i - 1}.v),
+                        p -> CAST(p[1] AS DOUBLE) * p[2]))) AS BIGINT) AS q
+      FROM {pfx}base CROSS JOIN {pfx}v{i - 1}
+    ),
+    {pfx}w{i} AS (
+      SELECT dims.dim,
+             SUM(CAST({pfx}p{i}.q AS HUGEINT) * {pfx}p{i}.xq[dims.dim + 1]) AS w
+      FROM {pfx}p{i} CROSS JOIN dims GROUP BY dims.dim
+    ),
+    {pfx}n{i} AS (
+      SELECT SQRT(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM {pfx}w{i}
+    ),
+    {pfx}v{i} AS (
+      SELECT list(CAST(w AS DOUBLE) / {pfx}n{i}.nrm ORDER BY dim) AS v
+      FROM {pfx}w{i} CROSS JOIN {pfx}n{i}
+    )"""
+
+
+def _drift_half_ctes(pfx: str, parity: int) -> str:
+    return f"""
+    {pfx}base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * {PI_Q}) AS BIGINT))
+               AS xq
+      FROM embeddings WHERE vec_id % 2 = {parity}
+    ),
+    {pfx}v0 AS (
+      SELECT list_prepend(CAST(1.0 AS DOUBLE),
+                 list_transform(range({PI_D - 1}),
+                                i -> CAST(0.0 AS DOUBLE))) AS v
+    ),
+    {",".join(_pi_pass_ctes_pfx(pfx, i) for i in range(1, PI_ITERS + 1))}"""
+
+
+@register(
+    "embedding_drift_components",
+    oracle=_materialize(
+        f"""
+    WITH dims AS (SELECT UNNEST(range({PI_D})) AS dim),
+    {_drift_half_ctes("ha", 0)},
+    {_drift_half_ctes("hb", 1)}
+    SELECT half, dims.dim AS dim,
+           CAST(FLOOR(v[dims.dim + 1] * 1000000 + 0.5) AS BIGINT)
+             AS comp_micro
+    FROM (SELECT 0 AS half, v FROM hav{PI_ITERS}
+          UNION ALL
+          SELECT 1 AS half, v FROM hbv{PI_ITERS})
+    CROSS JOIN dims
+    """,
+        tuple(f"{p}{n}{i}" for p in ("ha", "hb") for n in ("w", "v")
+              for i in range(1, PI_ITERS + 1))
+        + ("habase", "hbbase"),
+    ),
+    survey="X12,X4",
+    doc="EMBEDDING DRIFT MONITOR — the production use of the exact "
+    "spectrum primitive: the dominant second-moment eigenvector of each "
+    "corpus half (vec_id parity standing in for yesterday/today, "
+    "shard A/B, pre/post-reingest), emitted as (half, dim, comp_micro) "
+    "with every step bit-reproducible cross-engine (two independent "
+    "unrolls of the verified power-iteration chain). The drift angle "
+    "acos(|v_a . v_b|) is a trivial driver-side dot of the two returned "
+    "components — near 0 for same-distribution halves (asserted in "
+    "tests/test_opq.py with a planted-drift counterexample). Two "
+    "filtered scans per iteration; partition pruning applies when the "
+    "halves are real partitions.",
+)
+def embedding_drift_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import power_iteration_top_component
+
+    emb = _emb(spark, sf_dir)
+    rows = []
+    for half in (0, 1):
+        comp = power_iteration_top_component(
+            emb.filter(F.col("vec_id") % 2 == half),
+            n_iter=PI_ITERS,
+            q_scale=PI_Q,
+        )
+        rows.extend(
+            (half, j, math.floor(x * 1_000_000 + 0.5))
+            for j, x in enumerate(comp)
+        )
+    return spark.createDataFrame(
+        rows, "half: bigint, dim: bigint, comp_micro: bigint"
+    )

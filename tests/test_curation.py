@@ -317,3 +317,94 @@ def test_quality_mix_capstone_approx_close_to_exact(spark, sf_dir):
         nda, nta = approx[lang]
         assert abs(nda - nd) <= max(3, 0.25 * nd), (lang, nd, nda)
         assert abs(nta - nt) <= max(60, 0.25 * nt), (lang, nt, nta)
+
+
+def test_stratified_exact_n_sample_sizes_and_determinism(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.curation import (
+        stratified_exact_n_sample,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = stratified_exact_n_sample(docs, n_per_stratum=30)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # exactly N per stratum, whole stratum when smaller
+    assert sizes == {la: min(30, t) for la, t in totals.items()}
+    # bit-stable under repartitioning (content-derived order, no RNG)
+    a = {(r["lang"], r["doc_id"]) for r in got.collect()}
+    b = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_exact_n_sample(
+            docs.repartition(7), n_per_stratum=30
+        ).collect()
+    }
+    assert a == b
+
+
+def test_stratified_exact_n_prefilter_arm_is_exact(spark, sf_dir):
+    """The 100 TB arm (fingerprint-bucket prefilter + verified
+    admission) must select the IDENTICAL set as the full-window arm —
+    exactness by construction, not approximation."""
+    from spotify_etl_pipeline_spark.operators.curation import (
+        stratified_exact_n_sample,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    full = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_exact_n_sample(docs, n_per_stratum=20).collect()
+    }
+    pre = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_exact_n_sample(
+            docs, n_per_stratum=20, prefilter=True, prefilter_margin=6
+        ).collect()
+    }
+    assert pre == full and len(full) > 0
+
+
+def test_stratified_exact_n_prefilter_underfill_raises(spark):
+    """A margin too small to admit N rows must RAISE with the dial
+    named, never silently return a short sample."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.operators.curation import (
+        stratified_exact_n_sample,
+    )
+
+    from spotify_etl_pipeline_spark.operators.curation import (
+        content_fingerprint,
+    )
+
+    # deterministic underfill: keep only docs whose fingerprint bucket
+    # is in the TOP half of the space, then size the threshold into the
+    # bottom sixth (t = ceil(1*3*10000/20) = 1500 < 5000) — zero rows
+    # can be admitted, so the verification MUST fire
+    cand = spark.createDataFrame(
+        [(i, "en", f"tok{i} alpha beta gamma delta") for i in range(200)],
+        ["doc_id", "lang", "text"],
+    )
+    docs = (
+        cand.withColumn("_b", content_fingerprint() % 10_000)
+        .filter(F.col("_b") >= 5_000)
+        .drop("_b")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+    # t = ceil(1*3*10000/T) must land strictly below every bucket (all
+    # are >= 5000 by construction), i.e. T must exceed 6
+    assert 6 < n_docs <= 20
+    with pytest.raises(ValueError, match="prefilter_margin"):
+        stratified_exact_n_sample(
+            docs, n_per_stratum=3, prefilter=True, prefilter_margin=1,
+            granularity=10_000,
+        )
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_exact_n_sample(docs, n_per_stratum=0)

@@ -148,3 +148,32 @@ def test_householder_skips_aligned_component(spark):
     reflection (s ~ 0) — the rotation degenerates to identity."""
     comps = [[1.0] + [0.0] * 15]
     assert opq_householders(comps, m=4) == []
+
+
+def test_drift_angle_small_same_dist_large_planted(spark):
+    """The drift monitor's contract: top components of two SAME-
+    distribution halves align (strong eigengap -> tiny angle); planting
+    a different dominant direction in one half opens the angle wide."""
+    rng = np.random.default_rng(3)
+    X, a, b = _anisotropic(rng, n=600)
+
+    def top(df_rows):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in r]) for i, r in df_rows],
+            "vec_id: long, embedding: array<double>",
+        )
+        return np.array(
+            power_iteration_components(df, n_components=1, n_iter=6)[0]
+        )
+
+    same_a = top([(i, X[i]) for i in range(0, 600, 2)])
+    same_b = top([(i, X[i]) for i in range(1, 600, 2)])
+    assert abs(float(same_a @ same_b)) > 0.999
+
+    # planted drift: the second half's dominant direction is b, not a
+    Xd = (
+        (rng.normal(size=(300, 1)) * 10.0) @ b[None, :]
+        + rng.normal(size=(300, 16)) * 0.3
+    )
+    drift_b = top([(i, Xd[i]) for i in range(300)])
+    assert abs(float(same_a @ drift_b)) < 0.2
