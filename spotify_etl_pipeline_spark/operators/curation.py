@@ -113,6 +113,16 @@ def budget_mixture_sample(
     the per-stratum thresholds (bounded by |strata|, never corpus-sized)
     + a per-row predicate — the corpus itself never shuffles.
     """
+    # the numerator is a CONSTANT product — audit it in Python ints
+    # (arbitrary precision) before it ever becomes a BIGINT expression;
+    # r8 headroom audit, the budget-sampler sibling of the temperature
+    # sampler's in-plan guard (whose numerator is data-dependent)
+    if int(granularity) * int(token_budget) > 2**63 - 1:
+        raise ValueError(
+            "budget_mixture_sample: granularity * token_budget exceeds "
+            "int64 — lower granularity (the fraction resolution) for "
+            "budgets this large"
+        )
     tk = docs.withColumn(
         "_nt", F.size(F.split("text", " ")).cast("long")
     )

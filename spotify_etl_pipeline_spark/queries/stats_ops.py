@@ -171,44 +171,54 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_per_doc(_t(spark, sf_dir, "documents"))
 
 
-def lm_score_per_doc(src: DataFrame) -> DataFrame:
+def lm_score_per_doc(
+    src: DataFrame, materialize_weighted: bool = False
+) -> DataFrame:
     """(doc_id, n_bigrams, avg_logp) for any (doc_id, text) relation —
     the char-bigram LM fit + score, factored out so compositions (the
     curation capstones) can run it over CLEANED text rather than the
     raw `documents` table.
 
-    r8 plan: the exploded occurrence stream pre-aggregates to
-    (doc_id, bg, k) FIRST — per-doc distinct char-bigrams are bounded
-    by the alphabet² (≲1 000 rows/doc) however long the document, so
-    the fit, the broadcast-LM score join, and the per-doc re-aggregation
-    all run over the compact weighted table instead of the raw stream
-    (~2 full explode passes saved at sf10 where the occurrence stream
-    is ~1.8·10⁸ rows/pass, SCALE.md §Round-8); the weighted table is
-    eagerly localCheckpointed because both the fit and the scoring
-    branch consume it (the stored-artifact rule).  avg_logp becomes
-    Σ k·ln(p) / Σ k — per-term k·ln(p) is one IEEE multiply
-    (bit-identical cross-engine) and the DuckDB oracles aggregate the
-    SAME distinct-(doc, bg) terms, so the engines sum term-sets of
-    identical values, exactly as order-robust as the previous
-    per-occurrence AVG under the 4-decimal round."""
+    r8 plan: the FIT aggregates the raw explode stream straight to the
+    alphabet²-row LM table (map-side partial agg — zero corpus-scale
+    shuffle), while the SCORING branch pre-aggregates to (doc_id, bg, k)
+    — per-doc distinct char-bigrams are alphabet-bounded however long
+    the document — so the broadcast-LM join and the per-doc
+    re-aggregation consume the compact weighted table instead of the
+    raw occurrence stream.  avg_logp becomes Σ k·ln(p) / Σ k — per-term
+    k·ln(p) is one IEEE multiply (bit-identical cross-engine) and the
+    DuckDB oracles aggregate the SAME distinct-(doc, bg) terms, so the
+    engines sum term-sets of identical values, exactly as order-robust
+    as the previous per-occurrence AVG under the 4-decimal round.
+    ``materialize_weighted`` checkpoints the weighted table — measured
+    a LOSS at the sf10 tile (it is corpus-scale; SCALE.md §Round-8),
+    off by default, kept for many-consumer compositions."""
     docs = (
         src.filter(F.length("text") >= 2)
         .select("doc_id", F.lower(F.col("text")).alias("t"))
     )
-    bgc = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
-                )
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
+            )
+        ).alias("bg"),
     )
-    lm = bgc.groupBy("bg").agg(F.sum("k").alias("c"))
+    bgc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
+    if materialize_weighted:
+        # measured a LOSS at the sf10 tile (286.5 s vs 197.8 s without,
+        # SCALE.md §Round-8): the weighted table is corpus-scale, so
+        # materializing it costs a full extra write/read while the
+        # recompute it saves is one narrow explode + a map-side partial
+        # agg. Kept as a dial for callers whose downstream re-reads bgc
+        # many MORE than twice.
+        bgc = bgc.localCheckpoint(eager=True)
+    # the FIT never needs the (doc, bg) table: groupBy(bg) over the raw
+    # explode stream partial-aggregates map-side straight to alphabet²
+    # rows — zero corpus-scale shuffle; only the SCORING branch pays the
+    # one (doc_id, bg) shuffle. Same values (Σ_doc k == corpus count).
+    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     tot = lm.agg(F.sum("c").cast("double").alias("tc"))
     return (
         bgc.join(F.broadcast(lm), "bg")

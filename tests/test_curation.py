@@ -408,3 +408,17 @@ def test_stratified_exact_n_prefilter_underfill_raises(spark):
         )
     with pytest.raises(ValueError, match="n_per_stratum"):
         stratified_exact_n_sample(docs, n_per_stratum=0)
+
+
+def test_budget_sample_constant_overflow_guard(spark):
+    import pytest
+
+    from spotify_etl_pipeline_spark.operators.curation import (
+        budget_mixture_sample,
+    )
+
+    docs = spark.createDataFrame([(0, "en", "a b")], ["doc_id", "lang", "text"])
+    with pytest.raises(ValueError, match="granularity"):
+        budget_mixture_sample(
+            docs, token_budget=10**16, granularity=10_000
+        )

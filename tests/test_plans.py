@@ -306,3 +306,32 @@ def test_analyze_table_stats_drive_cbo_estimates(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", saved)
         spark.sql("DROP TABLE IF EXISTS _cbo_orders")
+
+
+def test_cms_topk_probe_is_broadcast(spark, sf_dir):
+    """cms_topk_serving's probe joins the <= d*w-row sketch: it must be
+    the broadcast side (the serving path never shuffles the candidate
+    stream against it), and no sort-merge join may appear anywhere in
+    the serve plan."""
+    plan = final_plan(queries()["cms_topk_serving"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_eval_sample_prefilter_threshold_is_broadcast(spark, sf_dir):
+    """The 100 TB arm's per-stratum threshold table (|strata| rows) must
+    broadcast-join the corpus — the corpus never shuffles before the
+    bounded ranking window."""
+    from spotify_etl_pipeline_spark.operators.curation import (
+        stratified_exact_n_sample,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    plan = final_plan(
+        stratified_exact_n_sample(
+            docs, n_per_stratum=20, prefilter=True, prefilter_margin=6
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
