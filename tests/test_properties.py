@@ -437,3 +437,147 @@ def test_semdedup_subset_property(spark, vecs):
         for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
     }
     assert sem_pairs <= brute
+
+
+# --- round 8: substring witness policies / samplers --------------------------
+
+# small-alphabet token lists so cross-doc duplicated windows actually
+# occur at L=3
+_r8_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=_r8_corpus)
+@settings(**_SETTINGS)
+def test_keep_first_cut_is_subset_of_keep_all(spark, docs):
+    """keep='first' exempts exactly one occurrence per duplicated
+    window, so its cut list is a SUBSET of keep='all''s: every token
+    keep-all retains, keep-first retains too (per (doc, position)) —
+    and keep-first never cuts more in total."""
+    from spotify_etl_pipeline_spark.operators.text import substring_cut_corpus
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs) if toks]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out_all = {
+        r["doc_id"]: r for r in substring_cut_corpus(df, min_len=3).collect()
+    }
+    out_first = {
+        r["doc_id"]: r
+        for r in substring_cut_corpus(df, min_len=3, keep="first").collect()
+    }
+    def is_subseq(small, big):
+        it = iter(big)
+        return all(t in it for t in small)
+
+    for did, text in rows:
+        a, f = out_all[did], out_first[did]
+        assert f["n_cut"] <= a["n_cut"]
+        # keep-first's cut list is a subset of keep-all's, so keep-all's
+        # kept positions are a subset of keep-first's — which makes
+        # keep-all's clean text an order-preserving SUBSEQUENCE of
+        # keep-first's (the canonical check; reconstructing positions
+        # from text is ambiguous for repeated tokens)
+        cl_a = a["clean_text"].split(" ") if a["clean_text"] else []
+        cl_f = f["clean_text"].split(" ") if f["clean_text"] else []
+        assert is_subseq(cl_a, cl_f), (did, cl_a, cl_f)
+
+
+@given(docs=_r8_corpus)
+@settings(**_SETTINGS)
+def test_fixpoint_leaves_no_cross_doc_span(spark, docs):
+    """substring_cut_fixpoint's contract, on random corpora: the
+    cleaned corpus contains NO cross-doc duplicated window of >= L
+    tokens at all (the invariant one cutting pass cannot promise)."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.text import (
+        exact_substring_spans,
+        substring_cut_fixpoint,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs) if toks]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = substring_cut_fixpoint(df, min_len=3, max_passes=12).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert exact_substring_spans(clean, min_len=3).count() == 0
+
+
+_r8_texts = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=6),
+    min_size=4,
+    max_size=24,
+)
+
+
+@given(texts=_r8_texts, n=st.integers(1, 5), margin=st.integers(2, 8))
+@settings(**_SETTINGS)
+def test_stratified_prefilter_always_equals_full(spark, texts, n, margin):
+    """The prefilter arm is EXACT by construction — on any corpus, any
+    N, any margin, it must either select the identical set or raise the
+    underfill guard (never a silently different sample). This is the
+    property the r8 rank-key bug (prefilter on the bucket, rank on the
+    raw fingerprint) would have failed immediately."""
+    from spotify_etl_pipeline_spark.operators.curation import (
+        stratified_exact_n_sample,
+    )
+
+    rows = [
+        (i, ["en", "fr"][i % 2], " ".join(t) + f" t{i}")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    full = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_exact_n_sample(df, n_per_stratum=n).collect()
+    }
+    try:
+        pre = {
+            (r["lang"], r["doc_id"])
+            for r in stratified_exact_n_sample(
+                df, n_per_stratum=n, prefilter=True, prefilter_margin=margin
+            ).collect()
+        }
+    except ValueError as e:
+        assert "prefilter_margin" in str(e)
+        return
+    assert pre == full
+
+
+@given(texts=_r8_texts, budget=st.integers(5, 200))
+@settings(**_SETTINGS)
+def test_temperature_driver_mode_always_equals_plan(spark, texts, budget):
+    """thresholds_mode='driver' (Python-int exact arithmetic) must keep
+    the identical documents as the in-plan BIGINT arithmetic on any
+    corpus/budget inside the shared headroom domain."""
+    from spotify_etl_pipeline_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    rows = [
+        (i, ["en", "fr", "de"][i % 3], " ".join(t) + f" t{i}")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plan = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(df, total_token_budget=budget)
+        .select("doc_id")
+        .collect()
+    }
+    driver = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            df, total_token_budget=budget, thresholds_mode="driver"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert plan == driver
