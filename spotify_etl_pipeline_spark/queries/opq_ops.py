@@ -135,7 +135,7 @@ def _components_ctes() -> str:
     {",".join(_c2_pass_ctes(t) for t in range(1, PI_ITERS + 1))}"""
 
 
-def _rotation_ctes() -> str:
+def _rotation_ctes(out: str = "e") -> str:
     """Householder construction + corpus rotation over the spectrum
     chain: unnormalized u1 = v1 − e_1 (target: first dim of subspace
     0), v2 passed through H1, u2 = H1(v2) − e_17 (first dim of subspace
@@ -195,7 +195,7 @@ def _rotation_ctes() -> str:
                                      p -> p[1] * p[2])) AS t
       FROM r1 CROSS JOIN h2u
     ),
-    e AS (
+    {out} AS (
       SELECT r2t.vec_id,
              CASE WHEN h2s.s < 1e-24 THEN r2t.v
                   ELSE list_transform(list_zip(r2t.v, h2u.u),
@@ -513,4 +513,90 @@ def embedding_drift_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows, "half: bigint, dim: bigint, comp_micro: bigint"
+    )
+
+
+# --- OPQ + residual IVFADC: the full Faiss OPQ->IVFPQ production shape ------
+
+#: The verified residual-IVFADC oracle with its head CTE swapped for the
+#: rotated corpus: everything downstream (cell references, residuals,
+#: init-only books, per-(query, probed-cell) LUTs, fused ADC, exact
+#: rerank) is the knn_ivfadc_residual_topk oracle VERBATIM — the
+#: composition changes the input space, not the machinery, exactly like
+#: the Spark side (pq_ivfadc_residual_topk over opq_rotate output).
+_RESID_HEAD = """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),"""
+
+
+def _opq_resid_oracle() -> str:
+    from .catalog import CATALOG
+
+    base = CATALOG["knn_ivfadc_residual_topk"].oracle
+    if _RESID_HEAD not in base:
+        raise RuntimeError(
+            "knn_ivfadc_residual_topk oracle head changed — update the "
+            "OPQ composition's head swap in lockstep"
+        )
+    head = f"""
+    WITH {_components_ctes()},
+    {_rotation_ctes(out="rote")},
+    e AS (
+      SELECT rote.vec_id, emb2.label, rote.v
+      FROM rote JOIN embeddings emb2 USING (vec_id)
+    ),"""
+    return _materialize(
+        base.replace(_RESID_HEAD, head),
+        _SPECTRUM_MAT + ("h1u", "h1s", "h2u", "h2s", "rote", "e", "rdists"),
+    )
+
+
+@register(
+    "knn_opq_ivfadc_residual_topk",
+    oracle=_opq_resid_oracle(),
+    survey="X3,X12",
+    doc="OPQ composed with residual IVFADC — the complete Faiss "
+    "OPQMatrix->IndexIVFPQ production shape (Ge et al. 2013 + Jégou et "
+    "al. 2011 §IV.A) under ONE full value-hash: the deflated exact "
+    "spectrum rotates the corpus (Householder reflections, L2 "
+    "preserved, stored IVF cells unchanged — rotation is an index-"
+    "build-time narrow map), then the verified residual pipeline runs "
+    "verbatim in rotated space: pinned lowest-id cell references, "
+    "init-only residual codebooks, per-(query, probed-cell) integer-"
+    "micro LUTs, the fused broadcast-ADC join with map-side partial "
+    "aggregation, exact rerank on the shortlist. The oracle reuses the "
+    "knn_ivfadc_residual_topk CTE chain with only its head swapped for "
+    "the rotated relation (guarded against drift), so any divergence "
+    "in the shared machinery shows up in BOTH entries' hashes.",
+)
+def knn_opq_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import power_iteration_components
+    from ..operators.pq import (
+        opq_householders,
+        opq_rotate,
+        pq_ivfadc_residual_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    comps = power_iteration_components(
+        emb, n_components=OPQ_COMPONENTS, n_iter=PI_ITERS, q_scale=PI_Q
+    )
+    hs = opq_householders(comps, m=PQ_M)
+    rot = (
+        opq_rotate(emb, hs)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        # the rotated, cell-tagged corpus is the stored index input —
+        # one eager materialization, many consumers downstream
+        .localCheckpoint(eager=True)
+    )
+    queries = rot.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    return pq_ivfadc_residual_topk(
+        rot, queries, m=PQ_M, k_codes=PQ_K, k=K, shortlist=PQ_SHORTLIST,
+        n_probe=3, cluster_col="label", coarse_mode="pinned",
+        books_max_iter=0, int_units=True,
     )

@@ -177,3 +177,37 @@ def test_drift_angle_small_same_dist_large_planted(spark):
     )
     drift_b = top([(i, Xd[i]) for i in range(300)])
     assert abs(float(same_a @ drift_b)) < 0.2
+
+
+def test_opq_residual_composition_in_family(spark, sf_dir):
+    """The composed OPQ->residual-IVFADC entry must behave like its
+    unrotated sibling on the fixture: full k rows per query, and recall
+    vs exact L2 within a small delta of the raw pinned residual arm
+    (rotation preserves L2, so the composition cannot systematically
+    lose recall; both run the pinned DETERMINISM dials whose absolute
+    recall is the declared trade — the quality dials are recall-tested
+    in test_pq_residual.py)."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.queries.catalog import queries
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_l2_topk(emb, q, k=5).collect()
+    }
+
+    def recall(name):
+        rows = queries()[name](spark, sf_dir).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return len(got & truth) / len(truth)
+
+    raw = recall("knn_ivfadc_residual_topk")
+    composed = recall("knn_opq_ivfadc_residual_topk")
+    assert composed >= raw - 0.1, (composed, raw)
