@@ -618,3 +618,71 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(max_key_rows * 1000000) div total").alias("top_share_ppm"),
         F.expr("(total + n_keys - 1) div n_keys").alias("mean_key_rows"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source, unnest(
+          list_transform(range(greatest(len(string_split(text,' ')) - 4, 0)),
+            i -> string_split(text,' ')[i+1] || '_' ||
+                 string_split(text,' ')[i+2] || '_' ||
+                 string_split(text,' ')[i+3] || '_' ||
+                 string_split(text,' ')[i+4] || '_' ||
+                 string_split(text,' ')[i+5])
+        ) AS shingle
+        FROM documents
+      )
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    survey="X2,X4",
+    doc="Cross-source duplication AUDIT — the pairwise 5-gram overlap "
+    "matrix mixture design consumes (how much does web-crawl A repeat "
+    "web-crawl B before you weight them?): distinct (source, shingle) "
+    "postings self-joined ON THE SHINGLE with source_a < source_b, "
+    "counted per pair. Scale shape: the only corpus-sized stage is the "
+    "distinct (source, shingle) aggregation (map-side combining, keyed "
+    "shuffle); the self-join fans out at most C(|sources|,2) pairs PER "
+    "SHINGLE — bounded by the source count squared, independent of "
+    "corpus size — so there is no all-pairs-of-documents stage "
+    "anywhere. At extreme shingle skew the X2 stop-shingle cut "
+    "(max_shingle_df) composes in front unchanged.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.expr(
+                # CASE guard: Spark sequence(1, 0) is descending, not
+                # empty (see text_ngram_diversity)
+                "element_at(transform(array(split(text, ' ')), ts -> "
+                "CASE WHEN size(ts) >= 5 THEN "
+                "transform(sequence(1, size(ts) - 4), "
+                "i -> concat_ws('_', slice(ts, i, 5))) "
+                "ELSE array() END), 1)"
+            ).alias("grams"),
+        )
+        .select("source", F.explode("grams").alias("shingle"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -347,3 +347,63 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("rank", "doc_id", F.round("s", 4).alias("score"))
     )
+
+
+@register(
+    "text_ngram_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(toks) - 2, 0)),
+               i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+               AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CAST((1000 * len(list_distinct(grams))) // len(grams) AS BIGINT)
+             AS diversity_permille
+    FROM g WHERE len(grams) > 0
+    """,
+    survey="X4",
+    doc="N-gram diversity score (distinct-trigram ratio per document) — "
+    "the self-repetition/diversity statistic curation recipes threshold "
+    "on (the Self-BLEU-lite of RefinedWeb-style filters, complementing "
+    "the X30 extent-based repetition tier with a cheap scalar). "
+    "Entirely NARROW: token split, trigram transform, in-row "
+    "array_distinct, integer permille — zero shuffles, zero UDFs; at "
+    "100 TB this is a free rider on any corpus scan. Integer div "
+    "quantization (the cross-engine idiom); docs shorter than one "
+    "trigram are excluded on both engines.",
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_fixture(spark, sf_dir, "documents")
+    # split bound ONCE per row through the single-element-transform
+    # let-binding (the interpreted-HOF rule, SCALE.md §Round-8: a
+    # lambda-bearing expression gets no subexpression elimination, so
+    # an inline split would re-tokenize per output gram)
+    g = docs.select(
+        "doc_id",
+        F.expr(
+            # CASE guard, not greatest(...,0): Spark sequence(1, 0) is
+            # DESCENDING [1, 0], not empty (caught by the planted
+            # short-doc test — the fixture never exercises it)
+            "element_at(transform(array(split(text, ' ')), ts -> "
+            "CASE WHEN size(ts) >= 3 THEN "
+            "transform(sequence(1, size(ts) - 2), "
+            "i -> concat_ws('_', slice(ts, i, 3))) "
+            "ELSE array() END), 1)"
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        F.expr("(1000 * size(array_distinct(grams))) div size(grams)")
+        .cast("long")
+        .alias("diversity_permille"),
+    )

@@ -271,3 +271,67 @@ def test_hll_sketches_merge_across_persisted_shards(spark, sf_dir, tmp_path):
     exact = cust.select("c_custkey").distinct().count()
     assert merged == single_pass
     assert abs(merged - exact) <= 0.02 * exact
+
+
+def test_ngram_diversity_planted_extremes(spark):
+    """All-repeat doc -> minimum diversity; all-unique doc -> 1000."""
+    from spotify_etl_pipeline_spark.queries.text_queries import (
+        text_ngram_diversity,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture  # noqa: F401
+
+    import spotify_etl_pipeline_spark.queries.text_queries as tq
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["x"] * 30)),  # 28 identical trigrams
+            (1, " ".join(f"u{i}" for i in range(30))),  # all distinct
+            (2, "a b"),  # shorter than one trigram -> excluded
+        ],
+        ["doc_id", "text"],
+    )
+    # call the entry's body over a custom frame via the same expressions
+    import types
+
+    def run(df):
+        from pyspark.sql import functions as F
+
+        g = df.select(
+            "doc_id",
+            F.expr(
+                "element_at(transform(array(split(text, ' ')), ts -> "
+                "CASE WHEN size(ts) >= 3 THEN "
+                "transform(sequence(1, size(ts) - 2), "
+                "i -> concat_ws('_', slice(ts, i, 3))) "
+                "ELSE array() END), 1)"
+            ).alias("grams"),
+        ).filter(F.size("grams") > 0)
+        return g.select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+            F.expr("(1000 * size(array_distinct(grams))) div size(grams)")
+            .cast("long")
+            .alias("diversity_permille"),
+        )
+
+    got = {r["doc_id"]: r for r in run(docs).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_distinct"] == 1 and got[0]["diversity_permille"] == 1000 // 28
+    assert got[1]["diversity_permille"] == 1000
+
+
+def test_source_overlap_matrix_planted_pair(spark, sf_dir):
+    """The overlap audit must count exactly the distinct shared 5-grams
+    per source pair, and the fixture's replicated boilerplate must
+    surface as nonzero cross-source overlap."""
+    from spotify_etl_pipeline_spark.queries.quality_ops import (
+        source_overlap_matrix,
+    )
+
+    rows = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(spark, sf_dir).collect()
+    }
+    assert rows and all(a < b for a, b in rows)  # strict upper triangle
+    assert all(n > 0 for n in rows.values())
