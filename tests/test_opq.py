@@ -211,3 +211,67 @@ def test_opq_residual_composition_in_family(spark, sf_dir):
     raw = recall("knn_ivfadc_residual_topk")
     composed = recall("knn_opq_ivfadc_residual_topk")
     assert composed >= raw - 0.1, (composed, raw)
+
+
+def test_spectrum_stream_matches_batch_including_replay(spark, tmp_path):
+    """Streaming spectrum maintenance (r8): per-epoch components
+    written by the stream must equal components computed directly on
+    each epoch's rows (bit-exact — the power iteration is batch-
+    content-deterministic), the drift report must show ~0 angle between
+    same-distribution epochs and a wide angle to a planted-drift epoch,
+    and replaying an epoch must leave the report unchanged."""
+    from spotify_etl_pipeline_spark.streaming.drift_stream import (
+        drift_report,
+        run_spectrum_stream,
+    )
+
+    rng = np.random.default_rng(5)
+    X, a, b = _anisotropic(rng, n=400)
+    Xd = (
+        (rng.normal(size=(200, 1)) * 10.0) @ b[None, :]
+        + rng.normal(size=(200, 16)) * 0.3
+    )  # planted drift: dominant direction flips to b
+
+    def rows(arr, base):
+        return [
+            (base + i, 0, [float(x) for x in v]) for i, v in enumerate(arr)
+        ]
+
+    src = str(tmp_path / "src")
+    schema = "vec_id: long, label: int, embedding: array<float>"
+    # three single-file epochs: two same-distribution halves + drift
+    for part in (rows(X[:200], 0), rows(X[200:], 200), rows(Xd, 400)):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "spec")
+    run_spectrum_stream(
+        spark, src, out, str(tmp_path / "ckpt"), n_iter=6,
+        max_files_per_trigger=1,
+    )
+
+    # stream == batch, bit-exact per epoch
+    got0 = {
+        r["dim"]: r["comp_micro"]
+        for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    }
+    direct = power_iteration_components(
+        spark.createDataFrame(rows(X[:200], 0), schema),
+        n_components=1,
+        n_iter=6,
+    )[0]
+    want0 = {j: math.floor(c * 1_000_000 + 0.5) for j, c in enumerate(direct)}
+    assert got0 == want0
+
+    rep = drift_report(spark, out)
+    assert [r["epoch_a"] for r in rep] == [0, 1]
+    assert rep[0]["angle_centideg"] < 300  # same distribution: < 3 deg
+    assert rep[1]["angle_centideg"] > 4000  # planted drift: > 40 deg
+
+    # replay epoch 1 with identical content -> report unchanged
+    ep_rows = spark.read.parquet(f"{out}/epoch=1").collect()
+    spark.createDataFrame(
+        ep_rows, "dim: bigint, comp_micro: bigint"
+    ).write.mode("overwrite").parquet(f"{out}/epoch=1")
+    spark.catalog.refreshByPath(out)
+    assert drift_report(spark, out) == rep
