@@ -35,6 +35,7 @@ PAIRWISE_OK = {
     "knn_ivfadc_topk",  # same k-row centroid crossJoin (ivf_probe_routing)
     "knn_pq_auto_forced_ivfadc",  # same routing crossJoin, pinned reps
     "knn_ivfadc_residual_topk",  # same routing crossJoin + C-row reference attach
+    "knn_opq_ivfadc_residual_topk",  # identical residual machinery, rotated input
     "knn_ivf_recall",  # embeds brute_force_topk (the recall reference)
     "knn_pq_recall",  # embeds brute_force_l2_topk (the recall reference)
     "knn_ivfadc_recall",  # embeds brute_force_l2_topk (the recall reference)
