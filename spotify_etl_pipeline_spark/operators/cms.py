@@ -16,10 +16,15 @@ counters it hashes to; collisions only ADD), and overcount is bounded by
 e·N/w with probability 1−e^−d.  Both halves are in-query assertions in
 the driver entry (`cms_heavy_hitters_check`).
 
-Hash family: the repo's cross-engine md5-slice bigint
-(queries/oracle_sql_helpers.MD5_SID_* — first 60 digest bits), row-salted
-with a ``i:`` prefix, bucketed by ``% w`` — bit-identical in DuckDB, so
-the whole sketch is value-hash-checkable.
+Hash family: ``xxhash64`` (JVM-native) is the PRODUCTION DEFAULT — the
+CMS bounds need pairwise-independent-ish hashing, not cryptographic, and
+the digest dominates build cost at 10⁸+ occurrences (measured 7.0×
+through the full serve path, SCALE.md).  The ``md5`` dial is the AUDIT
+arm: the repo's cross-engine md5-slice bigint
+(queries/oracle_sql_helpers.MD5_SID_* — first 60 digest bits),
+row-salted with a ``i:`` prefix, bucketed by ``% w`` — bit-identical in
+DuckDB, so the whole sketch is value-hash-checkable; the oracle catalog
+entries pin it explicitly.  Build and probe must use the SAME family.
 """
 
 from __future__ import annotations
@@ -37,22 +42,22 @@ def _bucket_expr(row_col: str, key_sql: str, w: int, hash_fn: str) -> F.Column:
     # int→string coercion inside concat
     salted = f"concat(cast({row_col} as string), ':', {key_sql})"
     if hash_fn == "md5":
-        # cross-engine bigint (oracle-checkable) — ~1 µs/row: at 10⁸+
-        # occurrences the digest IS the build cost, so production runs
-        # use the xxhash64 dial below and keep md5 for audits
+        # the AUDIT arm: cross-engine bigint (oracle-checkable in DuckDB)
+        # — ~1 µs/row: at 10⁸+ occurrences the digest IS the build cost,
+        # so it is opt-in; the oracle catalog entries pin it explicitly
         return F.expr(_SID.format(x=salted) + f" % {int(w)}")
     if hash_fn == "xxhash64":
-        # JVM-native, an order of magnitude cheaper; same guarantees
-        # (the CMS bounds need pairwise-independent-ish hashing, not
-        # cryptographic) — not reproducible on an external SQL engine,
-        # which is the only reason it isn't the default here
+        # the PRODUCTION DEFAULT: JVM-native, an order of magnitude
+        # cheaper; same guarantees (the CMS bounds need pairwise-
+        # independent-ish hashing, not cryptographic) — its one cost is
+        # that an external SQL engine can't reproduce it, hence md5 above
         return F.expr(f"pmod(xxhash64({salted}), {int(w)})")
     raise ValueError(f'hash_fn must be "md5" or "xxhash64", got {hash_fn!r}')
 
 
 def count_min_build(
     items: DataFrame, key_col: str, d: int = 4, w: int = 1024,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build the sketch: (row, bucket, n) with d·w live cells at most.
 
@@ -77,7 +82,7 @@ def count_min_build(
 
 def count_min_estimate(
     sketch: DataFrame, candidates: DataFrame, key_col: str, d: int = 4,
-    w: int = 1024, hash_fn: str = "md5",
+    w: int = 1024, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Point-query the sketch for each candidate key: (key, cms_n) with
     ``cms_n = min over the d salted rows`` — never below the true count.
@@ -102,7 +107,7 @@ def count_min_estimate(
 
 def count_min_topk(
     sketch: DataFrame, candidates: DataFrame, key_col: str, k: int = 20,
-    d: int = 4, w: int = 1024, hash_fn: str = "md5",
+    d: int = 4, w: int = 1024, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Serve top-k heavy hitters FROM THE SKETCH: probe every candidate
     key, rank by estimate — (key, cms_n, rank), ties toward the

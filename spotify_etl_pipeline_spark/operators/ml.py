@@ -125,31 +125,7 @@ def power_iteration_top_component(
     ).localCheckpoint(eager=True)
     v = [1.0] + [0.0] * (d - 1)
     for _ in range(int(n_iter)):
-        v_arr = F.array(*[F.lit(float(x)) for x in v])
-        s = F.aggregate(
-            F.zip_with(F.col("xq"), v_arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # guard BEFORE precision loss: a double fold is integer-exact
-        # only below 2^53; past that the projection is silently
-        # non-reproducible, so fail loudly instead
-        q = (
-            F.when(
-                F.abs(s) < F.lit(float(2**53)),
-                F.floor(s),
-            )
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        "power_iteration_top_component: per-row projection "
-                        "|sum(xq*v)| >= 2^53 — double fold loses integer "
-                        "exactness; lower q_scale"
-                    )
-                )
-            )
-            .cast("long")
-        )
+        q = _proj_q(F.col("xq"), v)
         w_rows = (
             xq.select(q.alias("q"), "xq")
             # q*x as decimal(19,0)x(19,0) -> decimal(38,0) sum: HUGEINT-
@@ -168,7 +144,7 @@ def power_iteration_top_component(
         )
         w = [0] * d
         for r in w_rows:
-            w[r["dim"]] = int(r["w"])
+            w[r["dim"]] = _accum_int(r["w"], "power_iteration_top_component")
         norm = math.sqrt(float(sum(wj * wj for wj in w)))
         if norm == 0.0:
             raise ValueError("power iteration collapsed to the zero vector")
@@ -178,14 +154,43 @@ def power_iteration_top_component(
 
 def _proj_q(vec_xq_col, v: list[float]):
     """Per-row quantized projection floor(Σ_j xq_j·v_j) — deterministic
-    left-to-right fold, the scheme's per-row primitive."""
+    left-to-right fold, the scheme's per-row primitive.  Guards
+    |Σ xq·v| < 2⁵³ BEFORE the floor: past that the double fold loses
+    integer exactness silently, breaking the bit-reproducibility
+    contract — so raise loudly instead (shared by the base iteration
+    AND every deflated pass; the r9 ADVICE fix closing the gap where
+    component-2+ projections skipped the guard component 1 had)."""
     v_arr = F.array(*[F.lit(float(x)) for x in v])
     s = F.aggregate(
         F.zip_with(vec_xq_col, v_arr, lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return F.floor(s).cast("long")
+    return (
+        F.when(F.abs(s) < F.lit(float(2**53)), F.floor(s))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "power iteration: per-row projection |sum(xq*v)| >= "
+                    "2^53 — double fold loses integer exactness; lower "
+                    "q_scale"
+                )
+            )
+        )
+        .cast("long")
+    )
+
+
+def _accum_int(value: object, where: str) -> int:
+    """Convert a collected decimal(38,0) accumulator to int, failing
+    with a dial-naming error when it is NULL (non-ANSI decimal overflow
+    returns NULL; a bare ``int(None)`` TypeError would hide the cause)."""
+    if value is None:
+        raise ArithmeticError(
+            f"{where}: decimal(38,0) accumulator overflowed (NULL sum) — "
+            "lower q_scale so quantized products fit the 10^38 headroom"
+        )
+    return int(value)
 
 
 def power_iteration_components(
@@ -289,9 +294,17 @@ def power_iteration_components(
             w_raw = [0] * d
             alphas = [0] * len(comps)
             for row in w_rows:
-                w_raw[row["dim"]] = int(row["w"])
+                w_raw[row["dim"]] = _accum_int(
+                    row["w"], "power_iteration_components"
+                )
                 if row["dim"] == 0:
-                    alphas = [int(row[f"a{u}"]) for u in range(len(comps))]
+                    alphas = [
+                        _accum_int(
+                            row[f"a{u}"],
+                            "power_iteration_components (alpha)",
+                        )
+                        for u in range(len(comps))
+                    ]
             # deflation correction + floor re-quantization, LEFT-TO-RIGHT
             # in component order — plain IEEE doubles, mirrored verbatim
             # by the SQL oracle

@@ -51,11 +51,23 @@ def _materialize(sql: str, names: tuple[str, ...]) -> str:
     subtree per reference — the parquet scan count grows geometrically
     and exhausts file descriptors before any row is produced.
     Materializing the chain joints makes each stage evaluate once, the
-    same shape the Spark side gets from localCheckpoint."""
+    same shape the Spark side gets from localCheckpoint.
+
+    Raises when a named CTE produces zero substitutions (r9 ADVICE fix):
+    a silent no-op on a spelling/whitespace drift in a shared oracle
+    fragment would quietly drop AS MATERIALIZED and reintroduce the
+    geometric re-evaluation this exists to prevent — mirror the
+    ``_RESID_HEAD`` drift guard and fail loudly instead."""
     import re
 
     for n in names:
-        sql = re.sub(rf"(?<![\w]){n} AS \(", f"{n} AS MATERIALIZED (", sql)
+        sql, count = re.subn(rf"(?<![\w]){n} AS \(", f"{n} AS MATERIALIZED (", sql)
+        if count == 0:
+            raise ValueError(
+                f"_materialize: CTE {n!r} not found as '{n} AS (' — the "
+                "shared oracle fragment drifted; update the names tuple "
+                "or the fragment spelling together"
+            )
     return sql
 
 

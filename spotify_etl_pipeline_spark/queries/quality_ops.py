@@ -240,12 +240,17 @@ def cms_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_fixture(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("w"))
-    sketch = count_min_build(words, "w", d=CMS_D, w=CMS_W)
+    # hash_fn="md5" pinned: this is the cross-engine AUDIT arm the DuckDB
+    # oracle hash-checks (the engine default is the xxhash64 production
+    # dial since r9)
+    sketch = count_min_build(words, "w", d=CMS_D, w=CMS_W, hash_fn="md5")
     true_counts = words.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("true_n")
     )
     top = true_counts.orderBy(F.desc("true_n"), F.asc("w")).limit(20)
-    est = count_min_estimate(sketch, top.select("w"), "w", d=CMS_D, w=CMS_W)
+    est = count_min_estimate(
+        sketch, top.select("w"), "w", d=CMS_D, w=CMS_W, hash_fn="md5"
+    )
     return top.join(est, "w").select(
         F.col("w").alias("word"),
         "true_n",
@@ -328,7 +333,8 @@ def cms_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % CMS_EPOCHS).alias("ep"),
         F.explode(F.split("text", " ")).alias("k"),
     )
-    sketch = count_min_build(words, "k", d=CMS_D, w=CMS_W)
+    # md5 pinned — the oracle audit arm (engine default is xxhash64)
+    sketch = count_min_build(words, "k", d=CMS_D, w=CMS_W, hash_fn="md5")
     rn = Wd.partitionBy("ep").orderBy(F.desc("n"), F.asc("k"))
     cand = (
         words.groupBy("ep", "k")
@@ -339,7 +345,7 @@ def cms_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return count_min_topk(
-        sketch, cand, "k", k=CMS_TOPK, d=CMS_D, w=CMS_W
+        sketch, cand, "k", k=CMS_TOPK, d=CMS_D, w=CMS_W, hash_fn="md5"
     ).select(F.col("k").alias("word"), "cms_n", "rank")
 
 

@@ -172,14 +172,17 @@ def order_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    # Unpartitioned window over POST-AGGREGATION rows only: input is one
-    # row per priority (5 at any scale factor — the cardinality bound that
-    # makes a global WindowExec safe here, unlike a raw-fact global window).
-    total = Window.partitionBy()
-    return counts.select(
+    # Percent-of-total as a 1-row ungrouped agg + broadcast attach (the
+    # stats_ops lm-score idiom) instead of an unpartitioned window: same
+    # values (SUM(COUNT(*)) OVER () == the grand total), but no global
+    # WindowExec — no single-partition sort, no "No Partition Defined"
+    # warning, and the shape stays safe even if the group-key cardinality
+    # ever stopped being tiny.
+    total = counts.agg(F.sum("n_orders").alias("tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "o_orderpriority",
         "n_orders",
-        F.round(F.col("n_orders") * 100.0 / F.sum("n_orders").over(total), 2).alias("pct"),
+        F.round(F.col("n_orders") * 100.0 / F.col("tot"), 2).alias("pct"),
     )
 
 

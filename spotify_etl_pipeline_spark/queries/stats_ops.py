@@ -585,15 +585,19 @@ def mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    # Unpartitioned window over POST-AGGREGATION rows only: one row per
-    # document source (a handful at any corpus size — the cardinality bound
-    # that makes a global WindowExec safe here).
-    w = Window.partitionBy()
-    return counts.select(
+    # Grand totals as a 1-row ungrouped agg + broadcast attach (the
+    # lm-score idiom) instead of an unpartitioned window: identical
+    # values, but no global WindowExec — no single-partition sort and no
+    # "No Partition Defined" warning in every run.
+    tot = counts.agg(
+        F.sum("n_docs").alias("tot_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         F.round(
-            F.sum("n_docs").over(w) / (F.count(F.lit(1)).over(w) * F.col("n_docs")),
+            F.col("tot_docs") / (F.col("n_sources") * F.col("n_docs")),
             6,
         ).alias("weight"),
     )

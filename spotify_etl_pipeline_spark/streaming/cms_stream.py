@@ -38,17 +38,19 @@ def run_cms_stream(
     d: int = 4,
     w: int = 1024,
     max_files_per_trigger: int = 1,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> None:
     """Drive the sketch-maintenance stream over current files: per
     micro-batch, build the batch's word-frequency sketch and write it
     under ``epoch=<n>``.
 
-    ``hash_fn`` forwards to :func:`..operators.cms.count_min_build` so
-    the stream can run the ``xxhash64`` production dial (measured 6.7×
-    over md5 on the build stage, SCALE.md §Round-7) — estimates must of
-    course be probed with the SAME family the sketch was built with.
-    Epoch SUM-merging is family-agnostic (cells are (row, bucket, n)).
+    ``hash_fn`` forwards to :func:`..operators.cms.count_min_build`;
+    the default is the ``xxhash64`` production dial (measured 6.7× over
+    md5 on the build stage, SCALE.md §Round-7; 7.0× through the full
+    serve path) and ``md5`` is the explicit cross-engine audit arm —
+    estimates must of course be probed with the SAME family the sketch
+    was built with.  Epoch SUM-merging is family-agnostic (cells are
+    (row, bucket, n)).
     """
 
     def step(batch: DataFrame, epoch: int) -> None:
@@ -89,7 +91,7 @@ def run_cms_topk_stream(
     w: int = 1024,
     per_epoch_candidates: int = 10,
     max_files_per_trigger: int = 1,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> None:
     """Heavy-hitter maintenance stream: per micro-batch write (a) the
     batch's sketch under ``sketch/epoch=<n>`` and (b) the batch's top
@@ -138,7 +140,7 @@ def serve_cms_topk(
     k: int = 20,
     d: int = 4,
     w: int = 1024,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Serve "current top-k frequent keys" from the store WITHOUT
     touching the raw corpus: SUM the epoch sketches cell-wise, union

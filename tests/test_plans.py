@@ -60,6 +60,8 @@ SCALAR_ATTACH_OK = {
     "quality_lm_buckets",  # 1-row LM total-count attach (text_lm_score inside)
     "mixture_sample_temperature",  # 1-row sum-of-weights attach (broadcast)
     "corpus_curation_quality_mix",  # both of the above inside the capstone
+    "order_priority_distribution",  # 1-row grand-total attach (r9 window rewrite)
+    "mixture_reweighting",  # 1-row (total, n_sources) attach (r9 window rewrite)
 }
 
 
