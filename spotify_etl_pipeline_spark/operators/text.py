@@ -1084,3 +1084,134 @@ def bpe_encode_tokens(
             F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: DataFrame | None = None,
+    n_merges: int = 4,
+    chunk_size: int = BPE_ENCODE_CHUNK,
+) -> DataFrame:
+    """ENCODE the corpus to actual TOKEN-ID SEQUENCES — the production
+    completion of the tokenizer tier (``bpe_encode_tokens`` reports the
+    compression stats; a training-data pipeline feeds the ids to the
+    model): per document, (doc_id, n_tokens, token_ids) where
+    ``token_ids`` is the space-joined ordered id sequence over the
+    trainable words ([a-z]{2,}, the trainer's own filter) in their
+    original document order.
+
+    Id space (deterministic, engine-independent): a single base
+    character ``c`` is ``ascii(c) - 97`` (0..25); the symbol created at
+    merge step ``s`` is ``25 + s``.  Two merge rules can produce the
+    same symbol STRING (e.g. (a,bc) and (ab,c) both yield 'abc' — the
+    flat string form cannot distinguish the paths), so the mapping is
+    per distinct string with FIRST-STEP-WINS (min id) — the same rule
+    on both engines, hence hash-checkable.
+
+    Scale shape: encoding is paid once per word TYPE, not per token —
+    the merge rules fold over the distinct-word vocabulary in
+    ``chunk_size``-deep nested-``replace`` passes (the
+    ``bpe_encode_tokens`` large-k regime, eager localCheckpoint between
+    passes keeps lineage flat and every pass vocabulary-sized), the
+    symbol→id attach is a broadcast join against the k-row merge
+    artifact at VOCABULARY scale, and the per-(doc, pos) stream only
+    ever joins the finished (word → ids) table (AQE broadcast-sizes it
+    when small).  Per-doc assembly is one collect_list bounded by
+    document length — the id sequence IS the requested product.
+    Unknown multi-char symbols raise (they cannot occur for a merge
+    table produced by ``bpe_train_merges``; raising guards contract
+    drift instead of silently dropping ids from the output).
+    """
+    if merges is None:
+        merges = bpe_train_merges(df, n_merges=n_merges)
+    cs = int(chunk_size)
+    if cs < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    # bounded collect: k merge rules — the tokenizer artifact itself
+    rule_rows = merges.orderBy("step").select("step", "x", "y").collect()
+    rules = [(r["x"], r["y"]) for r in rule_rows]
+    sym_id: dict[str, int] = {}
+    for r in rule_rows:
+        s = r["x"] + r["y"]
+        if s not in sym_id:  # first-step-wins on string collisions
+            sym_id[s] = 25 + int(r["step"])
+
+    def _fold(seq_sql: str, chunk: list[tuple[str, str]]) -> str:
+        for x, y in chunk:
+            seq_sql = f"replace({seq_sql}, '_{x}__{y}_', '_{x}{y}_')"
+        return seq_sql
+
+    words = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
+
+    vocab = words.select("w").distinct().select(
+        "w", F.expr(BPE_SEQ_SQL).alias("seq")
+    )
+    multi_pass = len(rules) > cs
+    if multi_pass:
+        vocab = vocab.localCheckpoint(eager=True)
+    for i in range(0, len(rules), cs):
+        vocab = vocab.select(
+            "w", F.expr(_fold("seq", rules[i : i + cs])).alias("seq")
+        )
+        if multi_pass:
+            vocab = vocab.localCheckpoint(eager=True)
+
+    syms = vocab.select(
+        "w",
+        F.posexplode(
+            F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")
+        ).alias("sp", "sym"),
+    )
+    if sym_id:
+        symdf = df.sparkSession.createDataFrame(
+            sorted(sym_id.items()), "sym: string, id: bigint"
+        )
+        syms = syms.join(F.broadcast(symdf), "sym", "left")
+    else:
+        syms = syms.withColumn("id", F.lit(None).cast("bigint"))
+    tid = (
+        F.when(F.length("sym") == 1, (F.ascii("sym") - 97).cast("bigint"))
+        .when(F.col("id").isNotNull(), F.col("id"))
+        .otherwise(
+            F.expr(
+                "raise_error(concat('bpe_encode_ids: symbol not in merge "
+                "table: ', sym))"
+            ).cast("bigint")
+        )
+    )
+    wenc = (
+        syms.select("w", "sp", tid.alias("tid"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sym"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "sp", F.col("tid").cast("string").alias("t")
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("wids"),
+        )
+    )
+    return (
+        words.join(wenc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wids"))),
+                    lambda x: x["wids"],
+                ),
+                " ",
+            ).alias("token_ids"),
+        )
+    )

@@ -772,6 +772,93 @@ def bpe_encode_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_tokens(_docs(spark, sf_dir), n_merges=BPE_TRAIN_K)
 
 
+def _bpe_vocab_cte(i: int) -> str:
+    """One merge rule applied to the distinct-word VOCABULARY sequences
+    — ``v{i-1}`` × the 1-row argmax ``t{i}`` (shared with the trainer
+    chain) → ``v{i}``.  The per-word-TYPE twin of ``_bpe_encode_cte``:
+    encoding cost is paid once per vocabulary entry, the id-emitting
+    entry joins the finished table back to (doc, pos, word)."""
+    return f"""
+    v{i} AS (
+      SELECT w, replace(seq, '_' || x || '__' || y || '_',
+                        '_' || x || y || '_') AS seq
+      FROM v{i - 1} CROSS JOIN t{i}
+    )"""
+
+
+@register(
+    "bpe_encode_ids",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, COUNT(*) AS n FROM words
+      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ),
+    s0 AS (SELECT {_DUCK_SEQ} AS seq, n FROM wc),
+    {",".join(_bpe_pass_ctes(i) for i in range(1, BPE_TRAIN_K + 1))},
+    symid AS (
+      SELECT sym, MIN(id) AS id FROM (
+        {" UNION ALL ".join(
+            f"SELECT x || y AS sym, 25 + {i} AS id FROM t{i}"
+            for i in range(1, BPE_TRAIN_K + 1)
+        )}
+      ) GROUP BY sym
+    ),
+    docw0 AS (
+      SELECT doc_id, unnest(range(1, len(s) + 1)) AS pos, s
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+    ),
+    docw AS (
+      SELECT doc_id, pos, s[pos] AS w FROM docw0
+      WHERE length(s[pos]) >= 2 AND regexp_matches(s[pos], '^[a-z]+$')
+    ),
+    v0 AS (SELECT w, {_DUCK_SEQ} AS seq FROM (SELECT DISTINCT w FROM docw)),
+    {",".join(_bpe_vocab_cte(i) for i in range(1, BPE_TRAIN_K + 1))},
+    vs0 AS (
+      SELECT w, unnest(range(1, len(ss) + 1)) AS sp, ss
+      FROM (SELECT w, string_split(trim(seq, '_'), '__') AS ss
+            FROM v{BPE_TRAIN_K})
+    ),
+    vids AS (
+      SELECT vs0.w, vs0.sp,
+             CASE WHEN length(ss[sp]) = 1 THEN ascii(ss[sp]) - 97
+                  ELSE symid.id END AS tid
+      FROM vs0 LEFT JOIN symid ON ss[sp] = symid.sym
+    ),
+    wenc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp) AS wids
+      FROM vids GROUP BY w
+    )
+    SELECT d.doc_id,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+           string_agg(e.wids, ' ' ORDER BY d.pos) AS token_ids
+    FROM docw d JOIN wenc e ON d.w = e.w
+    GROUP BY d.doc_id
+    """,
+    survey="X4,X14",
+    doc=f"Encode every document to its ORDERED TOKEN-ID SEQUENCE with "
+    f"the k={BPE_TRAIN_K} merge table bpe_train_merges learns — the "
+    "production completion of the tokenizer tier (bpe_encode_corpus "
+    "reports compression stats; the model consumes ids). Id space: "
+    "base char c -> ascii(c)-97, step-s merge symbol -> 25+s, "
+    "first-step-wins per symbol string — deterministic on both "
+    "engines. Encoding folds the merge rules over the distinct-word "
+    "VOCABULARY (paid per word type, chunk_size-deep codegen-safe "
+    "passes at production k), ids attach via a broadcast join against "
+    "the k-row artifact, and per-doc assembly is one "
+    "document-length-bounded ordered aggregation; token_ids is "
+    "value-hash-checked verbatim via array_join/string_agg.",
+)
+def bpe_encode_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_encode_ids
+
+    return bpe_encode_ids(_docs(spark, sf_dir), n_merges=BPE_TRAIN_K)
+
+
 @register(
     "vocab_oov_rate",
     oracle=f"""

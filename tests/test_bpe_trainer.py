@@ -260,3 +260,118 @@ def test_encoder_tokens_monotone_in_k(spark, sf_dir):
     }
     assert set(t2) == set(t6)
     assert all(t6[d] <= t2[d] for d in t2)
+
+
+# --- bpe_encode_ids (the id-emitting apply half) ---
+
+
+def _apply_merges_syms(word: str, rules: list[tuple[str, str]]) -> list[str]:
+    """Symbol sequence of ``word`` after applying ``rules`` in order —
+    the symbol-returning twin of ``_apply_merges``."""
+    syms = list(word)
+    for x, y in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _reference_ids(docs_rows, rules: list[tuple[str, str]]):
+    """(doc_id -> (n_tokens, 'id id ...')) for trainable words in
+    document order; ids: base char = ascii-97, step-s merge = 25+s,
+    first-step-wins per symbol string."""
+    import re
+
+    sym_id: dict[str, int] = {}
+    for step, (x, y) in enumerate(rules, start=1):
+        sym_id.setdefault(x + y, 25 + step)
+
+    def tid(sym: str) -> int:
+        return ord(sym) - 97 if len(sym) == 1 else sym_id[sym]
+
+    want = {}
+    for doc_id, text in docs_rows:
+        ids = []
+        for w in text.split(" "):
+            if len(w) >= 2 and re.fullmatch(r"[a-z]+", w):
+                ids.extend(tid(s) for s in _apply_merges_syms(w, rules))
+        if ids:
+            want[doc_id] = (len(ids), " ".join(str(i) for i in ids))
+    return want
+
+
+def test_encode_ids_matches_reference_on_fixture(spark, sf_dir):
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_ids
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    k = 6
+    rules = [(x, y) for _, x, y, _ in _reference_bpe(_vocab_of(docs), k)]
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    want = _reference_ids(rows, rules)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_ids"])
+        for r in bpe_encode_ids(docs, n_merges=k).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_encode_ids_empty_merges_is_char_ids(spark):
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab ba X zz7"), (1, "7 X")], ["doc_id", "text"]
+    )
+    empty = bpe_train_merges(docs, n_merges=1).filter("step < 1")
+    rows = {r["doc_id"]: r for r in bpe_encode_ids(docs, merges=empty).collect()}
+    # doc 1 has no trainable words -> absent; doc 0: ab ba -> 0 1 1 0
+    assert set(rows) == {0}
+    assert rows[0]["token_ids"] == "0 1 1 0" and rows[0]["n_tokens"] == 4
+
+
+def test_encode_ids_chunked_regimes_agree_at_production_k(spark):
+    """k >= 1200 merge rules (the chunked vocabulary regime, GPT-2-class
+    merge-table axis): two different chunkings must emit identical id
+    sequences, and both must equal the pure-Python greedy reference for
+    the live rules (pads use symbols over n-z that never match the
+    a-f corpus, so the id space is exercised while staying checkable)."""
+    import itertools
+
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_ids
+
+    docs_rows = [(0, "abab abab cdcd beef"), (1, "abcd abab face")]
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    wc = {"abab": 3, "cdcd": 1, "beef": 1, "abcd": 1, "face": 1}
+    real = _reference_bpe(wc, 3)
+    pads = [
+        ("n" + "".join(t), "zz")
+        for t in itertools.islice(itertools.product("nopqrstuvwxyz", repeat=3), 1197)
+    ]
+    rules = [(s, x, y, n) for s, x, y, n in real] + [
+        (len(real) + i + 1, x, y, 0) for i, (x, y) in enumerate(pads)
+    ]
+    assert len(rules) >= 1200
+    merges = spark.createDataFrame(
+        rules, "step: bigint, x: string, y: string, n_pairs: bigint"
+    )
+    # reference over the FULL rule list (pads shift no live ids: they
+    # have higher steps than every live rule and never match)
+    all_rules = [(x, y) for _, x, y, _ in rules]
+    want = _reference_ids(docs_rows, all_rules)
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["token_ids"])
+        for r in bpe_encode_ids(docs, merges=merges, chunk_size=100).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["token_ids"])
+        for r in bpe_encode_ids(docs, merges=merges, chunk_size=333).collect()
+    }
+    assert a == b == want
