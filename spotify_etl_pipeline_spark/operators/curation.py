@@ -356,3 +356,78 @@ def stratified_exact_n_sample(
         .filter(F.col("_rk") <= n)
         .select(stratum, "doc_id", "n_tokens")
     )
+
+
+def leak_free_split(
+    docs: DataFrame,
+    stratum: str = "lang",
+    n_per_stratum: int = 30,
+    n: int = 5,
+    prefilter: bool = False,
+) -> DataFrame:
+    """Carve an exact-N-per-stratum eval set, then SCRUB THE TRAINING
+    CORPUS AGAINST IT — the end-to-end leak-free-split product every
+    LLM data pipeline ships: (doc_id, stratum, split) over the whole
+    corpus with split ∈ {'eval', 'train', 'cut'}, where 'cut' marks a
+    non-eval document sharing (per the Bloom filter) at least one
+    n-gram with ANY eval document.
+
+    Composition of two individually-verified stages, composed in the
+    direction benchmark decontamination cannot run (there the eval set
+    is external; here WE carve it, so the scrub must run after the
+    carve over the same corpus):
+
+    1. :func:`stratified_exact_n_sample` — deterministic, content-
+       fingerprint-ranked exactly-N eval docs per stratum (the
+       ``prefilter`` dial is its 100 TB arm, threaded through).
+    2. :func:`..bloom.bloom_bitset` over the EVAL documents' n-gram
+       shingles + :func:`..bloom.bloom_positive_shingles` over the
+       remaining corpus — the m-bit broadcast membership test.  Bloom
+       false positives only ever move a train doc to 'cut'
+       (conservative drop, deterministic md5 family — hash-checkable);
+       false negatives are impossible, so ZERO eval n-grams survive in
+       the kept train split, the property the planted-contamination
+       test pins.
+
+    Scale shape: the eval id list is |strata|·N rows (a stored
+    artifact — eagerly materialized, it drives three consumers), the
+    bitset is ≤ m rows broadcast, and the corpus side is one narrow
+    shingle explode + broadcast probe + per-doc aggregate — no
+    corpus×eval join, no shuffle wider than doc_id.
+    """
+    from .bloom import bloom_bitset, bloom_positive_shingles
+
+    base = docs.select("doc_id", stratum, "text")
+    # bounded: |strata|*N rows — the carved eval list IS the artifact;
+    # it drives three consumers (eval text lookup, the train anti-join,
+    # the final label), so materialize once (stored-artifact rule)
+    eval_ids = (
+        stratified_exact_n_sample(
+            docs, stratum=stratum, n_per_stratum=n_per_stratum,
+            prefilter=prefilter,
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    eval_docs = base.join(F.broadcast(eval_ids), "doc_id")
+    bits = bloom_bitset(eval_docs, n=n)
+    train0 = base.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    contaminated = (
+        bloom_positive_shingles(doc_shingles(train0, n=n), bits)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        base.join(
+            F.broadcast(eval_ids.withColumn("_e", F.lit(1))), "doc_id", "left"
+        )
+        .join(contaminated.withColumn("_c", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            stratum,
+            F.when(F.col("_e").isNotNull(), F.lit("eval"))
+            .when(F.col("_c").isNotNull(), F.lit("cut"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

@@ -606,3 +606,75 @@ def eval_set_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_fixture(spark, sf_dir, "documents")
     return stratified_exact_n_sample(docs, stratum="lang", n_per_stratum=_EVAL_N)
+
+
+def _leak_free_oracle() -> str:
+    """Composed oracle: the eval-carve CTE (verbatim the
+    ``eval_set_stratified_sample`` formulation) feeding the Bloom
+    membership CTEs (verbatim the ``bloom_decontaminate`` construction,
+    probe side = the non-eval corpus) — the two already-hash-checked
+    fragments chained the direction the capstone runs them."""
+    from ..operators.bloom import BLOOM_K, bloom_position_sql_duck
+
+    pos_list = ", ".join(bloom_position_sql_duck("shingle"))
+    return f"""
+    WITH fp AS (
+      SELECT lang, doc_id, text, {fingerprint_sql()} AS f FROM documents
+    ),
+    ev AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY f % 10000 ASC, f ASC,
+                                           doc_id ASC) AS rk
+        FROM fp)
+      WHERE rk <= {_EVAL_N}
+    ),
+    evdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN ev USING (doc_id)),
+    bsh AS (SELECT DISTINCT shingle
+            FROM ({shingle_select_sql(DECONTAM_N, "evdocs")})),
+    bits AS (SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bsh),
+    train0 AS (SELECT d.doc_id, d.text FROM documents d
+               ANTI JOIN ev USING (doc_id)),
+    csh AS ({shingle_select_sql(DECONTAM_N, "train0")}),
+    cpos AS (SELECT doc_id, shingle, unnest([{pos_list}]) AS pos FROM csh),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, shingle FROM cpos JOIN bits USING (pos)
+        GROUP BY doc_id, shingle HAVING COUNT(*) = {BLOOM_K}
+      )
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN ev.doc_id IS NOT NULL THEN 'eval'
+                WHEN c.doc_id IS NOT NULL THEN 'cut'
+                ELSE 'train' END AS split
+    FROM documents d
+    LEFT JOIN ev ON d.doc_id = ev.doc_id
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    """
+
+
+@register(
+    "eval_split_decontaminated",
+    oracle=_leak_free_oracle(),
+    survey="X34,X20,X1,X4",
+    doc=f"The LEAK-FREE SPLIT capstone: carve exactly {_EVAL_N} eval "
+    "docs per language (content-fingerprint-ranked — "
+    "eval_set_stratified_sample verbatim), then scrub the TRAINING "
+    "corpus against the carved set's 5-grams via the Bloom bitset "
+    "(bloom_decontaminate's construction, probe side = non-eval "
+    "corpus) — per-doc (doc_id, lang, split) with split in "
+    "{eval, train, cut}, the whole assignment value-hash-checked. "
+    "Bloom FPs only move train->cut (conservative, deterministic md5 "
+    "family); misses are impossible, so zero eval 5-grams survive in "
+    "kept train (planted-contamination-tested). Scale: |langs|*N eval "
+    "ids materialized once, <=m-row broadcast bitset, corpus side one "
+    "narrow shingle explode + broadcast probe — no corpus x eval join.",
+)
+def eval_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import leak_free_split
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return leak_free_split(
+        docs, stratum="lang", n_per_stratum=_EVAL_N, n=DECONTAM_N
+    )

@@ -422,3 +422,54 @@ def test_budget_sample_constant_overflow_guard(spark):
         budget_mixture_sample(
             docs, token_budget=10**16, granularity=10_000
         )
+
+
+# --- leak_free_split (carve -> decontaminate composition) ---
+
+
+def test_leak_free_split_planted_contamination(spark):
+    """Within lang 'xx' every doc shares the planted 5-gram, so after
+    carving 1 eval doc the rest MUST be cut (zero train survivors);
+    lang 'yy' docs are pairwise 5-gram-disjoint, so the rest MUST all
+    stay train (zero cuts)."""
+    from spotify_etl_pipeline_spark.operators.curation import leak_free_split
+
+    planted = "alpha beta gamma delta epsilon"
+    xx = [
+        (i, "xx", f"{planted} filler{i} more{i} words{i} here{i}")
+        for i in range(4)
+    ]
+    yy = [
+        (10 + i, "yy", " ".join(f"w{10 + i}t{j}" for j in range(8)))
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(xx + yy, ["doc_id", "lang", "text"])
+    res = {
+        r["doc_id"]: r["split"]
+        for r in leak_free_split(docs, n_per_stratum=1, n=5).collect()
+    }
+    assert len(res) == 8  # every doc labeled exactly once
+    xx_splits = sorted(res[i] for i in range(4))
+    assert xx_splits == ["cut", "cut", "cut", "eval"]
+    yy_splits = sorted(res[10 + i] for i in range(4))
+    assert yy_splits == ["eval", "train", "train", "train"]
+
+
+def test_leak_free_split_zero_eval_ngrams_survive(spark, sf_dir):
+    """The capstone guarantee on the real fixture corpus: the exact
+    5-gram intersection between the eval split and the KEPT train split
+    is empty (Bloom has no false negatives, so every sharer was cut)."""
+    from spotify_etl_pipeline_spark.operators.curation import leak_free_split
+    from spotify_etl_pipeline_spark.operators.dedup import doc_shingles
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    res = leak_free_split(docs, n_per_stratum=5, n=5).persist()
+    n_docs = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              res.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n_docs and counts.get("eval", 0) > 0
+    ev = docs.join(res.filter("split = 'eval'").select("doc_id"), "doc_id")
+    tr = docs.join(res.filter("split = 'train'").select("doc_id"), "doc_id")
+    ev_sh = doc_shingles(ev, n=5).select("shingle").distinct()
+    tr_sh = doc_shingles(tr, n=5).select("shingle").distinct()
+    assert ev_sh.join(tr_sh, "shingle").count() == 0
