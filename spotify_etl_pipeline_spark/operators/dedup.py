@@ -664,3 +664,90 @@ def semdedup_dropped(
             "cluster", "kept_id", "dropped_id", F.round("cos", 4).alias("cosine")
         )
     )
+
+
+def source_overlap_sampled(
+    docs: DataFrame,
+    n: int = 5,
+    rate_denom: int = 4,
+    group_col: str = "source",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SKETCHED cross-source n-gram overlap — the 100 TB arm of the
+    exact ``source_overlap_matrix`` audit: (source_a, source_b,
+    n_shared_est) estimated from a FIXED-THRESHOLD content-hash sample
+    of the shingle postings (the theta-sketch/KMV family with a fixed
+    θ = 1/rate_denom instead of a fixed k).
+
+    A posting (source, shingle) survives iff
+    ``shingle_sid(shingle) % rate_denom == 0`` — a deterministic pure
+    function of the shingle TEXT, so (a) the same shingle is sampled in
+    every source (intersections subsample coherently: the estimator is
+    Bernoulli(1/rate_denom) on the INTERSECTION set, σ =
+    sqrt(rate_denom·shared), unlike independent per-source samples
+    whose intersection rate would be 1/rate_denom²), (b) per-source
+    sketches are MERGEABLE (union across days/shards = distinct union
+    of sampled postings), and (c) the whole estimate is bit-reproducible
+    on an external SQL engine — the oracle hash-checks the estimates
+    themselves, not just a tolerance boolean.
+
+    Estimator: n_shared_est = rate_denom · |sampled A ∩ sampled B| —
+    unbiased, σ ≈ sqrt(rate_denom·shared) (measured ≤ 4.8·sqrt(shared)
+    across the sf0.001/0.01/0.1 fixtures at rate_denom=4, inside the
+    6·sqrt band the tolerance entry pins).
+
+    Scale shape vs the exact matrix: the exact arm's distinct
+    (source, shingle) shuffle carries the FULL posting set; here the
+    threshold filter runs inside the scan, so the one shuffle carries
+    rate_denom× fewer rows (at 100 TB run rate_denom=64..256: sketch
+    build is one pass at 0.4–1.6 % shuffle mass) and the |sources|²-
+    bounded self-join serves from the sampled postings only.
+
+    ``hash_fn`` picks the threshold hash (the CMS convention):
+    ``xxhash64`` (default) is JVM-native — the md5 digest otherwise
+    COSTS more than the saved shuffle at local scales (measured:
+    sf10 tile exact 63 s vs md5-sampled 69 s vs xxhash64-sampled,
+    SCALE.md §Round-9); ``md5`` is the cross-engine audit arm the
+    oracle entry pins (sampling stays a pure content function under
+    both — determinism and coherent-subsampling hold identically).
+    """
+    if int(rate_denom) < 1:
+        raise ValueError(f"rate_denom must be >= 1, got {rate_denom}")
+    if hash_fn == "md5":
+        thresh = shingle_sid("shingle") % int(rate_denom) == 0
+    elif hash_fn == "xxhash64":
+        thresh = F.pmod(F.xxhash64("shingle"), F.lit(int(rate_denom))) == 0
+    else:
+        raise ValueError(f'hash_fn must be "md5" or "xxhash64", got {hash_fn!r}')
+    sampled = (
+        docs.select(
+            F.col(group_col),
+            F.expr(
+                "element_at(transform(array(split(text, ' ')), ts -> "
+                f"CASE WHEN size(ts) >= {int(n)} THEN "
+                f"transform(sequence(1, size(ts) - {int(n) - 1}), "
+                f"i -> concat_ws('_', slice(ts, i, {int(n)}))) "
+                "ELSE array() END), 1)"
+            ).alias("grams"),
+        )
+        .select(group_col, F.explode("grams").alias("shingle"))
+        .filter(thresh)
+        .distinct()
+    )
+    a, b = sampled.alias("a"), sampled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("source_a"),
+            F.col(f"b.{group_col}").alias("source_b"),
+        )
+        .agg(
+            (F.count(F.lit(1)) * int(rate_denom))
+            .cast("long")
+            .alias("n_shared_est")
+        )
+    )

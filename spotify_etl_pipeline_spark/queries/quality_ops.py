@@ -692,3 +692,82 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def _overlap_sketch_oracle() -> str:
+    """Exact matrix CTE (verbatim source_overlap_matrix) + the sampled
+    twin under the shared md5-slice threshold, LEFT-joined with the
+    same 6·sqrt tolerance band the Spark side emits — estimates AND
+    booleans are both value-hash-checked (the sample is a pure content
+    function, so 'sketched' does not mean 'non-reproducible')."""
+    gram = (
+        "list_transform(range(greatest(len(string_split(text,' ')) - 4, 0)),"
+        " i -> string_split(text,' ')[i+1] || '_' ||"
+        " string_split(text,' ')[i+2] || '_' ||"
+        " string_split(text,' ')[i+3] || '_' ||"
+        " string_split(text,' ')[i+4] || '_' ||"
+        " string_split(text,' ')[i+5])"
+    )
+    sid = "(('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647)"
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source, unnest({gram}) AS shingle FROM documents
+      )
+    ),
+    ex AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    samp AS (SELECT source, shingle FROM sh WHERE {sid} % 4 = 0),
+    se AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) * 4 AS BIGINT) AS n_shared_est
+      FROM samp a JOIN samp b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT ex.source_a, ex.source_b, ex.n_shared,
+           CAST(COALESCE(se.n_shared_est, 0) AS BIGINT) AS n_shared_est,
+           ABS(COALESCE(se.n_shared_est, 0) - ex.n_shared)
+             <= GREATEST(16.0, 6.0 * sqrt(ex.n_shared)) AS within_tol
+    FROM ex LEFT JOIN se USING (source_a, source_b)
+    """
+
+
+@register(
+    "source_overlap_sketched",
+    oracle=_overlap_sketch_oracle(),
+    survey="X2,X4,X6",
+    doc="SKETCHED cross-source duplication audit — the 100 TB arm of "
+    "source_overlap_matrix: per-source mergeable posting sketches via a "
+    "fixed-threshold content-hash sample (theta/KMV family, theta=1/4 "
+    "here, 1/64..1/256 at 100 TB), so the build's one shuffle carries "
+    "theta x the posting mass and the serve join is |sources|^2-bounded "
+    "over sampled postings only. The same shingle samples identically "
+    "in every source (pure content hash), so intersections subsample "
+    "coherently — estimator rate_denom*|sampled overlap| is unbiased "
+    "with sigma ~ sqrt(rate_denom*shared) — and the whole estimate is "
+    "bit-reproducible in DuckDB: n_shared, n_shared_est AND the 6*sqrt "
+    "tolerance boolean are all value-hash-checked (the boolean held "
+    "with measured max 4.8*sqrt across sf0.001/0.01/0.1).",
+)
+def source_overlap_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import source_overlap_sampled
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    exact = source_overlap_matrix(spark, sf_dir)
+    # md5 pinned — the oracle audit arm (engine default is xxhash64)
+    est = source_overlap_sampled(docs, n=5, rate_denom=4, hash_fn="md5")
+    return exact.join(est, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.coalesce("n_shared_est", F.lit(0)).cast("long").alias("n_shared_est"),
+        (
+            F.abs(F.coalesce("n_shared_est", F.lit(0)) - F.col("n_shared"))
+            <= F.greatest(F.lit(16.0), 6.0 * F.sqrt("n_shared"))
+        ).alias("within_tol"),
+    )

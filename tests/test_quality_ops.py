@@ -335,3 +335,80 @@ def test_source_overlap_matrix_planted_pair(spark, sf_dir):
     }
     assert rows and all(a < b for a, b in rows)  # strict upper triangle
     assert all(n > 0 for n in rows.values())
+
+
+def test_source_overlap_sketched_tolerance_and_determinism(spark, sf_dir):
+    """The fixed-threshold sampled estimator must sit inside the 6*sqrt
+    band against the exact matrix for EVERY pair (the entry's in-query
+    boolean), be a pure content function (re-run identical), and be
+    unbiased enough that the mean signed error is well under one sigma."""
+    import math
+
+    from spotify_etl_pipeline_spark.queries.quality_ops import (
+        source_overlap_sketched,
+    )
+
+    rows = source_overlap_sketched(spark, sf_dir).collect()
+    assert rows
+    assert all(r["within_tol"] for r in rows)
+    errs = [r["n_shared_est"] - r["n_shared"] for r in rows]
+    sigma = max(math.sqrt(4 * r["n_shared"]) for r in rows)
+    assert abs(sum(errs) / len(errs)) <= sigma
+    again = {
+        (r["source_a"], r["source_b"]): r["n_shared_est"]
+        for r in source_overlap_sketched(spark, sf_dir).collect()
+    }
+    assert again == {
+        (r["source_a"], r["source_b"]): r["n_shared_est"] for r in rows
+    }
+
+
+def test_source_overlap_sampled_rate_one_is_exact(spark, sf_dir):
+    """rate_denom=1 samples everything — the sketch must reproduce the
+    exact matrix bit-for-bit (the estimator's degenerate-exact anchor)."""
+    from spotify_etl_pipeline_spark.operators.dedup import (
+        source_overlap_sampled,
+    )
+    from spotify_etl_pipeline_spark.queries.quality_ops import (
+        source_overlap_matrix,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    est = {
+        (r["source_a"], r["source_b"]): r["n_shared_est"]
+        for r in source_overlap_sampled(docs, n=5, rate_denom=1).collect()
+    }
+    exact = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(spark, sf_dir).collect()
+    }
+    assert est == exact
+
+
+def test_source_overlap_sampled_xxhash_default_in_band(spark, sf_dir):
+    """The xxhash64 production default (a different but equally pure
+    content sample) must also sit inside the 6*sqrt band vs exact
+    (measured worst 5.3*sqrt across sf0.01/sf0.1)."""
+    import math
+
+    from spotify_etl_pipeline_spark.operators.dedup import (
+        source_overlap_sampled,
+    )
+    from spotify_etl_pipeline_spark.queries.quality_ops import (
+        source_overlap_matrix,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    ex = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(spark, sf_dir).collect()
+    }
+    es = {
+        (r["source_a"], r["source_b"]): r["n_shared_est"]
+        for r in source_overlap_sampled(docs, n=5, rate_denom=4).collect()
+    }
+    assert ex
+    for k, v in ex.items():
+        assert abs(es.get(k, 0) - v) <= max(16, 6 * math.sqrt(v)), (k, v, es.get(k))
