@@ -406,6 +406,7 @@ def pq_ivfadc_topk(
     id_col: str = "vec_id",
     probe_mode: str = "mean",
     int_units: bool = False,
+    route_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): IVF probe routing generates the
     candidates, ADC scores ONLY those, exact L2 reranks the shortlist —
@@ -449,10 +450,20 @@ def pq_ivfadc_topk(
     with no float addition-order dependence (the ``knn_pq_pinned_topk``
     convention).  Together with init-only codebooks they make the whole
     pipeline value-hash-reproducible on an external SQL engine.
+
+    ``route_corpus`` (default: ``corpus``) is the relation the coarse
+    quantizer's representatives derive from — the FROZEN-INDEX dial: an
+    append-maintained index routes against the representatives of the
+    ORIGINAL build (appends must not move cells or change routing), so
+    the incremental serve passes the base corpus here while ``corpus``
+    itself is the base∪appended union the rerank scans.
     """
     from .similarity import ivf_probe_routing
 
-    probes = ivf_probe_routing(corpus, queries, n_probe, cluster_col, mode=probe_mode)
+    probes = ivf_probe_routing(
+        corpus if route_corpus is None else route_corpus,
+        queries, n_probe, cluster_col, mode=probe_mode,
+    )
     lut = pq_query_lut(queries, codebooks, id_col)
     if int_units:
         lut = lut.select(
@@ -862,3 +873,65 @@ def opq_rotate(
         )
         cur = cur.select(id_col, F.expr(y_sql).alias("embedding"))
     return cur
+
+
+def ivf_assign_cells(
+    vectors: DataFrame,
+    route_corpus: DataFrame,
+    cluster_col: str = "label",
+    mode: str = "pinned",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign NEW vectors to EXISTING coarse cells — the maintenance half
+    of an append-only IVF index: (id, cluster_col) with cluster = the
+    top-1 probe of the FROZEN coarse quantizer derived from
+    ``route_corpus`` (the original build's corpus).
+
+    Assignment IS 1-probe routing — literally the same operator
+    (:func:`..similarity.ivf_probe_routing`), so an appended vector
+    lands exactly in the cell any query probing near it will route to;
+    ``mode="pinned"`` keeps the whole thing bit-reproducible
+    cross-engine (lowest-id member representatives, index-ordered
+    cosine folds, ties cos DESC / cluster ASC).  The quantizer table is
+    C rows broadcast; the appended batch streams through it — one
+    narrow pass, no shuffle wider than the batch.
+    """
+    from .similarity import ivf_probe_routing
+
+    return ivf_probe_routing(
+        route_corpus, vectors, n_probe=1, cluster_col=cluster_col, mode=mode
+    ).select(
+        F.col("query_id").alias(id_col), F.col("cluster").alias(cluster_col)
+    )
+
+
+def pq_encode_append(
+    delta: DataFrame,
+    base_corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    assign_mode: str = "pinned",
+) -> DataFrame:
+    """Encode an APPENDED vector batch against a frozen index:
+    (id, cluster_col, pq_codes) — coarse cell from
+    :func:`ivf_assign_cells` (frozen quantizer = ``base_corpus``'s
+    representatives), codes from the FROZEN ``codebooks``.  Union the
+    result with the base build's code table and serve
+    :func:`pq_ivfadc_topk` over it with ``route_corpus=base_corpus`` —
+    the Faiss ``IndexIVFPQ.add`` production shape: appends never refit
+    books, never move cells, never touch the stored base codes.
+
+    Per appended batch: one C-row broadcast probe + one narrow
+    codebook-literal encode — no shuffle wider than the batch, no
+    base-corpus scan at all (the quantizer representatives are the only
+    base-derived input, C rows).
+    """
+    cells = ivf_assign_cells(
+        delta.select(id_col, "embedding"), base_corpus,
+        cluster_col=cluster_col, mode=assign_mode, id_col=id_col,
+    )
+    return pq_encode(
+        delta.select(id_col, "embedding").join(cells, id_col),
+        codebooks, id_col=id_col, keep_cols=(cluster_col,),
+    )

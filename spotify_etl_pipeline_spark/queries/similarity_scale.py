@@ -603,3 +603,164 @@ def knn_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("cand_id").alias("neighbor_id"), "qcodes", "ccodes")
     )
     return S.int8_topk(pairs, k=5)
+
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    "    * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+@register(
+    "knn_ivfadc_incremental_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+    dl AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+    init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT UNNEST(range(4)) AS sub),
+    books AS (
+      SELECT subs.sub, init.code,
+             list_slice(init.v, subs.sub * 16 + 1, subs.sub * 16 + 16) AS cw
+      FROM init CROSS JOIN subs
+    ),
+    vsub AS (
+      SELECT e.vec_id, subs.sub,
+             list_slice(e.v, subs.sub * 16 + 1, subs.sub * 16 + 16) AS sv
+      FROM e CROSS JOIN subs
+    ),
+    dists AS (
+      SELECT vsub.vec_id, vsub.sub, books.code,
+             list_sum(list_transform(list_zip(vsub.sv, books.cw),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM vsub JOIN books ON vsub.sub = books.sub
+    ),
+    enc AS (
+      SELECT vec_id, sub, code
+      FROM (SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, code ASC) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    repid AS (SELECT label, MIN(vec_id) AS rid FROM b GROUP BY label),
+    reps AS (
+      SELECT repid.label AS cluster, e2.v AS cv
+      FROM repid JOIN e e2 ON e2.vec_id = repid.rid
+    ),
+    dassign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT dl.vec_id, reps.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY dl.vec_id
+                 ORDER BY {_COS.format(a="dl.v", b="reps.cv")} DESC,
+                          reps.cluster ASC) AS rn
+        FROM dl CROSS JOIN reps)
+      WHERE rn = 1
+    ),
+    cells AS (
+      SELECT vec_id, label FROM b
+      UNION ALL SELECT vec_id, cluster AS label FROM dassign
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    rt AS (
+      SELECT q.query_id, reps.cluster,
+             {_COS.format(a="q.qv", b="reps.cv")} AS c_cos
+      FROM q CROSS JOIN reps
+    ),
+    probes AS (
+      SELECT query_id, cluster
+      FROM (SELECT query_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c_cos DESC, cluster ASC)
+                       AS crank
+            FROM rt)
+      WHERE crank <= 3
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code,
+             CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2u
+      FROM dists WHERE vec_id < 10
+    ),
+    encl AS (SELECT enc.vec_id, enc.sub, enc.code, cells.label
+             FROM enc JOIN cells USING (vec_id)),
+    adc AS (
+      SELECT lut.query_id, encl.vec_id AS neighbor_id,
+             CAST(SUM(lut.d2u) AS BIGINT) AS adc_u
+      FROM encl
+      JOIN probes ON probes.cluster = encl.label
+      JOIN lut ON lut.query_id = probes.query_id
+              AND encl.sub = lut.sub AND encl.code = lut.code
+      WHERE lut.query_id != encl.vec_id
+      GROUP BY lut.query_id, encl.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_u ASC, neighbor_id ASC)
+                       AS srank
+            FROM adc)
+      WHERE srank <= 50
+    ),
+    rer AS (
+      SELECT short.query_id, short.neighbor_id,
+             list_sum(list_transform(list_zip(qe.v, ce.v),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM short
+      JOIN e qe ON qe.vec_id = short.query_id
+      JOIN e ce ON ce.vec_id = short.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM (SELECT query_id, neighbor_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2 ASC, neighbor_id ASC) AS rank
+          FROM rer)
+    WHERE rank <= 5
+    """,
+    survey="X3",
+    doc="INCREMENTAL IVFADC index maintenance under a FULL value-hash "
+    "oracle — the Faiss IndexIVFPQ.add production shape: the base build "
+    "(80% of the corpus, vec_id % 5 <> 4) freezes init-only codebooks "
+    "AND the pinned coarse quantizer; the appended 20% is assigned to "
+    "EXISTING cells by 1-probe routing against the frozen "
+    "representatives (assignment IS routing — same operator, so "
+    "appends land where queries probe), encoded with the frozen books "
+    "(pq_encode_append), and served as the union with routing still "
+    "against the BASE representatives (route_corpus dial) — appends "
+    "never refit, never move cells, never touch stored base codes. "
+    "Per appended batch: one C-row broadcast probe + one narrow "
+    "codebook-literal encode, zero base-corpus scans. Equality to the "
+    "one-shot frozen-artifact build over the same union is pinned in "
+    "tests (batch) and through the epoch-replay streaming maintenance "
+    "twin (streaming/pq_index_stream.py).",
+)
+def knn_ivfadc_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import (
+        pq_encode,
+        pq_encode_append,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+    codes = pq_encode(base, books, keep_cols=("label",)).unionByName(
+        pq_encode_append(delta, base, books)
+    )
+    return pq_ivfadc_topk(
+        emb, codes, queries, books, k=5, shortlist=50, n_probe=3,
+        probe_mode="pinned", int_units=True, route_corpus=base,
+    )

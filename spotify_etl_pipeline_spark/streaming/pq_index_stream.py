@@ -1,0 +1,75 @@
+"""Streaming IVFADC index maintenance — the online half of the
+incremental PQ tier (``operators.pq.pq_encode_append``).
+
+An append-maintained PQ index is epoch-trivial by the same argument as
+the CMS stream (cms_stream.py): the stored artifact is a CODE TABLE
+(id, cell, pq_codes), each appended micro-batch's codes depend only on
+that batch's vectors and the FROZEN artifacts (codebooks + coarse
+representatives), and the serving index is the plain union of epochs —
+no per-key state store, no watermark, and a replayed epoch overwrites
+its own partition instead of double-inserting (the epoch-keyed
+exactly-once scheme shared by cms_stream.py / dedup_index.py /
+decontam_stream.py).
+
+Merged-stream == one-shot-batch-encode is asserted in tests, including
+after a forced epoch replay; the served search over (base codes ∪
+streamed codes) equals the batch incremental entry
+(``knn_ivfadc_incremental_topk``) exactly.
+
+At 100 TB / unbounded append streams: per-trigger cost is one C-row
+broadcast probe + one narrow codebook-literal encode over the batch —
+no base-corpus scan, no shuffle wider than the batch; the store grows
+by |batch| rows per epoch and compaction is a plain rewrite (codes are
+immutable rows, not aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.pq import pq_encode_append
+from ..schemas import EMBEDDINGS_SCHEMA
+
+
+def run_pq_index_stream(
+    spark: SparkSession,
+    delta_dir: str,
+    base_corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    out_path: str,
+    checkpoint: str,
+    cluster_col: str = "label",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the append-maintenance stream over current files: per
+    micro-batch, assign the batch's vectors to the FROZEN coarse cells,
+    encode with the FROZEN ``codebooks``, and write the code rows under
+    ``epoch=<n>``.  ``base_corpus`` supplies the frozen representatives
+    (C rows — the only base-derived input; at scale callers pass the
+    stored representative table, not the corpus)."""
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        codes = pq_encode_append(
+            batch, base_corpus, codebooks, cluster_col=cluster_col
+        )
+        codes.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
+
+    q = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(delta_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_streamed_codes(spark: SparkSession, out_path: str) -> DataFrame:
+    """The streamed half of the serving index: union of the epoch code
+    partitions, identical schema to ``pq_encode(..., keep_cols=(cell,))``
+    — union it with the base build's code table and serve
+    ``pq_ivfadc_topk(route_corpus=base)`` unchanged."""
+    df = spark.read.parquet(out_path)
+    return df.select([c for c in df.columns if c != "epoch"])

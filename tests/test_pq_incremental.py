@@ -1,0 +1,143 @@
+"""Incremental IVFADC maintenance: frozen-artifact appends must be
+indistinguishable from a one-shot encode of the union, batch AND
+streamed (epoch-replay exactly-once), and serving must route against
+the BASE representatives only."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_etl_pipeline_spark.operators.pq import (
+    ivf_assign_cells,
+    pq_encode,
+    pq_encode_append,
+    pq_fit,
+    pq_ivfadc_topk,
+)
+from spotify_etl_pipeline_spark.schemas import load_fixture
+
+K, SHORTLIST, NPROBE, NQ = 5, 50, 3, 10
+
+
+def _split(spark, sf_dir):
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    return (
+        emb,
+        emb.filter(F.col("vec_id") % 5 != 4),
+        emb.filter(F.col("vec_id") % 5 == 4),
+    )
+
+
+def _serve(emb, base, codes, books):
+    queries = emb.filter(F.col("vec_id") < NQ).select("vec_id", "embedding")
+    return pq_ivfadc_topk(
+        emb, codes, queries, books, k=K, shortlist=SHORTLIST, n_probe=NPROBE,
+        probe_mode="pinned", int_units=True, route_corpus=base,
+    )
+
+
+def test_incremental_equals_oneshot_frozen_build(spark, sf_dir):
+    """Appending with frozen artifacts must serve EXACTLY what a
+    one-shot encode of the union (same frozen books, same cells) serves
+    — the maintenance path changes nothing but when rows were added."""
+    emb, base, delta = _split(spark, sf_dir)
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+
+    incr_codes = pq_encode(base, books, keep_cols=("label",)).unionByName(
+        pq_encode_append(delta, base, books)
+    )
+    cells = base.select("vec_id", "label").unionByName(
+        ivf_assign_cells(delta.select("vec_id", "embedding"), base)
+    )
+    union_corpus = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    oneshot_codes = pq_encode(union_corpus, books, keep_cols=("label",))
+
+    a = sorted(
+        (r["vec_id"], r["label"], tuple(r["pq_codes"]))
+        for r in incr_codes.collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["label"], tuple(r["pq_codes"]))
+        for r in oneshot_codes.collect()
+    )
+    assert a == b and len(a) == emb.count()
+
+    sa = sorted(tuple(r) for r in _serve(emb, base, incr_codes, books).collect())
+    sb = sorted(tuple(r) for r in _serve(emb, base, oneshot_codes, books).collect())
+    assert sa == sb and len(sa) == NQ * K
+
+
+def test_delta_assignment_routes_to_frozen_cells_only(spark, sf_dir):
+    """Every appended vector must land in an EXISTING base cell."""
+    _, base, delta = _split(spark, sf_dir)
+    base_cells = {r["label"] for r in base.select("label").distinct().collect()}
+    assigned = ivf_assign_cells(delta.select("vec_id", "embedding"), base)
+    got = {r["label"] for r in assigned.select("label").distinct().collect()}
+    assert got and got <= base_cells
+    assert assigned.count() == delta.count()
+
+
+def test_pq_index_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
+    """The epoch-keyed maintenance stream must produce EXACTLY the batch
+    append codes (union over epochs), serve the same top-k as the batch
+    incremental entry, and a forced epoch replay (partition rewritten)
+    must leave both unchanged (exactly-once)."""
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_streamed_codes,
+        run_pq_index_stream,
+    )
+
+    emb, base, delta = _split(spark, sf_dir)
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+
+    src = str(tmp_path / "delta_src")
+    delta.repartition(3).write.parquet(src)
+    out = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "ckpt")
+    run_pq_index_stream(
+        spark, src, base, books, out, ckpt, max_files_per_trigger=1
+    )
+
+    def code_set(df):
+        return {
+            (r["vec_id"], r["label"], tuple(r["pq_codes"]))
+            for r in df.collect()
+        }
+
+    streamed = read_streamed_codes(spark, out)
+    want = code_set(pq_encode_append(delta, base, books))
+    assert code_set(streamed) == want and len(want) == delta.count()
+
+    base_codes = pq_encode(base, books, keep_cols=("label",))
+    serve_stream = sorted(
+        tuple(r)
+        for r in _serve(
+            emb, base, base_codes.unionByName(streamed), books
+        ).collect()
+    )
+    serve_batch = sorted(
+        tuple(r)
+        for r in _serve(
+            emb, base,
+            base_codes.unionByName(pq_encode_append(delta, base, books)),
+            books,
+        ).collect()
+    )
+    assert serve_stream == serve_batch and len(serve_stream) == NQ * K
+
+    # forced replay: rewrite epoch 0 with identical content — overwrite,
+    # refresh, and the merged index must be unchanged
+    ep0 = spark.read.parquet(f"{out}/epoch=0").collect()
+    spark.createDataFrame(
+        ep0, spark.read.parquet(f"{out}/epoch=0").schema
+    ).write.mode("overwrite").parquet(f"{out}/epoch=0")
+    spark.catalog.refreshByPath(out)
+    streamed2 = read_streamed_codes(spark, out)
+    assert code_set(streamed2) == want
+    serve_replay = sorted(
+        tuple(r)
+        for r in _serve(
+            emb, base, base_codes.unionByName(streamed2), books
+        ).collect()
+    )
+    assert serve_replay == serve_batch
