@@ -18,6 +18,17 @@ d rows per epoch.  Drift between epochs is the angle between exact
 per-epoch components — batch-content-deterministic, so replays and
 re-ingests cannot move a reported angle (stream==batch incl. replay
 tested).
+
+DRIFT→REINDEX recipe (the monitor's consumer): run this stream beside
+an OPQ index (queries/opq_ops.py); while consecutive-epoch angles stay
+under a threshold (~20°) keep serving through the frozen
+rotation+codebooks — refits are expensive artifacts; when an epoch
+trips the threshold, refit ``power_iteration_components`` →
+``opq_householders`` → ``pq_fit`` on the drifted data and re-encode.
+Measured on a planted-drift tile (fresh dominant directions orthogonal
+to the build's): frozen-artifact ADC recall@10 degrades to 0.31, the
+refit recovers 0.86 — the whole recipe is pinned end-to-end in
+tests/test_opq.py::test_drift_triggered_reindex_recovers_recall.
 """
 
 from __future__ import annotations

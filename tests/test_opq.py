@@ -275,3 +275,87 @@ def test_spectrum_stream_matches_batch_including_replay(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{out}/epoch=1")
     spark.catalog.refreshByPath(out)
     assert drift_report(spark, out) == rep
+
+
+def test_drift_triggered_reindex_recovers_recall(spark, tmp_path):
+    """The documented DRIFT->REINDEX recipe, end to end: the streaming
+    spectrum monitor (run_spectrum_stream/drift_report) watches epoch
+    components; a same-distribution epoch stays under the refit
+    threshold (no reindex — rotation/books are expensive artifacts),
+    while a planted-drift epoch (fresh dominant directions c, d
+    orthogonal to the build's a, b) trips it; encoding the drifted
+    corpus through the FROZEN rotation+books degrades ADC recall, and
+    refitting rotation+books on the drifted data recovers it."""
+    from spotify_etl_pipeline_spark.streaming.drift_stream import (
+        drift_report,
+        run_spectrum_stream,
+    )
+
+    rng = np.random.default_rng(17)
+    d = D
+    a = np.ones(d) / math.sqrt(d)
+    b = np.array([1.0 if i % 2 == 0 else -1.0 for i in range(d)]) / math.sqrt(d)
+    c = np.array([1.0 if i % 4 < 2 else -1.0 for i in range(d)]) / math.sqrt(d)
+    e = np.array(
+        [1.0 if i % 4 in (0, 3) else -1.0 for i in range(d)]
+    ) / math.sqrt(d)
+
+    def tile(n, u, v):
+        return (
+            (rng.normal(size=(n, 1)) * 10.0) @ u[None, :]
+            + (rng.normal(size=(n, 1)) * 4.0) @ v[None, :]
+            + rng.normal(size=(n, d)) * 0.3
+        )
+
+    X0, X1, X2 = tile(400, a, b), tile(200, a, b), tile(200, c, e)
+
+    # --- the monitor half: stream the three epochs, read drift angles
+    def rows(arr, base):
+        return [(base + i, 0, [float(x) for x in v]) for i, v in enumerate(arr)]
+
+    src = str(tmp_path / "src")
+    schema = "vec_id: long, label: int, embedding: array<float>"
+    for part in (rows(X0, 0), rows(X1, 1000), rows(X2, 2000)):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "spec")
+    run_spectrum_stream(
+        spark, src, out, str(tmp_path / "ckpt"), n_iter=6,
+        max_files_per_trigger=1,
+    )
+    report = drift_report(spark, out)
+    REFIT_CENTIDEG = 2000  # 20 degrees — the recipe's refit threshold
+    assert len(report) == 2
+    assert report[0]["angle_centideg"] < 500  # same distribution: no refit
+    assert report[1]["angle_centideg"] > REFIT_CENTIDEG  # drift: refit
+    triggered = [r for r in report if r["angle_centideg"] > REFIT_CENTIDEG]
+    assert [r["epoch_b"] for r in triggered] == [2]
+
+    # --- the reindex half: frozen artifacts degrade, refit recovers
+    base_df = _df(spark, X0).localCheckpoint(eager=True)
+    drift_df = _df(spark, X2).localCheckpoint(eager=True)
+    queries = drift_df.filter(f"vec_id < {N_Q}")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_l2_topk(drift_df, queries, k=10).collect()
+    }
+
+    def adc_recall(fit_df):
+        comps = power_iteration_components(fit_df, n_components=2, n_iter=6)
+        H = opq_householders(comps, m=4)
+        rot_fit = opq_rotate(fit_df, H).localCheckpoint(eager=True)
+        books = pq_fit(rot_fit, m=4, k=16, max_iter=4)
+        corpus = opq_rotate(drift_df, H).localCheckpoint(eager=True)
+        q = corpus.filter(f"vec_id < {N_Q}")
+        codes = pq_encode(corpus, books)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_adc_topk(codes, q, books, k=10).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    frozen = adc_recall(base_df)   # rotation+books from the OLD build
+    refit = adc_recall(drift_df)   # rotation+books refit on drifted data
+    assert refit > frozen, (refit, frozen)
+    assert refit - frozen >= 0.1  # a real recovery, not tie-noise
