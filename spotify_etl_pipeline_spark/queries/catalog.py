@@ -102,24 +102,24 @@ def _load_all() -> None:
 #: driver check is ever more than ~2 rounds old, with no per-round editing
 #: beyond this head list.
 #:
-#: Round 8 head (r7's list rotated out — all re-greened in
-#: CORRECTNESS_r07): the entries whose PLAN, SEMANTICS, or ORACLE
-#: changed this round — the char-bigram LM core pre-aggregates to
-#: (doc_id, bg, k) and scores with the weighted Σk·ln(p)/Σk on BOTH
-#: engines (text_lm_score + both tier consumers), keep='first' now
-#: exempts only the single earliest (doc_id, p) occurrence per window
-#: (struct MIN on both engines), the BPE encoder gained the chunked
-#: vocabulary regime for k>100 merge tables (k<=100 driver path
-#: unchanged, re-greened to be safe), and the power-iteration
-#: accumulators moved to decimal(38,0) (same values, changed plan).
+#: Round 9 head — deliberately MINIMAL per VERDICT r8 #1 (the round's
+#: budget goes to the stale tail; 96 entries had no evidence newer than
+#: r6): only the entries whose PLAN changed this round — the two
+#: percent-of-total windows rewritten as 1-row agg + broadcast attach
+#: (same hashes, no global WindowExec), and the deflated power
+#: iteration whose per-row projections gained the 2^53 guard via the
+#: shared _proj_q (same values; embedding_top_components is the
+#: representative — its three consumers share the identical code path
+#: and were all green r8).  The r9 CMS md5-pinning left those entries'
+#: plans bit-identical (md5 was the implicit default before), so they
+#: rotate normally.  The four NEW r9 entries (bpe_encode_ids,
+#: eval_split_decontaminated, source_overlap_sketched,
+#: knn_ivfadc_incremental_topk) sort ahead automatically as
+#: never-checked.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "text_lm_score",
-    "quality_lm_buckets",
-    "corpus_curation_quality_mix",
-    "dedup_substring_cut_keepfirst",
-    "bpe_encode_corpus",
-    "embedding_top_component",
-    "mixture_sample_temperature",
+    "order_priority_distribution",
+    "mixture_reweighting",
+    "embedding_top_components",
 )
 
 
