@@ -133,6 +133,17 @@ HEADLINE = [
     # the serve-without-groupBy shape)
     "knn_opq_pinned_topk",
     "cms_topk_serving",
+    # round 9: the leak-free split capstone (carve -> Bloom scrub — the
+    # composed two-stage shuffle shape), the incremental IVFADC serve
+    # (frozen-artifact append maintenance; pairs with knn_ivfadc_topk to
+    # record the route_corpus/union overhead), the id-emitting BPE
+    # encoder (ordered per-doc assembly on top of the vocab-typed encode
+    # — pairs with bpe_encode_corpus), and the sketched overlap audit
+    # (exact matrix + theta-sampled estimate under one plan)
+    "eval_split_decontaminated",
+    "knn_ivfadc_incremental_topk",
+    "bpe_encode_ids",
+    "source_overlap_sketched",
 ]
 
 

@@ -116,10 +116,16 @@ def _load_all() -> None:
 #: eval_split_decontaminated, source_overlap_sketched,
 #: knn_ivfadc_incremental_topk) sort ahead automatically as
 #: never-checked.
+#: (text_bm25_topk joins the head for its r9 plan fix — the
+#: row_number-then-filter global rank became orderBy+limit
+#: TakeOrderedAndProject + a 10-row rank attach, removing a
+#: corpus-scale single-partition sort; it was also one of the
+#: oldest-evidence entries, so fronting it costs the tail nothing.)
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "order_priority_distribution",
     "mixture_reweighting",
     "embedding_top_components",
+    "text_bm25_topk",
 )
 
 

@@ -341,11 +341,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("s"))
     )
-    w = Window.orderBy(F.desc(F.round("s", 4)), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "doc_id", F.round("s", 4).alias("score"))
+    # top-10 FIRST via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k), THEN the rank attach over the 10 survivors: the old
+    # row_number-then-filter shape sorted EVERY scored doc in one
+    # partition (a corpus-scale single-partition sort at 100 TB — the r9
+    # fix); partitionBy(lit) keeps the 10-row rank window warning-free.
+    top = scored.select(
+        "doc_id", F.round("s", 4).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "doc_id", "score"
     )
 
 
