@@ -581,3 +581,91 @@ def test_temperature_driver_mode_always_equals_plan(spark, texts, budget):
         .collect()
     }
     assert plan == driver
+
+
+# --- bpe_encode_ids: random corpora vs the pure-Python greedy reference ---
+
+_bpe_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=12,
+)
+_bpe_docs = st.lists(_bpe_words, min_size=1, max_size=6)
+
+
+@given(docs=_bpe_docs, k=st.integers(0, 5))
+@settings(**_SETTINGS)
+def test_bpe_encode_ids_equals_reference(spark, docs, k):
+    """Trained-on-corpus ids must equal the textbook greedy trainer +
+    encoder (first-step-wins id space) on arbitrary small corpora —
+    including words the trainer filter drops (length 1) and k=0."""
+    from tests.test_bpe_trainer import (
+        _reference_bpe,
+        _reference_ids,
+        _vocab_of,
+    )
+
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_train_merges,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges = bpe_train_merges(df, n_merges=k) if k else (
+        bpe_train_merges(df, n_merges=1).filter("step < 1")
+    )
+    rules = [
+        (r["x"], r["y"]) for r in merges.orderBy("step").collect()
+    ]
+    want = _reference_ids(rows, rules)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_ids"])
+        for r in bpe_encode_ids(df, merges=merges).collect()
+    }
+    assert got == want
+
+
+# --- source_overlap_sampled: rate=1 exactness on random posting sets ---
+
+_ovl_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+                 min_size=5, max_size=12),
+    ),
+    min_size=2, max_size=8,
+)
+
+
+@given(docs=_ovl_docs)
+@settings(**_SETTINGS)
+def test_source_overlap_sampled_rate1_equals_bruteforce(spark, docs):
+    """rate_denom=1 must reproduce the exact distinct-5-gram overlap
+    matrix on arbitrary corpora (both hash families)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from spotify_etl_pipeline_spark.operators.dedup import (
+        source_overlap_sampled,
+    )
+
+    rows = [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    postings = defaultdict(set)
+    for _, src, text in rows:
+        toks = text.split(" ")
+        for i in range(len(toks) - 4):
+            postings[src].add("_".join(toks[i : i + 5]))
+    want = {}
+    for a, b in combinations(sorted(postings), 2):
+        n = len(postings[a] & postings[b])
+        if n:
+            want[(a, b)] = n
+    for fam in ("xxhash64", "md5"):
+        got = {
+            (r["source_a"], r["source_b"]): r["n_shared_est"]
+            for r in source_overlap_sampled(
+                df, n=5, rate_denom=1, hash_fn=fam
+            ).collect()
+        }
+        assert got == want, fam
