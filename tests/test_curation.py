@@ -473,3 +473,24 @@ def test_leak_free_split_zero_eval_ngrams_survive(spark, sf_dir):
     ev_sh = doc_shingles(ev, n=5).select("shingle").distinct()
     tr_sh = doc_shingles(tr, n=5).select("shingle").distinct()
     assert ev_sh.join(tr_sh, "shingle").count() == 0
+
+
+def test_leak_free_split_prefilter_arm_identical(spark, sf_dir):
+    """The 100 TB carve arm (prefilter=True threads through to
+    stratified_exact_n_sample) must produce the IDENTICAL split
+    assignment — the carve is provably exact, so the downstream scrub
+    sees the same eval set."""
+    from spotify_etl_pipeline_spark.operators.curation import leak_free_split
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in leak_free_split(docs, n_per_stratum=5, n=5).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in leak_free_split(
+            docs, n_per_stratum=5, n=5, prefilter=True
+        ).collect()
+    }
+    assert a == b and len(a) > 0
