@@ -657,7 +657,7 @@ def _leak_free_oracle() -> str:
 @register(
     "eval_split_decontaminated",
     oracle=_leak_free_oracle(),
-    survey="X34,X20,X1,X4",
+    survey="X34,X20,X36,X1,X4",
     doc=f"The LEAK-FREE SPLIT capstone: carve exactly {_EVAL_N} eval "
     "docs per language (content-fingerprint-ranked — "
     "eval_set_stratified_sample verbatim), then scrub the TRAINING "

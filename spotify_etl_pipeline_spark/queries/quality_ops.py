@@ -740,7 +740,7 @@ def _overlap_sketch_oracle() -> str:
 @register(
     "source_overlap_sketched",
     oracle=_overlap_sketch_oracle(),
-    survey="X2,X4,X6",
+    survey="X2,X4,X6,X37",
     doc="SKETCHED cross-source duplication audit — the 100 TB arm of "
     "source_overlap_matrix: per-source mergeable posting sketches via a "
     "fixed-threshold content-hash sample (theta/KMV family, theta=1/4 "

@@ -727,7 +727,7 @@ _COS = (
           FROM rer)
     WHERE rank <= 5
     """,
-    survey="X3",
+    survey="X3,X38",
     doc="INCREMENTAL IVFADC index maintenance under a FULL value-hash "
     "oracle — the Faiss IndexIVFPQ.add production shape: the base build "
     "(80% of the corpus, vec_id % 5 <> 4) freezes init-only codebooks "

@@ -839,7 +839,7 @@ def _bpe_vocab_cte(i: int) -> str:
     FROM docw d JOIN wenc e ON d.w = e.w
     GROUP BY d.doc_id
     """,
-    survey="X4,X14",
+    survey="X4,X14,X35",
     doc=f"Encode every document to its ORDERED TOKEN-ID SEQUENCE with "
     f"the k={BPE_TRAIN_K} merge table bpe_train_merges learns — the "
     "production completion of the tokenizer tier (bpe_encode_corpus "
