@@ -141,3 +141,18 @@ def test_pq_index_stream_matches_batch_including_replay(spark, sf_dir, tmp_path)
         ).collect()
     )
     assert serve_replay == serve_batch
+
+
+def test_delta_assignment_mean_mode_quality_arm(spark, sf_dir):
+    """The quality dial (mode='mean' — float cluster-mean quantizer,
+    the non-oracle production arm) must also assign every appended
+    vector into an existing base cell, exactly once."""
+    _, base, delta = _split(spark, sf_dir)
+    base_cells = {r["label"] for r in base.select("label").distinct().collect()}
+    assigned = ivf_assign_cells(
+        delta.select("vec_id", "embedding"), base, mode="mean"
+    )
+    got = {r["label"] for r in assigned.select("label").distinct().collect()}
+    assert got and got <= base_cells
+    assert assigned.count() == delta.count()
+    assert assigned.select("vec_id").distinct().count() == delta.count()
