@@ -898,8 +898,15 @@ def ivf_assign_cells(
     """
     from .similarity import ivf_probe_routing
 
+    # ivf_probe_routing reads the query id from ``vec_id`` specifically;
+    # rename on the way in so a non-default id_col round-trips instead of
+    # failing with a missing-column AnalysisException (ADVICE r9)
+    vecs = (
+        vectors if id_col == "vec_id"
+        else vectors.withColumnRenamed(id_col, "vec_id")
+    )
     return ivf_probe_routing(
-        route_corpus, vectors, n_probe=1, cluster_col=cluster_col, mode=mode
+        route_corpus, vecs, n_probe=1, cluster_col=cluster_col, mode=mode
     ).select(
         F.col("query_id").alias(id_col), F.col("cluster").alias(cluster_col)
     )

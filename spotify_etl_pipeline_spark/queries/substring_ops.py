@@ -650,7 +650,14 @@ def _bpe_pass_ctes(i: int) -> str:
     argmax-merge row ``t{i}`` → merged sequences ``s{i}``.  Chained
     ``BPE_TRAIN_K`` times by the trainer oracle; tie-break (count DESC,
     pair ASC) and the underscore-wrapped replace are exactly
-    bpe_merge_apply's (same file, single-iteration entry)."""
+    bpe_merge_apply's (same file, single-iteration entry).
+
+    The apply step is ``LEFT JOIN t{i} ON TRUE`` + ``COALESCE(..., seq)``
+    rather than a CROSS JOIN so an EXHAUSTED chain (``t{i}`` empty —
+    fewer than k merges available) leaves the sequences unchanged instead
+    of emptying the whole relation; that matches the Spark trainer's
+    fewer-than-k behavior and keeps every downstream v/e chain alive.
+    Same guard in ``_bpe_encode_cte`` / ``_bpe_vocab_cte``."""
     return f"""
     p{i} AS (
       SELECT unnest(list_transform(range(1, len(s)),
@@ -665,9 +672,9 @@ def _bpe_pass_ctes(i: int) -> str:
             ORDER BY np DESC, pair ASC LIMIT 1)
     ),
     s{i} AS (
-      SELECT replace(seq, '_' || x || '__' || y || '_',
-                     '_' || x || y || '_') AS seq, n
-      FROM s{i - 1} CROSS JOIN t{i}
+      SELECT COALESCE(replace(seq, '_' || x || '__' || y || '_',
+                              '_' || x || y || '_'), seq) AS seq, n
+      FROM s{i - 1} LEFT JOIN t{i} ON TRUE
     )"""
 
 
@@ -720,9 +727,9 @@ def _bpe_encode_cte(i: int) -> str:
     return f"""
     e{i} AS (
       SELECT doc_id, nc,
-             replace(seq, '_' || x || '__' || y || '_',
-                     '_' || x || y || '_') AS seq
-      FROM e{i - 1} CROSS JOIN t{i}
+             COALESCE(replace(seq, '_' || x || '__' || y || '_',
+                              '_' || x || y || '_'), seq) AS seq
+      FROM e{i - 1} LEFT JOIN t{i} ON TRUE
     )"""
 
 
@@ -780,9 +787,9 @@ def _bpe_vocab_cte(i: int) -> str:
     entry joins the finished table back to (doc, pos, word)."""
     return f"""
     v{i} AS (
-      SELECT w, replace(seq, '_' || x || '__' || y || '_',
-                        '_' || x || y || '_') AS seq
-      FROM v{i - 1} CROSS JOIN t{i}
+      SELECT w, COALESCE(replace(seq, '_' || x || '__' || y || '_',
+                                 '_' || x || y || '_'), seq) AS seq
+      FROM v{i - 1} LEFT JOIN t{i} ON TRUE
     )"""
 
 
@@ -825,7 +832,9 @@ def _bpe_vocab_cte(i: int) -> str:
     vids AS (
       SELECT vs0.w, vs0.sp,
              CASE WHEN length(ss[sp]) = 1 THEN ascii(ss[sp]) - 97
-                  ELSE symid.id END AS tid
+                  WHEN symid.id IS NOT NULL THEN symid.id
+                  ELSE error('bpe_encode_ids oracle: symbol not in merge '
+                             'table: ' || ss[sp]) END AS tid
       FROM vs0 LEFT JOIN symid ON ss[sp] = symid.sym
     ),
     wenc AS (

@@ -56,7 +56,9 @@ def run_cms_stream(
     def step(batch: DataFrame, epoch: int) -> None:
         words = batch.select(F.explode(F.split("text", " ")).alias("k"))
         sketch = count_min_build(words, "k", d=d, w=w, hash_fn=hash_fn)
-        sketch.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
+        sketch.withColumn("hash_fn", F.lit(hash_fn)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/epoch={epoch}")
 
     q = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -70,14 +72,47 @@ def run_cms_stream(
     q.awaitTermination()
 
 
-def read_merged_sketch(spark: SparkSession, out_path: str) -> DataFrame:
+def read_merged_sketch(
+    spark: SparkSession, out_path: str, expect_hash_fn: str | None = None
+) -> DataFrame:
     """The serving sketch: SUM the epoch partitions cell-wise. Identical
     schema to :func:`..operators.cms.count_min_build`, so
     ``count_min_estimate`` works on it unchanged — and folding history
-    into fewer epochs (compaction) is this same aggregation."""
+    into fewer epochs (compaction) is this same aggregation.
+
+    Every epoch written by this module carries a ``hash_fn`` marker
+    column (ADVICE r9: a store built under one hash family probed with
+    another silently breaks the never-undercount guarantee — the cells
+    are just integers, nothing else can catch the mismatch).  Pass
+    ``expect_hash_fn`` to FAIL LOUDLY instead: the read raises if any
+    epoch was built under a different family, or if the store predates
+    the marker entirely (rebuild it, or re-stamp with a known family).
+    The marker is dropped from the returned frame, so downstream probes
+    are unchanged; validation cost is one distinct over the ≤ d·w·epochs
+    cell store."""
+    store = spark.read.parquet(out_path)
+    if "hash_fn" in store.columns:
+        if expect_hash_fn is not None:
+            families = sorted(
+                r[0] for r in store.select("hash_fn").distinct().collect()
+            )
+            if families != [expect_hash_fn]:
+                raise ValueError(
+                    f"CMS store {out_path} was built with hash family "
+                    f"{families}, probe requested {expect_hash_fn!r} — "
+                    "estimates would be garbage; rebuild the store or "
+                    "probe with the matching family"
+                )
+        store = store.drop("hash_fn")
+    elif expect_hash_fn is not None:
+        raise ValueError(
+            f"CMS store {out_path} carries no hash-family marker "
+            "(pre-marker store): rebuild it with the current writer, "
+            "or read without expect_hash_fn only if the build family "
+            "is known out-of-band"
+        )
     return (
-        spark.read.parquet(out_path)
-        .groupBy("row", "bucket")
+        store.groupBy("row", "bucket")
         .agg(F.sum("n").cast("long").alias("n"))
     )
 
@@ -110,9 +145,9 @@ def run_cms_topk_stream(
     def step(batch: DataFrame, epoch: int) -> None:
         words = batch.select(F.explode(F.split("text", " ")).alias("k"))
         sketch = count_min_build(words, "k", d=d, w=w, hash_fn=hash_fn)
-        sketch.write.mode("overwrite").parquet(
-            f"{out_path}/sketch/epoch={epoch}"
-        )
+        sketch.withColumn("hash_fn", F.lit(hash_fn)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/sketch/epoch={epoch}")
         cand = (
             words.groupBy("k")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -145,10 +180,14 @@ def serve_cms_topk(
     """Serve "current top-k frequent keys" from the store WITHOUT
     touching the raw corpus: SUM the epoch sketches cell-wise, union
     the epoch candidate lists (distinct — |epochs|·c rows), probe, rank
-    (``operators.cms.count_min_topk``).  Probing with the SAME hash
-    family the sketches were built with is the caller's contract."""
+    (``operators.cms.count_min_topk``).  The store's persisted
+    ``hash_fn`` marker is validated against the requested family before
+    any probe (a mismatch raises instead of silently serving garbage
+    estimates)."""
     from ..operators.cms import count_min_topk
 
-    merged = read_merged_sketch(spark, f"{out_path}/sketch")
+    merged = read_merged_sketch(
+        spark, f"{out_path}/sketch", expect_hash_fn=hash_fn
+    )
     cands = spark.read.parquet(f"{out_path}/cands").select("k").distinct()
     return count_min_topk(merged, cands, "k", k=k, d=d, w=w, hash_fn=hash_fn)

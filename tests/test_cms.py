@@ -87,7 +87,7 @@ def test_cms_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     run_cms_stream(spark, src, out, ckpt, d=D, w=W, max_files_per_trigger=1)
 
-    merged = read_merged_sketch(spark, out)
+    merged = read_merged_sketch(spark, out, expect_hash_fn="xxhash64")
     words = docs.select(F.explode(F.split("text", " ")).alias("k"))
     whole = count_min_build(words, "k", d=D, w=W)
     as_set = lambda df: {  # noqa: E731
@@ -101,12 +101,13 @@ def test_cms_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
     # read the same files an overwrite is deleting.
     epoch0_rows = spark.read.parquet(f"{out}/epoch=0").collect()
     spark.createDataFrame(
-        epoch0_rows, "row: int, bucket: bigint, n: bigint"
+        epoch0_rows, "row: int, bucket: bigint, n: bigint, hash_fn: string"
     ).write.mode("overwrite").parquet(f"{out}/epoch=0")
     # drop the stale file-status cache for both the partition dir and
     # the root listing (they are cached as separate paths)
     spark.catalog.refreshByPath(out)
-    merged = read_merged_sketch(spark, out)  # pre-overwrite plan is stale
+    # pre-overwrite plan is stale
+    merged = read_merged_sketch(spark, out, expect_hash_fn="xxhash64")
     assert as_set(merged) == as_set(whole)
 
     # and estimates through the merged sketch behave identically
@@ -120,6 +121,58 @@ def test_cms_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
         for r in count_min_estimate(whole, probes.select("k"), "k", D, W).collect()
     }
     assert est_m == est_w and est_m
+
+
+def test_cms_store_hash_family_mismatch_raises(spark, sf_dir, tmp_path):
+    """ADVICE r9: a persisted epoch store carries a hash-family marker
+    and a probe under a different family must FAIL LOUDLY — before the
+    marker, an md5-built store probed with the (new) xxhash64 default
+    silently returned garbage estimates.  A marker-less (pre-upgrade)
+    store must also refuse validated reads instead of guessing."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        read_merged_sketch,
+        run_cms_stream,
+        serve_cms_topk,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents").limit(50)
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "cms_md5")
+    run_cms_stream(spark, src, out, str(tmp_path / "ck1"), d=D, w=W,
+                   hash_fn="md5")
+
+    # matching family reads fine; the marker column is dropped
+    merged = read_merged_sketch(spark, out, expect_hash_fn="md5")
+    assert set(merged.columns) == {"row", "bucket", "n"}
+    # mismatched family raises, naming both sides
+    with pytest.raises(ValueError, match="md5.*xxhash64"):
+        read_merged_sketch(spark, out, expect_hash_fn="xxhash64")
+    # the serve path validates too (it probes with its hash_fn arg)
+    topk_store = str(tmp_path / "hh_md5")
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        run_cms_topk_stream,
+    )
+
+    run_cms_topk_stream(spark, src, topk_store, str(tmp_path / "ck2"),
+                        d=D, w=W, hash_fn="md5")
+    with pytest.raises(ValueError, match="hash family"):
+        serve_cms_topk(spark, topk_store, k=5, d=D, w=W,
+                       hash_fn="xxhash64").collect()
+    assert serve_cms_topk(spark, topk_store, k=5, d=D, w=W,
+                          hash_fn="md5").count() == 5
+
+    # legacy store without the marker: validated read refuses
+    legacy = str(tmp_path / "legacy")
+    spark.read.parquet(f"{out}/epoch=0").drop("hash_fn").write.parquet(
+        f"{legacy}/epoch=0"
+    )
+    with pytest.raises(ValueError, match="no hash-family marker"):
+        read_merged_sketch(spark, legacy, expect_hash_fn="md5")
+    # unvalidated read still works for out-of-band-known stores
+    assert read_merged_sketch(spark, legacy).count() > 0
 
 
 def test_cms_md5_audit_arm_keeps_guarantees(spark, sf_dir):
@@ -197,7 +250,7 @@ def test_cms_topk_stream_matches_batch_including_replay(spark, sf_dir, tmp_path)
     # content — serving must not change (the epoch-keyed exactly-once
     # scheme covers the candidate lists too)
     for part, schema in (
-        ("sketch", "row: int, bucket: bigint, n: bigint"),
+        ("sketch", "row: int, bucket: bigint, n: bigint, hash_fn: string"),
         ("cands", "k: string"),
     ):
         rows = spark.read.parquet(f"{out}/{part}/epoch=0").collect()

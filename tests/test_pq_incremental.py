@@ -143,6 +143,42 @@ def test_pq_index_stream_matches_batch_including_replay(spark, sf_dir, tmp_path)
     assert serve_replay == serve_batch
 
 
+def test_assign_cells_nondefault_id_col_round_trips(spark, sf_dir):
+    """ADVICE r9: id_col used to rename only the OUTPUT column while the
+    routing stage hard-required vec_id on the input — a non-default
+    id_col failed with a missing-column AnalysisException.  It must now
+    produce the identical assignment under the renamed id."""
+    _, base, delta = _split(spark, sf_dir)
+    renamed = delta.select(
+        F.col("vec_id").alias("doc_ref"), "embedding"
+    )
+    via_custom = {
+        (r["doc_ref"], r["label"])
+        for r in ivf_assign_cells(renamed, base, id_col="doc_ref").collect()
+    }
+    via_default = {
+        (r["vec_id"], r["label"])
+        for r in ivf_assign_cells(
+            delta.select("vec_id", "embedding"), base
+        ).collect()
+    }
+    assert via_custom == via_default and via_custom
+
+    # and the append encoder threads it through end-to-end
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+    enc_custom = {
+        (r["doc_ref"], r["label"], tuple(r["pq_codes"]))
+        for r in pq_encode_append(
+            renamed, base, books, id_col="doc_ref"
+        ).collect()
+    }
+    enc_default = {
+        (r["vec_id"], r["label"], tuple(r["pq_codes"]))
+        for r in pq_encode_append(delta, base, books).collect()
+    }
+    assert enc_custom == enc_default and enc_custom
+
+
 def test_delta_assignment_mean_mode_quality_arm(spark, sf_dir):
     """The quality dial (mode='mean' — float cluster-mean quantizer,
     the non-oracle production arm) must also assign every appended
