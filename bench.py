@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from spotify_etl_pipeline_spark.queries.catalog import queries  # noqa: E402
+from spotify_etl_pipeline_spark.queries.catalog import full_catalog  # noqa: E402
 from spotify_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family, weighted toward the shuffly/heavy
@@ -150,7 +150,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
-    all_queries = queries()
+    # full_catalog: the bench times driver=False production arms too
+    # (rows-only ANN/sketch entries folded out of the driver sweep, r10)
+    all_queries = {n: sp.fn for n, sp in full_catalog().items()}
     names = [n for n in HEADLINE if n in all_queries]
     # warm the JVM + parquet footers, and spin up the Python/Arrow workers
     # (one-time ~2s daemon startup that would otherwise land on whichever

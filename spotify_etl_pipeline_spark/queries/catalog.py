@@ -39,8 +39,19 @@ class QuerySpec:
     """One catalog entry.
 
     ``oracle`` is the DuckDB-SQL equivalent, or ``None`` for genuinely
-    non-SQL-expressible operators (driver then records a rows-only check).
+    non-SQL-expressible operators (approximate/ANN by nature —
+    engine-order-dependent float folds, k-means fits, sketch cells).
     ``survey`` cites the SURVEY.md §2 inventory ids this query covers.
+
+    ``driver`` (VERDICT r9 #5): ``False`` keeps the entry OUT of the
+    driver-facing ``queries()``/``oracle_sql()`` — it can never go
+    full-hash green, so letting the external sweep re-record it as a
+    rows-only row every rotation burns a slot that a hash-checkable
+    entry could use.  Every ``driver=False`` entry must name its
+    hash-checked twin (the ``*_check`` / ``*_recall`` / pinned-dial
+    entry carrying the driver evidence) in its oracle comment; it stays
+    in :func:`full_catalog` so the bench, the cartesian plan sweep, and
+    the unit suite keep exercising it.
     """
 
     name: str
@@ -48,21 +59,40 @@ class QuerySpec:
     oracle: str | None
     survey: str
     doc: str = ""
+    driver: bool = True
 
 
 CATALOG: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, survey: str, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    survey: str,
+    doc: str = "",
+    driver: bool = True,
+):
     """Decorator: add a query function to the catalog."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in CATALOG:
             raise ValueError(f"duplicate query name: {name}")
-        CATALOG[name] = QuerySpec(name=name, fn=fn, oracle=oracle, survey=survey, doc=doc)
+        CATALOG[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc,
+            driver=driver,
+        )
         return fn
 
     return wrap
+
+
+def full_catalog() -> dict[str, QuerySpec]:
+    """EVERY registered entry, including ``driver=False`` production
+    arms — the surface the bench and the plan/test sweeps iterate; the
+    driver-facing :func:`queries`/:func:`oracle_sql` expose only the
+    hash-checkable subset."""
+    _load_all()
+    return dict(CATALOG)
 
 
 def _load_all() -> None:
@@ -186,11 +216,12 @@ def _ordered() -> list[QuerySpec]:
     if unknown:
         raise KeyError(f"_CHANGED_THIS_ROUND names not in catalog: {unknown}")
     latest = _latest_evidence()
-    reg_pos = {n: i for i, n in enumerate(CATALOG)}
+    names = [n for n in CATALOG if CATALOG[n].driver]
+    reg_pos = {n: i for i, n in enumerate(names)}
     head = [CATALOG[n] for n in _CHANGED_THIS_ROUND]
     changed = set(_CHANGED_THIS_ROUND)
     tail = sorted(
-        (n for n in CATALOG if n not in changed),
+        (n for n in names if n not in changed),
         key=lambda n: (latest.get(n, 0), reg_pos[n]),
     )
     return head + [CATALOG[n] for n in tail]

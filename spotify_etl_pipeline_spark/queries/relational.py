@@ -397,8 +397,10 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # HLL sketch values differ across engines → rows-only check;
-    # accuracy vs the exact count is asserted in tests/test_queries_oracle.py.
+    oracle=None,  # HLL sketch values differ across engines; hash-checked
+    # twin: approx_count_distinct_check (driver evidence); accuracy vs
+    # the exact count also asserted in tests/test_queries_oracle.py.
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X6",
     doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for "
     "distinct counting — no exact distinct expansion, fixed-size sketch merge.",
@@ -554,7 +556,10 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "percentile_approx",
-    oracle=None,  # sketch-based; tolerance asserted in tests.
+    oracle=None,  # sketch-based; hash-checked twin:
+    # percentile_approx_check (driver evidence); tolerance also
+    # asserted in tests/test_queries_oracle.py.
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X6",
     doc="percentile_approx (KLL-style sketch) — the scale path for quantiles.",
 )

@@ -62,8 +62,10 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf",
-    oracle=None,  # approximate (n_probe < n_clusters) → rows-only check;
-    # recall vs brute force asserted in tests/test_similarity.py.
+    oracle=None,  # approximate (n_probe < n_clusters); hash-checked twin:
+    # knn_ivf_recall (driver evidence), recall floor also asserted in
+    # tests/test_similarity.py.
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X3",
     doc="IVF ANN: centroid routing (n_probe=3 of 10 clusters) then exact "
     "scoring within probed clusters — the 100 TB scale path (cuts pairwise "
@@ -302,8 +304,11 @@ PQ_SHORTLIST = 50
 @register(
     "knn_pq_topk",
     oracle=None,  # codebooks are k-means fits (float means, engine-order
-    # dependent) → rows-only; recall floors (ADC and reranked) vs
-    # knn_l2_brute_force asserted in tests/test_similarity.py.
+    # dependent); hash-checked twins: knn_pq_recall (driver evidence) and
+    # knn_pq_pinned_topk (the identical machinery under pinned dials,
+    # FULL value hash); recall floors vs knn_l2_brute_force asserted in
+    # tests/test_similarity.py.
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X3",
     doc="Product-quantization ANN with exact rerank (Jégou et al. 2011; "
     "the Faiss IndexRefine pattern): m=4 subspace codebooks of k=16 "
@@ -553,7 +558,8 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # exact ranking, but float64 matmul sums in a different
     # order than the JVM fold — 4dp-rounded cosines can land on opposite
     # sides of a half-ulp, so the value hash is not cross-engine stable;
-    # the _agree gate below carries the hash-checked evidence.
+    # hash-checked twin: knn_brute_force_arrow_agree (driver evidence).
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X3",
     doc="Arrow-batched exact top-5 cosine: numpy matmul inside mapInPandas "
     "emitting per-batch top-(k+1) survivors, one thin global rank window — "

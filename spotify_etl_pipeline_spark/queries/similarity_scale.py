@@ -162,9 +162,10 @@ def lsh_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_ivfadc_topk",
     oracle=None,  # probe routing rides on float centroid means (engine
-    # summation order) → rows-only; the hash-checked twin is
-    # knn_ivfadc_recall, and the machinery itself is value-hash-proven
-    # by knn_pq_pinned_topk.
+    # summation order); hash-checked twin: knn_ivfadc_recall (driver
+    # evidence), and the machinery itself is value-hash-proven by
+    # knn_pq_pinned_topk / knn_pq_auto_forced_ivfadc.
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X3",
     doc="IVFADC (Jégou et al. 2011 §IV) — the composition VERDICT r3 "
     "flagged as the one remaining ANN scale gap: PQ candidate "
@@ -251,8 +252,9 @@ def knn_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both arms it dispatches between; the dispatch itself is
     # equality-tested against the arm pq_route selects
     # (tests/test_pq_dispatch.py), each arm has its own recall twin, and
-    # the IVFADC arm now carries a FULL value-hash driver row of its own
+    # the IVFADC arm carries a FULL value-hash driver row of its own
     # (knn_pq_auto_forced_ivfadc — pinned dials, forced route).
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X3",
     doc="|Q|-aware PQ search dispatch (pq_topk_auto): exhaustive "
     "ADC+rerank below the pq_route candidate-volume crossover, IVFADC "
@@ -566,8 +568,10 @@ def knn_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_quantized_ivf",
     oracle=None,  # probe routing depends on float centroid means (engine
-    # summation order) → rows-only; recall floor vs the exact quantized
-    # baseline asserted in tests/test_similarity.py.
+    # summation order); the int8 kernel is value-hash-proven by
+    # knn_quantized_topk (full oracle) and the recall floor vs the exact
+    # quantized baseline is asserted in tests/test_similarity.py.
+    driver=False,  # VERDICT r9 #5: bench/test arm, out of the sweep
     survey="X3",
     doc="Int8 top-k INSIDE IVF-probed clusters (n_probe=3 of 10): the "
     "quantized index is scanned only where the centroid routing points, "

@@ -20,7 +20,14 @@ from spotify_etl_pipeline_spark.plans.inspect import (
     codegen_stage_count,
     read_schema_fields,
 )
-from spotify_etl_pipeline_spark.queries.catalog import queries
+from spotify_etl_pipeline_spark.queries.catalog import full_catalog
+
+
+def queries():
+    """name -> fn over the FULL catalog: the plan sweeps must keep
+    covering driver=False production arms (rows-only ANN/sketch
+    entries folded out of the driver-facing queries() in r10)."""
+    return {n: sp.fn for n, sp in full_catalog().items()}
 
 # Pairwise vector scoring is intentionally a non-equi join (brute-force
 # baseline; IVF/LSH blocking is the scale path), and attaching a 1-row

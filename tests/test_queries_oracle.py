@@ -9,11 +9,12 @@ from __future__ import annotations
 
 import pytest
 
-from spotify_etl_pipeline_spark.queries.catalog import CATALOG, queries
+from spotify_etl_pipeline_spark.queries.catalog import CATALOG, full_catalog
 
 from .oracle_compare import compare_results, frame_problems
 
-ALL = queries()  # triggers module loading / registration
+# full catalog (incl. driver=False arms) — triggers module registration
+ALL = {n: sp.fn for n, sp in full_catalog().items()}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in ALL if CATALOG[n].oracle))

@@ -2,9 +2,9 @@
 
 from __future__ import annotations
 
-from spotify_etl_pipeline_spark.queries.catalog import queries
+from spotify_etl_pipeline_spark.queries.catalog import full_catalog
 
-ALL = queries()
+ALL = {n: sp.fn for n, sp in full_catalog().items()}
 
 
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
