@@ -429,6 +429,29 @@ def lsh_candidates_incremental(
     return new_sigs, cross.unionByName(within).distinct()
 
 
+def lsh_index_apply_tombstones(
+    sigs: DataFrame, tombstones: DataFrame
+) -> DataFrame:
+    """DELETE half of LSH-index maintenance: drop tombstoned documents
+    from the stored signature table at serve time — one left-anti
+    equi-join on ``doc_id`` (the twin of ``pq.index_apply_tombstones``;
+    an append-only index otherwise keeps retired/redacted documents as
+    candidate sources forever).
+
+    Because a signature row depends ONLY on its own document's text
+    (the same property that makes the index incrementally maintainable),
+    the invariant is exact: the scrubbed index equals a from-scratch
+    ``minhash_signatures_hashed`` build over the surviving corpus,
+    row-for-row — and every downstream product (band buckets, candidate
+    pairs via :func:`lsh_candidates_incremental`) therefore contains no
+    deleted document.  Tombstones are ids only, idempotent under
+    duplicates/replays (distinct before the anti-join), and the join
+    shuffles on the doc_id key the index already carries (broadcast
+    while the tombstone set is small)."""
+    dead = tombstones.select("doc_id").distinct()
+    return sigs.join(dead, "doc_id", "left_anti")
+
+
 def simhash(df: DataFrame) -> DataFrame:
     """16-bit SimHash over the token multiset, as a single codegen'd fold.
 

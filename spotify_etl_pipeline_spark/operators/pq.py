@@ -942,3 +942,36 @@ def pq_encode_append(
         delta.select(id_col, "embedding").join(cells, id_col),
         codebooks, id_col=id_col, keep_cols=(cluster_col,),
     )
+
+
+def index_apply_tombstones(
+    codes: DataFrame, tombstones: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """DELETE half of index maintenance — the Faiss ``remove_ids`` shape:
+    drop tombstoned rows from a stored code table at serve time via ONE
+    left-anti equi-join on the id.
+
+    What deletion does NOT touch mirrors Faiss exactly: the frozen
+    codebooks and the frozen coarse quantizer stay as built (inverted
+    lists shrink; centroids never move), so a tombstoned vector that
+    happened to be a pinned cell representative keeps anchoring routing —
+    representatives are index ARTIFACTS derived at build time, not
+    served rows.  Because every code row depends only on its own vector
+    + the frozen artifacts, the invariant is exact and bit-for-bit:
+
+        serve over (base codes ∪ appended codes) ∖ tombstones
+          == serve over a one-shot frozen-artifact encode of the
+             surviving vectors alone
+
+    (pinned dials make both sides value-hash stable — the driver entry
+    ``knn_ivfadc_deleted_topk`` checks the full chain cross-engine).
+    The tombstone table is ids only — typically tiny vs the corpus, and
+    mergeable/epoch-appendable like every other store in this repo
+    (streaming half: ``streaming.pq_index_stream.run_pq_delete_stream``);
+    the anti-join shuffles on the same id key the code table already
+    carries, and a broadcast is chosen automatically while the tombstone
+    set is small.  Physical deletion (rewriting the code files without
+    the dead rows) is compaction, not serving — see
+    ``streaming.pq_index_stream.compact_epoch_store``."""
+    dead = tombstones.select(F.col(id_col)).distinct()
+    return codes.join(dead, id_col, "left_anti")

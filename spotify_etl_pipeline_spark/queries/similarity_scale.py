@@ -616,9 +616,12 @@ _COS = (
 )
 
 
-@register(
-    "knn_ivfadc_incremental_topk",
-    oracle=f"""
+def _ivfadc_incremental_oracle(live_pred: str = "TRUE") -> str:
+    """The incremental-IVFADC oracle chain, shared by the append entry
+    (``live_pred="TRUE"``) and the tombstone entry (``live_pred``
+    filters the stored code rows — deletion only shrinks the inverted
+    lists; books, representatives, and routing are untouched)."""
+    return f"""
     WITH e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -695,7 +698,7 @@ _COS = (
       FROM dists WHERE vec_id < 10
     ),
     encl AS (SELECT enc.vec_id, enc.sub, enc.code, cells.label
-             FROM enc JOIN cells USING (vec_id)),
+             FROM enc JOIN cells USING (vec_id) WHERE {live_pred}),
     adc AS (
       SELECT lut.query_id, encl.vec_id AS neighbor_id,
              CAST(SUM(lut.d2u) AS BIGINT) AS adc_u
@@ -730,7 +733,12 @@ _COS = (
                                     ORDER BY d2 ASC, neighbor_id ASC) AS rank
           FROM rer)
     WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "knn_ivfadc_incremental_topk",
+    oracle=_ivfadc_incremental_oracle(),
     survey="X3,X38",
     doc="INCREMENTAL IVFADC index maintenance under a FULL value-hash "
     "oracle — the Faiss IndexIVFPQ.add production shape: the base build "
@@ -766,5 +774,53 @@ def knn_ivfadc_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_ivfadc_topk(
         emb, codes, queries, books, k=5, shortlist=50, n_probe=3,
+        probe_mode="pinned", int_units=True, route_corpus=base,
+    )
+
+
+@register(
+    "knn_ivfadc_deleted_topk",
+    oracle=_ivfadc_incremental_oracle(live_pred="vec_id % 7 <> 3"),
+    survey="X3,X38",
+    doc="DELETE half of index maintenance under a FULL value-hash "
+    "oracle — the Faiss remove_ids shape completing "
+    "knn_ivfadc_incremental_topk's append half: the same frozen "
+    "base-80% build plus appended 20%, then every vec_id % 7 == 3 "
+    "(~14%, cutting across base AND appended epochs) is tombstoned, and "
+    "serving anti-joins the stored codes against the tombstone ids "
+    "before routing/ADC (operators/pq.py::index_apply_tombstones). "
+    "Deletion shrinks the inverted lists and NOTHING else: codebooks, "
+    "coarse representatives, and routing are the frozen build's — a "
+    "tombstoned representative keeps anchoring its cell (it is an "
+    "index artifact, not a served row), exactly Faiss semantics. "
+    "Because each code row depends only on its own vector + frozen "
+    "artifacts, (codes ∪ appends) ∖ tombstones is bit-for-bit the "
+    "one-shot frozen encode of the survivors (tests pin it, plus the "
+    "epoch-keyed tombstone stream with cross-epoch deletes and forced "
+    "replay — streaming/pq_index_stream.py::run_pq_delete_stream). "
+    "The anti-join is one id-keyed equi-join; tombstones are ids only, "
+    "broadcastable while small, idempotent under duplicate deletes.",
+)
+def knn_ivfadc_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import (
+        index_apply_tombstones,
+        pq_encode,
+        pq_encode_append,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+    codes = pq_encode(base, books, keep_cols=("label",)).unionByName(
+        pq_encode_append(delta, base, books)
+    )
+    tombs = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    return pq_ivfadc_topk(
+        emb, index_apply_tombstones(codes, tombs), queries, books,
+        k=5, shortlist=50, n_probe=3,
         probe_mode="pinned", int_units=True, route_corpus=base,
     )

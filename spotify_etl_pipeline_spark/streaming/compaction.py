@@ -1,0 +1,108 @@
+"""Epoch-store compaction — the maintenance job every epoch-keyed store
+in this repo eventually needs.
+
+The exactly-once scheme shared by pq_index_stream / cms_stream /
+dedup_index / the tombstone feeds writes one partition per foreachBatch
+epoch; over a long-lived stream the store accumulates one directory per
+trigger, and serve-time reads pay the file-listing + tiny-file cost for
+all of them.  Compaction folds the existing epoch partitions into a
+single BASE partition without changing what serving sees:
+
+- **row stores** (PQ code tables, LSH signature tables, CMS candidate
+  lists, tombstone feeds): serving is a plain union, so the fold is the
+  identity — a rewrite of the same rows into one partition.
+- **sketch stores** (CMS cells): serving is a cell-wise SUM, and the SUM
+  is associative — folding epochs with the same aggregation preserves
+  every downstream estimate exactly (``compact_cms_store`` keeps the
+  per-cell ``hash_fn`` marker through the groupBy so family validation
+  survives compaction).
+
+Exactly-once is preserved for everything that happens AFTER a
+compaction:
+
+- the base partition is ``epoch=-1`` — foreachBatch epoch ids are
+  non-negative and monotonically increasing, so no future trigger can
+  ever collide with it (and re-compacting folds the previous base in);
+- subsequent appends keep writing fresh ``epoch=<n>`` partitions from
+  the stream's checkpoint; serving stays union/SUM over base + new;
+- a replay can only re-run the checkpoint's in-flight (uncommitted)
+  batch — by Structured Streaming's contract a COMMITTED epoch never
+  fires again, so fold only epochs the checkpoint has committed: for an
+  ``availableNow`` run that has terminated, that is all of them.  The
+  replayed in-flight epoch overwrites its own (un-folded) partition
+  exactly as before.
+
+The swap itself is write-to-temp → drop old partitions → rename temp
+into place (the temp dir starts with a dot, so a concurrent reader
+lists either the old partitions or the new base, never the half-written
+fold).  Paths here are local-FS (the test environment); on a cluster
+the same three steps run against the Hadoop FileSystem API — rename is
+atomic per directory on HDFS and single-object stores with atomic
+rename semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The partition every compaction folds into. Negative on purpose:
+#: foreachBatch epochs are >= 0, so the base can never be overwritten by
+#: a (replayed) trigger.
+BASE_EPOCH = -1
+
+
+def compact_epoch_store(
+    spark: SparkSession,
+    path: str,
+    fold: Callable[[DataFrame], DataFrame] | None = None,
+) -> int:
+    """Fold every ``epoch=*`` partition under ``path`` (including a
+    previous ``epoch=-1`` base) into a single fresh base partition.
+    Returns the number of partitions folded.  ``fold`` post-processes
+    the unioned rows (identity for row stores; cell-wise SUM for
+    sketches) and must preserve the serving semantics — the tests pin
+    serve-equality before/after for each store kind.
+    """
+    parts = [
+        d for d in os.listdir(path)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d))
+    ]
+    if not parts:
+        raise ValueError(f"no epoch partitions under {path}")
+    df = spark.read.parquet(path).drop("epoch")
+    if fold is not None:
+        df = fold(df)
+    tmp = os.path.join(path, ".compact_tmp")
+    # a dot-prefixed dir is invisible to Spark's file index, so the fold
+    # can be WRITTEN while the source partitions are still being READ —
+    # no materialize-to-driver step, the swap below happens only after
+    # the write (and its full upstream read) has finished
+    df.write.mode("overwrite").parquet(tmp)
+    for d in parts:
+        shutil.rmtree(os.path.join(path, d))
+    os.rename(tmp, os.path.join(path, f"epoch={BASE_EPOCH}"))
+    spark.catalog.refreshByPath(path)
+    return len(parts)
+
+
+def compact_cms_store(spark: SparkSession, path: str) -> int:
+    """Sketch-store flavor: fold epochs with the cell-wise SUM serving
+    already applies (associative — estimates are bit-identical before
+    and after), grouping by the ``hash_fn`` marker so family validation
+    (``cms_stream.read_merged_sketch``) still works on the compacted
+    store.  A mixed-family store compacts without merging across
+    families and still fails validation at probe time, exactly as
+    before."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        keys = ["row", "bucket"] + (
+            ["hash_fn"] if "hash_fn" in df.columns else []
+        )
+        return df.groupBy(*keys).agg(F.sum("n").cast("long").alias("n"))
+
+    return compact_epoch_store(spark, path, fold=fold)

@@ -20,15 +20,28 @@ At 100 TB / unbounded append streams: per-trigger cost is one C-row
 broadcast probe + one narrow codebook-literal encode over the batch —
 no base-corpus scan, no shuffle wider than the batch; the store grows
 by |batch| rows per epoch and compaction is a plain rewrite (codes are
-immutable rows, not aggregates).
+immutable rows, not aggregates) — implemented and serve-equality-tested
+as ``streaming.compaction.compact_epoch_store``.
+
+DELETES (the other half of maintenance, Faiss ``remove_ids``): a
+tombstone id feed maintained by :func:`run_pq_delete_stream` under the
+same epoch-keyed exactly-once scheme — replays overwrite their own
+partition, and tombstones are idempotent anyway (the serve-time
+anti-join in ``operators.pq.index_apply_tombstones`` distincts the ids,
+so even a duplicated delete changes nothing).  Serving reads
+``(base codes ∪ read_streamed_codes) ∖ read_tombstones``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from ..operators.pq import pq_encode_append
 from ..schemas import EMBEDDINGS_SCHEMA
+
+#: Schema of a tombstone feed file: just the vector ids to delete.
+TOMBSTONE_SCHEMA = T.StructType([T.StructField("vec_id", T.LongType())])
 
 
 def run_pq_index_stream(
@@ -73,3 +86,44 @@ def read_streamed_codes(spark: SparkSession, out_path: str) -> DataFrame:
     ``pq_ivfadc_topk(route_corpus=base)`` unchanged."""
     df = spark.read.parquet(out_path)
     return df.select([c for c in df.columns if c != "epoch"])
+
+
+def run_pq_delete_stream(
+    spark: SparkSession,
+    deletes_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the TOMBSTONE feed over current files: each micro-batch of
+    delete requests (``vec_id`` rows) lands under ``epoch=<n>`` — the
+    identical epoch-keyed exactly-once scheme as the code store, so a
+    replayed batch overwrites its own partition.  Ids may reference
+    vectors from ANY earlier code epoch or the base build (cross-epoch
+    deletes are just ids; the anti-join doesn't care where the row
+    lives), and unknown ids are harmless no-ops.  Per-trigger cost is a
+    |batch|-row write; nothing is scanned."""
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        batch.select("vec_id").write.mode("overwrite").parquet(
+            f"{out_path}/epoch={epoch}"
+        )
+
+    q = (
+        spark.readStream.schema(TOMBSTONE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(deletes_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_tombstones(spark: SparkSession, out_path: str) -> DataFrame:
+    """The merged tombstone set: distinct union of the epoch partitions
+    (idempotent under replays AND re-deletes by construction).  Feed it
+    to ``operators.pq.index_apply_tombstones`` at serve time."""
+    df = spark.read.parquet(out_path)
+    return df.select("vec_id").distinct()

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from spotify_etl_pipeline_spark.operators.pq import (
+    index_apply_tombstones,
     ivf_assign_cells,
     pq_encode,
     pq_encode_append,
@@ -141,6 +142,110 @@ def test_pq_index_stream_matches_batch_including_replay(spark, sf_dir, tmp_path)
         ).collect()
     )
     assert serve_replay == serve_batch
+
+
+def test_tombstoned_serve_equals_survivor_only_frozen_encode(spark, sf_dir):
+    """The delete invariant, bit-for-bit: (base codes ∪ appended codes)
+    ∖ tombstones must equal a one-shot frozen-artifact encode of the
+    SURVIVING vectors alone — same frozen books, same frozen
+    representatives (deletion shrinks inverted lists, moves nothing) —
+    and serving over either must agree exactly.  Deletion must also be
+    MATERIAL (the served ranking actually changes) and complete (no
+    tombstoned id ever surfaces as a neighbor)."""
+    emb, base, delta = _split(spark, sf_dir)
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+    codes = pq_encode(base, books, keep_cols=("label",)).unionByName(
+        pq_encode_append(delta, base, books)
+    )
+    dead_pred = F.col("vec_id") % 7 == 3
+    tombs = emb.filter(dead_pred).select("vec_id")
+    live = index_apply_tombstones(codes, tombs)
+
+    surv_codes = pq_encode(
+        base.filter(~dead_pred), books, keep_cols=("label",)
+    ).unionByName(pq_encode_append(delta.filter(~dead_pred), base, books))
+
+    def code_set(df):
+        return {
+            (r["vec_id"], r["label"], tuple(r["pq_codes"]))
+            for r in df.collect()
+        }
+
+    want = code_set(surv_codes)
+    assert code_set(live) == want
+    assert len(want) == emb.filter(~dead_pred).count()
+
+    serve_live = sorted(tuple(r) for r in _serve(emb, base, live, books).collect())
+    serve_surv = sorted(
+        tuple(r) for r in _serve(emb, base, surv_codes, books).collect()
+    )
+    assert serve_live == serve_surv and len(serve_live) == NQ * K
+
+    dead_ids = {r["vec_id"] for r in tombs.collect()}
+    assert not {r[1] for r in serve_live} & dead_ids  # neighbor_id col
+    serve_full = sorted(tuple(r) for r in _serve(emb, base, codes, books).collect())
+    assert serve_live != serve_full  # ~14% deleted must move some top-5
+
+    # duplicate tombstones are a no-op (idempotent delete)
+    twice = index_apply_tombstones(live, tombs.unionByName(tombs))
+    assert code_set(twice) == want
+
+
+def test_pq_delete_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
+    """Epoch-keyed tombstone maintenance: delete ids arriving across
+    THREE micro-batches (hitting base vectors and appended vectors
+    alike — cross-epoch deletes) must serve exactly the batch anti-join
+    with the same id set; a forced replay of a tombstone epoch and a
+    later re-delete feed of already-dead ids must both change nothing."""
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_tombstones,
+        run_pq_delete_stream,
+    )
+
+    emb, base, delta = _split(spark, sf_dir)
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+    codes = pq_encode(base, books, keep_cols=("label",)).unionByName(
+        pq_encode_append(delta, base, books)
+    )
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+
+    src = str(tmp_path / "deletes")
+    for part in range(3):  # one file per epoch
+        dead.filter(F.col("vec_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "tombs")
+    ckpt = str(tmp_path / "ckpt")
+    run_pq_delete_stream(spark, src, out, ckpt, max_files_per_trigger=1)
+
+    ts = read_tombstones(spark, out)
+    assert {r["vec_id"] for r in ts.collect()} == {
+        r["vec_id"] for r in dead.collect()
+    }
+
+    def serve_set(tombstones):
+        return sorted(
+            tuple(r)
+            for r in _serve(
+                emb, base, index_apply_tombstones(codes, tombstones), books
+            ).collect()
+        )
+
+    want = serve_set(dead)
+    assert serve_set(ts) == want and len(want) == NQ * K
+
+    # forced replay: rewrite tombstone epoch 0 with identical content
+    ep0 = spark.read.parquet(f"{out}/epoch=0").collect()
+    spark.createDataFrame(ep0, "vec_id: bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/epoch=0")
+    spark.catalog.refreshByPath(out)
+    assert serve_set(read_tombstones(spark, out)) == want
+
+    # re-delete feed: a later batch repeating already-dead ids is a no-op
+    dead.limit(5).coalesce(1).write.mode("append").parquet(src)
+    run_pq_delete_stream(spark, src, out, ckpt, max_files_per_trigger=1)
+    assert serve_set(read_tombstones(spark, out)) == want
 
 
 def test_assign_cells_nondefault_id_col_round_trips(spark, sf_dir):
