@@ -1,0 +1,260 @@
+"""Epoch-store compaction (streaming/compaction.py): folding epoch
+partitions into one base partition must be invisible to serving — for
+sketch stores (cell-wise SUM), row stores (plain union), and the LSH
+signature index — and exactly-once must survive appends that happen
+AFTER a compaction (fresh epochs keep arriving from the checkpoint and
+never collide with the epoch=-1 base)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spotify_etl_pipeline_spark.streaming.compaction import (
+    BASE_EPOCH,
+    compact_cms_store,
+    compact_epoch_store,
+)
+from spotify_etl_pipeline_spark.schemas import load_fixture
+
+
+def _epochs(path: str) -> set[str]:
+    return {d for d in os.listdir(path) if d.startswith("epoch=")}
+
+
+def test_cms_store_compaction_preserves_estimates_and_marker(
+    spark, sf_dir, tmp_path
+):
+    """Sketch store: estimates (and the hash-family marker) must be
+    bit-identical before/after compaction, after a POST-compaction
+    append epoch, and after a second compaction folding old base + new
+    epochs together."""
+    from spotify_etl_pipeline_spark.operators.cms import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        read_merged_sketch,
+        run_cms_stream,
+    )
+
+    D, W = 4, 1024
+    docs = load_fixture(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    for part in (0, 1):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    run_cms_stream(spark, src, out, ckpt, d=D, w=W, max_files_per_trigger=1)
+
+    def cells():
+        m = read_merged_sketch(spark, out, expect_hash_fn="xxhash64")
+        return {(r["row"], r["bucket"], r["n"]) for r in m.collect()}
+
+    before = cells()
+    folded = compact_cms_store(spark, out)
+    assert folded == 2 and _epochs(out) == {f"epoch={BASE_EPOCH}"}
+    assert cells() == before  # serve-equality through the SUM fold
+
+    # post-compaction append: the checkpoint keeps numbering epochs past
+    # the folded ones — no collision with the base partition
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_cms_stream(spark, src, out, ckpt, d=D, w=W, max_files_per_trigger=1)
+    assert f"epoch={BASE_EPOCH}" in _epochs(out) and len(_epochs(out)) == 2
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("k"))
+    whole = {
+        (r["row"], r["bucket"], r["n"])
+        for r in count_min_build(words, "k", d=D, w=W).collect()
+    }
+    assert cells() == whole
+
+    # second compaction folds base + the new epoch; estimates unchanged
+    compact_cms_store(spark, out)
+    assert _epochs(out) == {f"epoch={BASE_EPOCH}"}
+    assert cells() == whole
+    probes = words.groupBy("k").count().orderBy(F.desc("count"), "k").limit(5)
+    merged = read_merged_sketch(spark, out, expect_hash_fn="xxhash64")
+    est = {
+        r["k"]: r["cms_n"]
+        for r in count_min_estimate(
+            merged, probes.select("k"), "k", D, W
+        ).collect()
+    }
+    true = {r["k"]: r["count"] for r in probes.collect()}
+    assert all(est[k] >= true[k] for k in true)
+
+    # a no-op stream rerun after compaction must change nothing
+    run_cms_stream(spark, src, out, ckpt, d=D, w=W, max_files_per_trigger=1)
+    assert cells() == whole
+
+
+def test_pq_code_store_compaction_preserves_serving(spark, sf_dir, tmp_path):
+    """Row store: the streamed code table must be row-identical before /
+    after compaction, and a post-compaction append stream must leave the
+    union equal to the batch append encode of everything streamed."""
+    from spotify_etl_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_encode_append,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_streamed_codes,
+        run_pq_index_stream,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    d1 = emb.filter(F.col("vec_id") % 10 == 4)
+    d2 = emb.filter(F.col("vec_id") % 10 == 9)
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+
+    src = str(tmp_path / "delta_src")
+    d1.repartition(2).write.parquet(src)
+    out = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "ckpt")
+    run_pq_index_stream(spark, src, base, books, out, ckpt,
+                        max_files_per_trigger=1)
+
+    def code_set():
+        return {
+            (r["vec_id"], r["label"], tuple(r["pq_codes"]))
+            for r in read_streamed_codes(spark, out).collect()
+        }
+
+    before = code_set()
+    folded = compact_epoch_store(spark, out)  # identity fold: row store
+    assert folded >= 2 and _epochs(out) == {f"epoch={BASE_EPOCH}"}
+    assert code_set() == before
+
+    # post-compaction append stream
+    d2.coalesce(1).write.mode("append").parquet(src)
+    run_pq_index_stream(spark, src, base, books, out, ckpt,
+                        max_files_per_trigger=1)
+    want = {
+        (r["vec_id"], r["label"], tuple(r["pq_codes"]))
+        for r in pq_encode_append(
+            d1.unionByName(d2), base, books
+        ).collect()
+    }
+    assert code_set() == want
+
+    # serving over base ∪ compacted-then-appended store == batch serve
+    base_codes = pq_encode(base, books, keep_cols=("label",))
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+
+    def serve(codes):
+        return sorted(
+            tuple(r)
+            for r in pq_ivfadc_topk(
+                emb, codes, queries, books, k=5, shortlist=50, n_probe=3,
+                probe_mode="pinned", int_units=True, route_corpus=base,
+            ).collect()
+        )
+
+    got = serve(base_codes.unionByName(read_streamed_codes(spark, out)))
+    ref = serve(
+        base_codes.unionByName(
+            pq_encode_append(d1.unionByName(d2), base, books)
+        )
+    )
+    assert got == ref and len(got) == 50
+
+    compact_epoch_store(spark, out)  # fold base + appended epochs again
+    assert code_set() == want
+
+
+def test_tombstone_store_compaction_preserves_delete_set(
+    spark, sf_dir, tmp_path
+):
+    """The tombstone feed is a row store too: compaction must preserve
+    the distinct delete set exactly."""
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_tombstones,
+        run_pq_delete_stream,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    src = str(tmp_path / "deletes")
+    for part in range(2):
+        dead.filter(F.col("vec_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "tombs")
+    run_pq_delete_stream(spark, src, out, str(tmp_path / "ckpt"),
+                         max_files_per_trigger=1)
+    want = {r["vec_id"] for r in dead.collect()}
+    assert {r["vec_id"] for r in read_tombstones(spark, out).collect()} == want
+    compact_epoch_store(spark, out)
+    assert _epochs(out) == {f"epoch={BASE_EPOCH}"}
+    assert {r["vec_id"] for r in read_tombstones(spark, out).collect()} == want
+
+
+def test_dedup_index_compaction_preserves_appends(spark, sf_dir, tmp_path):
+    """LSH signature index: compacting the epoch store must keep the
+    index complete AND keep subsequent incremental appends correct (the
+    post-compaction batch joins against the folded base; the final pair
+    union still equals a full-corpus recompute)."""
+    from spotify_etl_pipeline_spark.operators.dedup import (
+        _band_buckets,
+        minhash_signatures_hashed,
+    )
+    from spotify_etl_pipeline_spark.streaming.dedup_index import (
+        run_dedup_index_stream,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(docs_dir)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    index = str(tmp_path / "sig_index")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    run_dedup_index_stream(spark, docs_dir, index, pairs, ckpt)
+
+    compact_epoch_store(spark, index)
+    compact_epoch_store(spark, pairs)
+    assert _epochs(index) == {f"epoch={BASE_EPOCH}"}
+    assert spark.read.parquet(index).count() == docs.filter(
+        F.col("doc_id") % 3 != 2
+    ).count()
+
+    # post-compaction append: the third batch joins against the base
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    run_dedup_index_stream(spark, docs_dir, index, pairs, ckpt)
+    assert spark.read.parquet(index).count() == docs.count()
+
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs).collect()
+    }
+    fb = _band_buckets(minhash_signatures_hashed(docs))
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            fb.alias("a")
+            .join(
+                fb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    assert got == expected
