@@ -118,6 +118,95 @@ def packing_summary(
     )
 
 
+def pack_token_ids(
+    encoded: DataFrame,
+    meta: DataFrame,
+    budget: int,
+    n_shards: int = 4,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MATERIALIZE the packed training batches — the capstone composing
+    the tokenizer tier with :func:`pack_sequences`' placement math: from
+    per-document token-id sequences (``bpe_encode_ids`` output:
+    (doc_id, n_tokens, token_ids) with space-joined ordered ids) to the
+    artifact a training job memory-maps — fixed-``budget``-length id
+    rows with a document-boundary mask.
+
+    Returns one row per (group_col, shard, seq_id):
+
+    - ``token_ids`` — the sequence's ids in position order, space-joined
+      (every sequence holds exactly ``budget`` ids except the final,
+      partially-filled one per packing group — concat-then-chunk, the
+      GPT-style policy ``pack_sequences`` documents);
+    - ``doc_mask`` — one '0'/'1' char per position, '1' exactly where a
+      NEW document starts: the attention-reset mask.  Splitting the
+      concatenated group stream at '1' positions reconstructs every
+      per-document id sequence verbatim (property-tested), so a trainer
+      masking attention across '1' boundaries never attends across
+      documents even though documents straddle sequence cuts;
+    - ``n_tokens`` — position count (== budget except the group's tail).
+
+    Scale shape: the ONLY corpus-token-scale stage is the final groupBy,
+    and its key is (group, shard, seq_id) — each group holds exactly
+    ``budget`` rows, collect_list is budget-bounded, and map-side
+    combine applies.  The placement window runs over DOC-level rows
+    (one row per document, partitioned by (group, shard) — raise
+    ``n_shards`` with the corpus exactly as pack_sequences documents;
+    sharding is ``pmod(doc_id, n_shards)`` here so an external SQL
+    engine rederives the layout with no hash library), and the token
+    explode is narrow.  Documents with zero trainable words have no
+    encoder row and occupy no positions, matching the encoder contract.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    g = encoded.join(meta.select(id_col, group_col), id_col).select(
+        group_col,
+        F.pmod(F.col(id_col), F.lit(int(n_shards))).alias("shard"),
+        F.col(id_col),
+        "n_tokens",
+        "token_ids",
+    )
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = g.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    toks = placed.select(
+        group_col,
+        "shard",
+        "start_tok",
+        F.posexplode(F.split("token_ids", " ")).alias("i", "tid"),
+    ).select(
+        group_col,
+        "shard",
+        (F.col("start_tok") + F.col("i")).alias("gpos"),
+        "tid",
+        F.when(F.col("i") == 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
+    )
+    joined = lambda field, sep: F.array_join(  # noqa: E731
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("gpos", F.col(field).alias("v")))
+            ),
+            lambda x: x["v"],
+        ),
+        sep,
+    )
+    return (
+        toks.withColumn("seq_id", F.expr(f"gpos div {int(budget)}"))
+        .groupBy(group_col, "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            joined("tid", " ").alias("token_ids"),
+            joined("b", "").alias("doc_mask"),
+        )
+    )
+
+
 def seeded_shuffle(
     df: DataFrame,
     n_shards: int = 8,

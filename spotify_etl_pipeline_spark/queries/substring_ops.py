@@ -793,9 +793,12 @@ def _bpe_vocab_cte(i: int) -> str:
     )"""
 
 
-@register(
-    "bpe_encode_ids",
-    oracle=f"""
+#: Shared oracle prefix for the token-ID tier: trains the k-merge chain,
+#: builds the symbol→id table, encodes the distinct-word vocabulary, and
+#: ends at ``wenc`` (word → (n_sym, ordered id string)) plus ``docw``
+#: (doc_id, pos, word).  ``bpe_encode_ids`` appends the per-doc assembly
+#: select; ``packed_token_batches`` appends the packing CTEs on top.
+_BPE_IDS_PREFIX = f"""
     WITH words AS (
       SELECT unnest(string_split(text, ' ')) AS w FROM documents
     ),
@@ -841,7 +844,12 @@ def _bpe_vocab_cte(i: int) -> str:
       SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym,
              string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp) AS wids
       FROM vids GROUP BY w
-    )
+    )"""
+
+
+@register(
+    "bpe_encode_ids",
+    oracle=_BPE_IDS_PREFIX + """
     SELECT d.doc_id,
            CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
            string_agg(e.wids, ' ' ORDER BY d.pos) AS token_ids
@@ -866,6 +874,82 @@ def bpe_encode_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_encode_ids
 
     return bpe_encode_ids(_docs(spark, sf_dir), n_merges=BPE_TRAIN_K)
+
+
+#: Packing dials for the packed-batch capstone. 128 tokens/sequence keeps
+#: multiple full sequences AND a partial tail per (lang, shard) group at
+#: fixture scale (so both regimes are hash-checked); 4 shards exercises
+#: real group parallelism without shrinking groups below a sequence.
+PACK_BUDGET = 128
+PACK_SHARDS = 4
+
+
+@register(
+    "packed_token_batches",
+    oracle=_BPE_IDS_PREFIX + f""",
+    docids AS (
+      SELECT d.doc_id,
+             CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+             string_agg(e.wids, ' ' ORDER BY d.pos) AS token_ids
+      FROM docw d JOIN wenc e ON d.w = e.w
+      GROUP BY d.doc_id
+    ),
+    grp AS (
+      SELECT docids.doc_id, docids.n_tokens, docids.token_ids,
+             documents.lang, docids.doc_id % {PACK_SHARDS} AS shard
+      FROM docids JOIN documents ON documents.doc_id = docids.doc_id
+    ),
+    placed AS (
+      SELECT lang, shard, doc_id, token_ids,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_tok
+      FROM grp
+    ),
+    toks AS (
+      SELECT lang, shard, start_tok + i - 1 AS gpos, l[i] AS tid,
+             CASE WHEN i = 1 THEN '1' ELSE '0' END AS b
+      FROM (SELECT lang, shard, start_tok,
+                   string_split(token_ids, ' ') AS l,
+                   unnest(range(1, len(string_split(token_ids, ' ')) + 1))
+                     AS i
+            FROM placed)
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(gpos // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tid, ' ' ORDER BY gpos) AS token_ids,
+           string_agg(b, '' ORDER BY gpos) AS doc_mask
+    FROM toks
+    GROUP BY lang, shard, gpos // {PACK_BUDGET}
+    """,
+    survey="X4,X14,X35,X39",
+    doc=f"PACKED TRAINING BATCHES — the tokenized-training-batch "
+    f"capstone composing bpe_encode_ids (per-doc ordered id sequences, "
+    f"k={BPE_TRAIN_K} merges) with the concat-then-chunk placement math "
+    f"of pack_sequences: per (lang, doc_id%{PACK_SHARDS} shard, "
+    f"seq_id), exactly-{PACK_BUDGET}-token id rows (the group's final "
+    "row partial) plus a per-position '0'/'1' doc_mask with '1' at "
+    "every document start — the attention-reset mask that makes "
+    "document straddling safe (splitting the group stream at '1's "
+    "reconstructs every per-doc sequence verbatim; property-tested in "
+    "tests/test_packing.py). Both token_ids and doc_mask are "
+    "hash-checked verbatim. Scale shape: placement is a DOC-level "
+    "cumulative window per (lang, shard); the only token-scale stage "
+    "is a groupBy keyed by the sequence id, whose groups are "
+    "budget-bounded and map-side combinable (operators/packing.py::"
+    "pack_token_ids).",
+)
+def packed_token_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_token_ids
+    from ..operators.text import bpe_encode_ids
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode_ids(docs, n_merges=BPE_TRAIN_K)
+    return pack_token_ids(
+        enc, docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
 
 
 @register(

@@ -129,3 +129,92 @@ def test_seeded_shuffle_shards_roughly_even(spark):
     ]
     assert len(sizes) == 4
     assert min(sizes) > 400 / 4 * 0.5  # hash balance, loose bound
+
+
+# --- packed_token_batches (encode -> pack composition) ----------------------
+
+
+def _packed(spark, sf_dir, budget=64, n_shards=2):
+    from spotify_etl_pipeline_spark.operators.packing import pack_token_ids
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_ids
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    enc = bpe_encode_ids(docs, n_merges=3)
+    return enc, pack_token_ids(enc, docs, budget=budget, n_shards=n_shards)
+
+
+def test_packed_batches_fixed_length_except_group_tail(spark, sf_dir):
+    """Every sequence holds exactly `budget` ids except the FINAL one of
+    its (lang, shard) group; ids and mask have identical lengths."""
+    budget = 64
+    _, packed = _packed(spark, sf_dir, budget=budget)
+    rows = packed.collect()
+    assert rows
+    last_seq = {}
+    for r in rows:
+        key = (r["lang"], r["shard"])
+        last_seq[key] = max(last_seq.get(key, -1), r["seq_id"])
+    for r in rows:
+        ids = r["token_ids"].split(" ")
+        assert len(ids) == r["n_tokens"] == len(r["doc_mask"])
+        if r["seq_id"] != last_seq[(r["lang"], r["shard"])]:
+            assert r["n_tokens"] == budget, r
+        else:
+            assert 0 < r["n_tokens"] <= budget, r
+
+
+def test_packed_batches_mask_reconstructs_documents(spark, sf_dir):
+    """The document-boundary property: concatenating a group's sequences
+    in seq_id order and splitting at mask='1' positions must reproduce
+    every per-document id sequence VERBATIM and in doc_id order — i.e.
+    the mask marks exactly the document starts, so no attention window
+    that resets at '1' ever crosses a document boundary."""
+    from pyspark.sql import functions as F
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    enc, packed = _packed(spark, sf_dir, budget=64, n_shards=2)
+    docs = load_fixture(spark, sf_dir, "documents")
+    want = {}  # (lang, shard) -> [per-doc id strings, doc_id-ordered]
+    for r in (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("shard", F.pmod("doc_id", F.lit(2)))
+        .orderBy("lang", "shard", "doc_id")
+        .collect()
+    ):
+        want.setdefault((r["lang"], r["shard"]), []).append(r["token_ids"])
+
+    streams = {}  # (lang, shard) -> (ids list, mask string)
+    for r in sorted(
+        packed.collect(), key=lambda r: (r["lang"], r["shard"], r["seq_id"])
+    ):
+        ids, mask = streams.setdefault((r["lang"], r["shard"]), ([], []))
+        ids.extend(r["token_ids"].split(" "))
+        mask.extend(r["doc_mask"])
+
+    assert set(streams) == set(want)
+    for key, (ids, mask) in streams.items():
+        assert len(ids) == len(mask) and mask[0] == "1"
+        got_docs, cur = [], []
+        for tid, m in zip(ids, mask):
+            if m == "1" and cur:
+                got_docs.append(" ".join(cur))
+                cur = []
+            cur.append(tid)
+        got_docs.append(" ".join(cur))
+        assert got_docs == want[key], key
+
+
+def test_packed_batches_straddles_exist_and_are_masked_zero(spark, sf_dir):
+    """The concat-then-chunk policy must actually straddle at fixture
+    scale (otherwise the mask property is vacuous), and a straddling
+    continuation (first position of a sequence that continues a doc)
+    carries mask '0'."""
+    _, packed = _packed(spark, sf_dir, budget=64, n_shards=2)
+    rows = sorted(
+        packed.collect(), key=lambda r: (r["lang"], r["shard"], r["seq_id"])
+    )
+    continuations = [
+        r for r in rows if r["seq_id"] > 0 and r["doc_mask"][0] == "0"
+    ]
+    assert continuations  # some doc straddles a cut
