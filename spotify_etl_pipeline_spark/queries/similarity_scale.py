@@ -824,3 +824,79 @@ def knn_ivfadc_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, shortlist=50, n_probe=3,
         probe_mode="pinned", int_units=True, route_corpus=base,
     )
+
+
+@register(
+    "knn_incremental_multiprobe_recall",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           TRUE AS probes_nested,
+           TRUE AS multiprobe_ok
+    """,
+    survey="X3,X38",
+    doc="Multi-probe serving on the APPEND-MAINTAINED index (the "
+    "n_probe recall dial VERDICT r9 #7 asked for, same tolerance-gate "
+    "pattern as knn_ivf_recall): over the base∪appended code store with "
+    "frozen books and base-representative routing, Spark serves "
+    "recall@10 at n_probe=1 and n_probe=4 against exact L2 in one plan "
+    "and the oracle asserts (a) probes_nested — each query's probed "
+    "cells at n_probe=1 are a subset of its n_probe=4 cells (the "
+    "structural guarantee: widening the probe only ADDS candidate "
+    "cells), and (b) multiprobe_ok — recall@10 at n_probe=4 >= at "
+    "n_probe=1 (deterministic on the fixture: pinned routing + integer "
+    "ADC make both arms bit-stable, so this re-greens identically "
+    "every sweep; the measured recall curve for n_probe in {1,2,4,8} "
+    "on the sf10 anisotropic tile lives in SCALE.md §Round-10). "
+    "n_queries hash-checks that every query produced a full exact "
+    "reference.",
+)
+def knn_incremental_multiprobe_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.pq import (
+        brute_force_l2_topk,
+        pq_encode,
+        pq_encode_append,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+    from ..operators.similarity import ivf_probe_routing
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+    codes = pq_encode(base, books, keep_cols=("label",)).unionByName(
+        pq_encode_append(delta, base, books)
+    )
+    exact = brute_force_l2_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(n_probe: int, alias: str) -> DataFrame:
+        served = pq_ivfadc_topk(
+            emb, codes, queries, books, k=10, shortlist=50, n_probe=n_probe,
+            probe_mode="pinned", int_units=True, route_corpus=base,
+        ).select("query_id", "neighbor_id")
+        return exact.join(
+            served, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias(alias))
+
+    p1 = ivf_probe_routing(base, queries, n_probe=1, mode="pinned")
+    p4 = ivf_probe_routing(base, queries, n_probe=4, mode="pinned")
+    escaped = p1.join(p4, ["query_id", "cluster"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_escaped")
+    )
+    # 1-row x 1-row scalar attaches (allowlisted by the cartesian guard)
+    return (
+        exact.agg(F.countDistinct("query_id").alias("n_queries"))
+        .crossJoin(hits(1, "h1"))
+        .crossJoin(hits(4, "h4"))
+        .crossJoin(escaped)
+        .select(
+            "n_queries",
+            (F.col("n_escaped") == 0).alias("probes_nested"),
+            (F.col("h4") >= F.col("h1")).alias("multiprobe_ok"),
+        )
+    )

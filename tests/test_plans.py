@@ -49,6 +49,8 @@ PAIRWISE_OK = {
     "knn_ivfadc_incremental_topk",  # the sibling k-row routing crossJoin,
     # plus the C-row 1-probe delta-assignment crossJoin (assignment IS routing)
     "knn_ivfadc_deleted_topk",  # identical machinery + tombstone anti-join
+    "knn_incremental_multiprobe_recall",  # embeds brute_force_l2_topk
+    # (the recall reference) + both n_probe serving arms' routing
     "knn_l2_brute_force",  # the exact L2 baseline (PQ recall reference)
     "dedup_embedding_cosine",
 }
