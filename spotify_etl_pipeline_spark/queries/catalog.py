@@ -132,31 +132,23 @@ def _load_all() -> None:
 #: driver check is ever more than ~2 rounds old, with no per-round editing
 #: beyond this head list.
 #:
-#: Round 9 head — deliberately MINIMAL per VERDICT r8 #1 (the round's
-#: budget goes to the stale tail; 96 entries had no evidence newer than
-#: r6): only the entries whose PLAN changed this round — the two
-#: percent-of-total windows rewritten as 1-row agg + broadcast attach
-#: (same hashes, no global WindowExec), and the deflated power
-#: iteration whose per-row projections gained the 2^53 guard via the
-#: shared _proj_q (same values; embedding_top_components is the
-#: representative — its three consumers share the identical code path
-#: and were all green r8).  The r9 CMS md5-pinning left those entries'
-#: plans bit-identical (md5 was the implicit default before), so they
-#: rotate normally.  The four NEW r9 entries (bpe_encode_ids,
-#: eval_split_decontaminated, source_overlap_sketched,
-#: knn_ivfadc_incremental_topk) sort ahead automatically as
-#: never-checked.
-#: (text_bm25_topk joins the head for its r9 plan fix — the
-#: row_number-then-filter global rank became orderBy+limit
-#: TakeOrderedAndProject + a 10-row rank attach, removing a
-#: corpus-scale single-partition sort; it was also one of the
-#: oldest-evidence entries, so fronting it costs the tail nothing.)
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "order_priority_distribution",
-    "mixture_reweighting",
-    "embedding_top_components",
-    "text_bm25_topk",
-)
+#: Round 10 head — EMPTY, per VERDICT r9 #1 (every slot goes to the
+#: stale burn-down; 51 driver entries still carry no evidence newer
+#: than r6).  Nothing already-verified changed semantics this round:
+#: the ADVICE oracle-guard fixes (BPE chain-exhaustion LEFT JOINs, the
+#: unknown-symbol error() mirror) alter only never-taken guard paths —
+#: the affected entries re-hash identically (re-proven via
+#: tools/driver_sim this round) — and the CMS hash-family marker, the
+#: id_col rename, tombstones, compaction, and multi-probe serving are
+#: all NEW surface.  The three NEW r10 entries
+#: (knn_ivfadc_deleted_topk, packed_token_batches,
+#: knn_incremental_multiprobe_recall) sort ahead automatically as
+#: never-checked, so the ~50-slot sweep covers 3 new + the 9 r5
+#: entries + 38 of the 42 r6 entries; the last ~4 r6 entries (latest
+#: registration positions in that tier) clear in r11, which the
+#: arithmetic in COVERAGE.md records honestly (51 + 3 > 50: one round
+#: cannot finish the tier while also greening the new entries).
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _record_ok(rec: object) -> bool:

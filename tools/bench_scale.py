@@ -26,9 +26,12 @@ def run_one(sf_dir: str, name: str, single: bool = False) -> None:
 
     spark = get_spark(app_name=f"bench-scale-{name}", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    import __spark_entry__ as E
+    # full catalog: the stress set includes driver=False production arms
+    # (approx_count_distinct, the ANN serving arms) folded out of the
+    # driver-facing queries() in r10
+    from spotify_etl_pipeline_spark.queries.catalog import full_catalog
 
-    fn = E.queries()[name]
+    fn = full_catalog()[name].fn
 
     def noop():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
