@@ -144,6 +144,15 @@ HEADLINE = [
     "knn_ivfadc_incremental_topk",
     "bpe_encode_ids",
     "source_overlap_sketched",
+    # round 10: the delete-serving arm (tombstone anti-join on top of the
+    # incremental serve — pairs with knn_ivfadc_incremental_topk to
+    # record the anti-join's cost), and the packed-batch capstone (the
+    # token-scale sequence-id groupBy on top of bpe_encode_ids — pairs
+    # with it to record the packing stage's cost). The multi-probe
+    # recall gate stays catalog-only: it embeds brute force twice by
+    # design, so its wall time measures the harness, not serving.
+    "knn_ivfadc_deleted_topk",
+    "packed_token_batches",
 ]
 
 
