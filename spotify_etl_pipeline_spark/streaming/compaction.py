@@ -90,6 +90,55 @@ def compact_epoch_store(
     return len(parts)
 
 
+def compact_index_with_tombstones(
+    spark: SparkSession,
+    codes_path: str,
+    tombstones_path: str,
+    id_col: str = "vec_id",
+) -> tuple[int, int]:
+    """PHYSICAL deletion — the maintenance job that turns serve-time
+    tombstones into reclaimed storage (the Faiss ``remove_ids``
+    rebuild / Delta ``VACUUM``-after-delete shape): fold the code store
+    to its base partition with tombstoned rows REMOVED, then truncate
+    the tombstone store to an empty base.
+
+    CONTRACT: ``codes_path`` must hold ALL live code rows — the base
+    build bootstraps the store as its ``epoch=-1`` partition and appends
+    land as stream epochs.  (If any code rows lived outside the store,
+    truncating the tombstones would silently lose the deletes against
+    them.)
+
+    Truncating the tombstones is not just cleanup — it is REQUIRED for
+    re-insert correctness: serving computes ``codes ∖ tombstones``, so
+    a tombstone that outlived its physical delete would wrongly
+    suppress a later re-append of the same id (delete → re-add must
+    serve the new row, exactly Faiss).  After this job the pair of
+    stores serves bit-identically to the logical (anti-join) serve it
+    replaced, new appends/deletes keep working from their checkpoints
+    (fresh epochs never collide with the bases), and the dead rows'
+    storage is actually gone.
+
+    Returns (code partitions folded, tombstone partitions folded).
+    Same committed-epoch contract as :func:`compact_epoch_store`: run
+    it only when both streams' checkpoints have committed their epochs
+    (always true between ``availableNow`` runs)."""
+    # lazy is safe AND scale-right (no driver collect, anti-join shuffles
+    # on the id key like every serve): the folded codes are fully WRITTEN
+    # before compact_epoch_store touches any partition, and the tombstone
+    # store is only rewritten by the second call below, strictly after
+    dead = spark.read.parquet(tombstones_path).select(id_col).distinct()
+
+    def drop_dead(df: DataFrame) -> DataFrame:
+        return df.join(dead, id_col, "left_anti")
+
+    n_codes = compact_epoch_store(spark, codes_path, fold=drop_dead)
+    # truncate the tombstone store: same swap dance, empty base
+    n_tombs = compact_epoch_store(
+        spark, tombstones_path, fold=lambda df: df.limit(0)
+    )
+    return n_codes, n_tombs
+
+
 def compact_cms_store(spark: SparkSession, path: str) -> int:
     """Sketch-store flavor: fold epochs with the cell-wise SUM serving
     already applies (associative — estimates are bit-identical before

@@ -258,3 +258,119 @@ def test_dedup_index_compaction_preserves_appends(spark, sf_dir, tmp_path):
         )
     }
     assert got == expected
+
+
+def test_physical_delete_compaction_and_reinsert(spark, sf_dir, tmp_path):
+    """compact_index_with_tombstones: the physical-delete maintenance
+    job must (a) serve bit-identically to the logical anti-join serve it
+    replaces, (b) truncate the tombstone store — REQUIRED so a later
+    re-append of a deleted id serves again (delete -> re-add semantics),
+    and (c) leave both stores fully functional for subsequent append and
+    delete epochs."""
+    from spotify_etl_pipeline_spark.operators.pq import (
+        index_apply_tombstones,
+        pq_encode,
+        pq_encode_append,
+        pq_fit,
+        pq_ivfadc_topk,
+    )
+    from spotify_etl_pipeline_spark.streaming.compaction import (
+        compact_index_with_tombstones,
+    )
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_streamed_codes,
+        read_tombstones,
+        run_pq_delete_stream,
+        run_pq_index_stream,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    books = pq_fit(base, m=4, k=16, max_iter=0)
+    base_codes = pq_encode(base, books, keep_cols=("label",))
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+
+    def serve(codes):
+        return sorted(
+            tuple(r)
+            for r in pq_ivfadc_topk(
+                emb, codes, queries, books, k=5, shortlist=50, n_probe=3,
+                probe_mode="pinned", int_units=True, route_corpus=base,
+            ).collect()
+        )
+
+    # PRODUCTION LAYOUT: the base build bootstraps the epoch store as
+    # its base partition — the physical-delete job's contract is that
+    # the store holds ALL code rows (otherwise truncating tombstones
+    # would lose the deletes against rows living elsewhere)
+    codes_path = str(tmp_path / "codes")
+    base_codes.write.parquet(f"{codes_path}/epoch=-1")
+    src = str(tmp_path / "delta_src")
+    delta.repartition(2).write.parquet(src)
+    run_pq_index_stream(spark, src, base, books, codes_path,
+                        str(tmp_path / "ck_codes"), max_files_per_trigger=1)
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    dsrc = str(tmp_path / "del_src")
+    for part in range(2):
+        dead.filter(F.col("vec_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(dsrc)
+    tombs_path = str(tmp_path / "tombs")
+    run_pq_delete_stream(spark, dsrc, tombs_path, str(tmp_path / "ck_del"),
+                         max_files_per_trigger=1)
+
+    def live_codes():
+        return index_apply_tombstones(
+            read_streamed_codes(spark, codes_path),
+            read_tombstones(spark, tombs_path),
+        )
+
+    logical = serve(live_codes())
+    pre_rows = read_streamed_codes(spark, codes_path).count()
+    assert pre_rows == emb.count()
+
+    n_codes, n_tombs = compact_index_with_tombstones(
+        spark, codes_path, tombs_path
+    )
+    assert n_codes >= 3 and n_tombs >= 2
+    # tombstone store truncated but readable; dead rows physically gone
+    assert read_tombstones(spark, tombs_path).count() == 0
+    n_dead = dead.count()
+    assert n_dead > 0
+    assert read_streamed_codes(spark, codes_path).count() == pre_rows - n_dead
+    # serving over the compacted pair == the logical serve it replaced
+    assert serve(live_codes()) == logical
+
+    # re-insert: previously deleted vectors arrive again — with the
+    # tombstones truncated they must serve as neighbors again
+    reinsert = delta.join(dead, "vec_id", "left_semi").limit(20)
+    assert reinsert.count() > 0
+    reinsert.coalesce(1).write.mode("append").parquet(src)
+    run_pq_index_stream(spark, src, base, books, codes_path,
+                        str(tmp_path / "ck_codes"), max_files_per_trigger=1)
+    got = serve(live_codes())
+    dead_pred = F.col("vec_id") % 7 == 3
+    want = serve(
+        pq_encode(base.filter(~dead_pred), books, keep_cols=("label",))
+        .unionByName(
+            pq_encode_append(
+                delta.filter(~dead_pred).unionByName(reinsert), base, books
+            )
+        )
+    )
+    assert got == want
+
+    # and a fresh delete epoch after compaction still works
+    newdead = delta.join(dead, "vec_id", "left_anti").select(
+        "vec_id"
+    ).limit(10)
+    newdead.coalesce(1).write.mode("append").parquet(dsrc)
+    run_pq_delete_stream(spark, dsrc, tombs_path, str(tmp_path / "ck_del"),
+                         max_files_per_trigger=1)
+    nd = {r["vec_id"] for r in newdead.collect()}
+    assert {
+        r["vec_id"] for r in read_tombstones(spark, tombs_path).collect()
+    } == nd
+    served_after = serve(live_codes())
+    assert not {r[1] for r in served_after} & nd
