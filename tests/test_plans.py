@@ -350,3 +350,35 @@ def test_eval_sample_prefilter_threshold_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tombstone_anti_join_is_broadcast(spark, sf_dir):
+    """knn_ivfadc_deleted_topk's serve-time delete must be ONE left-anti
+    hash join with the tombstone ids on the build/broadcast side — the
+    code stream never shuffles for the delete, and deletion must not
+    introduce a sort-merge join anywhere in the serve plan."""
+    plan = executed_plan(
+        queries()["knn_ivfadc_deleted_topk"](spark, sf_dir)
+    )
+    assert "LeftAnti" in plan, plan
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in l for l in anti_lines
+    ), anti_lines
+    assert "SortMergeJoin" not in plan
+
+
+def test_packed_batches_windows_are_group_partitioned(spark, sf_dir):
+    """packed_token_batches' placement window must be partitioned by the
+    packing group (never a global unpartitioned window — that would
+    funnel the corpus through one task), and the token-scale stage must
+    be a partial+final aggregate keyed by the sequence id."""
+    plan = executed_plan(queries()["packed_token_batches"](spark, sf_dir))
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # every window spec carries partition cols before the ORDER BY
+        # (an unpartitioned spec starts straight at the order column)
+        assert "lang" in spec or "doc_id" in spec, spec
+    # the final packing aggregate is partial+final on (lang, shard, seq)
+    assert "partial_collect_list" in plan, plan
