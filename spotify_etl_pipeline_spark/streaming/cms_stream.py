@@ -73,7 +73,10 @@ def run_cms_stream(
 
 
 def read_merged_sketch(
-    spark: SparkSession, out_path: str, expect_hash_fn: str | None = None
+    spark: SparkSession,
+    out_path: str,
+    expect_hash_fn: str | None = None,
+    since_epoch: int | None = None,
 ) -> DataFrame:
     """The serving sketch: SUM the epoch partitions cell-wise. Identical
     schema to :func:`..operators.cms.count_min_build`, so
@@ -89,8 +92,30 @@ def read_merged_sketch(
     the marker entirely (rebuild it, or re-stamp with a known family).
     The marker is dropped from the returned frame, so downstream probes
     are unchanged; validation cost is one distinct over the ≤ d·w·epochs
-    cell store."""
+    cell store.
+
+    ``since_epoch`` turns the same store into a SLIDING-WINDOW sketch:
+    only partitions with ``epoch >= since_epoch`` enter the SUM — the
+    windowed/decayed frequency view (recent-heavy-hitter serving)
+    that epoch-keyed sketches make free, because each epoch is an
+    independent mergeable sketch.  Partition pruning means the
+    excluded epochs are never read.  A windowed read REFUSES a store
+    containing a folded ``epoch=-1`` base (full-history compaction
+    destroys epoch provenance — windowed stores retire old epochs with
+    :func:`..compaction.retire_epochs` instead of folding them)."""
     store = spark.read.parquet(out_path)
+    if since_epoch is not None:
+        from .compaction import BASE_EPOCH
+
+        epochs = [r[0] for r in store.select("epoch").distinct().collect()]
+        if BASE_EPOCH in epochs:
+            raise ValueError(
+                f"CMS store {out_path} contains a compacted epoch={BASE_EPOCH} "
+                "base — epoch provenance is gone, a windowed read is "
+                "impossible; use retire_epochs (not full-history "
+                "compaction) on stores served with since_epoch"
+            )
+        store = store.filter(F.col("epoch") >= int(since_epoch))
     if "hash_fn" in store.columns:
         if expect_hash_fn is not None:
             families = sorted(
@@ -176,6 +201,7 @@ def serve_cms_topk(
     d: int = 4,
     w: int = 1024,
     hash_fn: str = "xxhash64",
+    since_epoch: int | None = None,
 ) -> DataFrame:
     """Serve "current top-k frequent keys" from the store WITHOUT
     touching the raw corpus: SUM the epoch sketches cell-wise, union
@@ -183,11 +209,22 @@ def serve_cms_topk(
     (``operators.cms.count_min_topk``).  The store's persisted
     ``hash_fn`` marker is validated against the requested family before
     any probe (a mismatch raises instead of silently serving garbage
-    estimates)."""
+    estimates).
+
+    ``since_epoch`` serves the SLIDING WINDOW instead of all history —
+    "top-k over the last N epochs", the recency-weighted heavy-hitter
+    report streaming monitors actually want: both the sketch SUM and
+    the candidate union restrict to ``epoch >= since_epoch`` (partition
+    pruning — older epochs are never read), and the result equals a
+    batch build over only the window's documents exactly (tested)."""
     from ..operators.cms import count_min_topk
 
     merged = read_merged_sketch(
-        spark, f"{out_path}/sketch", expect_hash_fn=hash_fn
+        spark, f"{out_path}/sketch", expect_hash_fn=hash_fn,
+        since_epoch=since_epoch,
     )
-    cands = spark.read.parquet(f"{out_path}/cands").select("k").distinct()
+    cands = spark.read.parquet(f"{out_path}/cands")
+    if since_epoch is not None:
+        cands = cands.filter(F.col("epoch") >= int(since_epoch))
+    cands = cands.select("k").distinct()
     return count_min_topk(merged, cands, "k", k=k, d=d, w=w, hash_fn=hash_fn)

@@ -90,6 +90,44 @@ def compact_epoch_store(
     return len(parts)
 
 
+def retire_epochs(
+    spark: SparkSession, path: str, before_epoch: int
+) -> int:
+    """RETENTION for windowed stores: delete every epoch partition with
+    ``epoch < before_epoch`` outright — the maintenance twin of
+    sliding-window serving (``cms_stream.serve_cms_topk(since_epoch=)``),
+    where history outside the window must DISAPPEAR, not fold into a
+    base (folding would silently re-enter the window's SUM forever).
+
+    Refuses a store that already contains a folded ``epoch=-1`` base:
+    full-history compaction destroys epoch provenance, so a store is
+    either an all-history store (compact it) or a windowed store
+    (retire it) — mixing the two is a configuration error this guard
+    turns into a loud failure.  Retired epochs are committed history
+    (same contract as compaction), so exactly-once for live epochs is
+    untouched.  Returns the number of partitions deleted."""
+    parts = {}
+    for d in os.listdir(path):
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d)):
+            parts[int(d.split("=", 1)[1])] = d
+    if BASE_EPOCH in parts:
+        raise ValueError(
+            f"store {path} contains a compacted epoch={BASE_EPOCH} base — "
+            "it is an all-history store; retire_epochs is for windowed "
+            "stores that never full-history-compact"
+        )
+    victims = [d for e, d in parts.items() if e < int(before_epoch)]
+    if len(victims) == len(parts):
+        raise ValueError(
+            f"retire_epochs(before_epoch={before_epoch}) would empty "
+            f"{path} (max live epoch {max(parts)}) — refusing"
+        )
+    for d in victims:
+        shutil.rmtree(os.path.join(path, d))
+    spark.catalog.refreshByPath(path)
+    return len(victims)
+
+
 def compact_index_with_tombstones(
     spark: SparkSession,
     codes_path: str,

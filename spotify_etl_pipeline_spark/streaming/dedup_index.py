@@ -29,6 +29,9 @@ _SIG_SCHEMA = T.StructType(
     + [T.StructField(f"h{i}", T.LongType()) for i in range(len(MINHASH_A))]
 )
 
+#: Schema of a dedup-index tombstone feed file: document ids to delete.
+DOC_TOMBSTONE_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+
 
 def read_documents_stream(
     spark: SparkSession, directory: str, max_files_per_trigger: int = 1
@@ -86,3 +89,52 @@ def run_dedup_index_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_dedup_delete_stream(
+    spark: SparkSession,
+    deletes_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """TOMBSTONE feed for the signature index — the dedup twin of
+    ``pq_index_stream.run_pq_delete_stream``: each micro-batch of
+    delete requests (``doc_id`` rows — retired/redacted documents)
+    lands under ``epoch=<n>`` with the shared epoch-keyed exactly-once
+    scheme.  Serving scrubs via
+    ``operators.dedup.lsh_index_apply_tombstones`` (see
+    :func:`read_index`); ids are idempotent under replays and
+    re-deletes, unknown ids are no-ops."""
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        batch.select("doc_id").write.mode("overwrite").parquet(
+            f"{out_path}/epoch={epoch}"
+        )
+
+    q = (
+        spark.readStream.schema(DOC_TOMBSTONE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(deletes_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_index(
+    spark: SparkSession, index_path: str, tombstones_path: str | None = None
+) -> DataFrame:
+    """The SERVING view of the signature index: union of the epoch
+    partitions, scrubbed against the tombstone feed when one exists —
+    what incremental appends and candidate generation should join
+    against so retired documents stop producing pairs."""
+    from ..operators.dedup import lsh_index_apply_tombstones
+
+    sigs = _existing_sigs(spark, index_path)
+    if tombstones_path is None:
+        return sigs
+    dead = spark.read.parquet(tombstones_path).select("doc_id").distinct()
+    return lsh_index_apply_tombstones(sigs, dead)

@@ -263,3 +263,90 @@ def test_cms_topk_stream_matches_batch_including_replay(spark, sf_dir, tmp_path)
         for r in serve_cms_topk(spark, out, k=K, d=D, w=W).collect()
     ]
     assert replayed == batch
+
+
+def test_cms_windowed_serving_and_retention(spark, sf_dir, tmp_path):
+    """Sliding-window heavy hitters: since_epoch must serve exactly the
+    batch build over only the window's documents (each epoch is an
+    independent mergeable sketch — exclusion is partition pruning, not
+    subtraction), and retire_epochs must drop pre-window history without
+    changing the windowed answer; guards refuse the two config errors
+    (emptying the store / windowing a provenance-free folded base)."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.operators.cms import (
+        count_min_build,
+        count_min_topk,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        read_merged_sketch,
+        run_cms_topk_stream,
+        serve_cms_topk,
+    )
+    from spotify_etl_pipeline_spark.streaming.compaction import (
+        compact_cms_store,
+        retire_epochs,
+    )
+
+    E, C, K, SINCE = 5, 10, 20, 3
+    docs = load_fixture(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    for e in range(E):  # one file per epoch -> batches == epoch split
+        docs.filter(F.col("doc_id") % E == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "hh")
+    run_cms_topk_stream(spark, src, out, str(tmp_path / "ckpt"), d=D, w=W,
+                        per_epoch_candidates=C, max_files_per_trigger=1)
+
+    def served(since=None):
+        return [
+            tuple(r)
+            for r in serve_cms_topk(
+                spark, out, k=K, d=D, w=W, since_epoch=since
+            ).collect()
+        ]
+
+    # batch twin over ONLY the window's documents
+    win_docs = docs.filter(F.col("doc_id") % E >= SINCE)
+    words = win_docs.select(
+        (F.col("doc_id") % E).alias("ep"),
+        F.explode(F.split("text", " ")).alias("k"),
+    )
+    sketch = count_min_build(words, "k", d=D, w=W)
+    from pyspark.sql.window import Window
+
+    rn = Window.partitionBy("ep").orderBy(F.desc("n"), F.asc("k"))
+    cand = (
+        words.groupBy("ep", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= C)
+        .select("k")
+        .distinct()
+    )
+    want = [
+        tuple(r)
+        for r in count_min_topk(sketch, cand, "k", k=K, d=D, w=W).collect()
+    ]
+    full = served()
+    assert served(since=SINCE) == want and want != full
+
+    # retention: drop pre-window epochs from both artifacts — the
+    # windowed answer is unchanged, and all-history now == the window
+    assert retire_epochs(spark, f"{out}/sketch", before_epoch=SINCE) == SINCE
+    assert retire_epochs(spark, f"{out}/cands", before_epoch=SINCE) == SINCE
+    assert served(since=SINCE) == want
+    assert served() == want
+
+    # guard: refusing to empty the store
+    with pytest.raises(ValueError, match="would empty"):
+        retire_epochs(spark, f"{out}/sketch", before_epoch=E + 1)
+    # guard: a folded base has no epoch provenance -> windowed read raises
+    compact_cms_store(spark, f"{out}/sketch")
+    with pytest.raises(ValueError, match="windowed read is impossible"):
+        read_merged_sketch(spark, f"{out}/sketch",
+                           expect_hash_fn="xxhash64", since_epoch=SINCE)
+    with pytest.raises(ValueError, match="all-history store"):
+        retire_epochs(spark, f"{out}/sketch", before_epoch=SINCE)
