@@ -148,9 +148,12 @@ def pack_token_ids(
     - ``n_tokens`` — position count (== budget except the group's tail).
 
     Scale shape: the ONLY corpus-token-scale stage is the final groupBy,
-    and its key is (group, shard, seq_id) — each group holds exactly
-    ``budget`` rows, collect_list is budget-bounded, and map-side
-    combine applies.  The placement window runs over DOC-level rows
+    and its key is (group, shard, seq_id) — one shuffle of the token
+    stream (collect_list partials don't REDUCE data, so the shuffle
+    carries every token position exactly once; what the key bound buys
+    is that no reduce-side group ever holds more than ``budget`` rows —
+    no skew, no oversized sort buffers, output rows ~bytes-proportional
+    to input).  The placement window runs over DOC-level rows
     (one row per document, partitioned by (group, shard) — raise
     ``n_shards`` with the corpus exactly as pack_sequences documents;
     sharding is ``pmod(doc_id, n_shards)`` here so an external SQL
