@@ -127,3 +127,20 @@ def read_tombstones(spark: SparkSession, out_path: str) -> DataFrame:
     to ``operators.pq.index_apply_tombstones`` at serve time."""
     df = spark.read.parquet(out_path)
     return df.select("vec_id").distinct()
+
+
+def read_live_index(
+    spark: SparkSession, codes_path: str, tombstones_path: str | None = None
+) -> DataFrame:
+    """The SERVING view of the code store (the dedup twin is
+    ``dedup_index.read_index``): union of the epoch code partitions —
+    including the ``epoch=-1`` base a bootstrap or compaction wrote —
+    scrubbed against the tombstone feed when one exists.  Pass the
+    result as ``corpus_codes`` to ``pq_ivfadc_topk(route_corpus=base)``
+    and the serve is append- and delete-current."""
+    from ..operators.pq import index_apply_tombstones
+
+    codes = read_streamed_codes(spark, codes_path)
+    if tombstones_path is None:
+        return codes
+    return index_apply_tombstones(codes, read_tombstones(spark, tombstones_path))

@@ -278,6 +278,7 @@ def test_physical_delete_compaction_and_reinsert(spark, sf_dir, tmp_path):
         compact_index_with_tombstones,
     )
     from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_live_index,
         read_streamed_codes,
         read_tombstones,
         run_pq_delete_stream,
@@ -321,11 +322,15 @@ def test_physical_delete_compaction_and_reinsert(spark, sf_dir, tmp_path):
                          max_files_per_trigger=1)
 
     def live_codes():
-        return index_apply_tombstones(
-            read_streamed_codes(spark, codes_path),
-            read_tombstones(spark, tombs_path),
-        )
+        # the packaged serving view (anti-join composition inside)
+        return read_live_index(spark, codes_path, tombs_path)
 
+    # the helper must equal the hand-rolled composition it packages
+    hand = index_apply_tombstones(
+        read_streamed_codes(spark, codes_path),
+        read_tombstones(spark, tombs_path),
+    )
+    assert live_codes().exceptAll(hand).count() == 0
     logical = serve(live_codes())
     pre_rows = read_streamed_codes(spark, codes_path).count()
     assert pre_rows == emb.count()
