@@ -161,8 +161,24 @@ def pack_token_ids(
     explode is narrow.  Documents with zero trainable words have no
     encoder row and occupy no positions, matching the encoder contract.
     """
-    if budget <= 0:
-        raise ValueError("budget must be positive")
+    toks = _token_positions(encoded, meta, n_shards, group_col, id_col)
+    return _pack_positions(toks, budget, group_col)
+
+
+def _token_positions(
+    encoded: DataFrame,
+    meta: DataFrame,
+    n_shards: int,
+    group_col: str,
+    id_col: str,
+    base_offsets: DataFrame | None = None,
+) -> DataFrame:
+    """(group, shard, gpos, tid, b) token-position stream shared by the
+    batch packer and the streaming partial packer: per-group cumulative
+    doc placement (doc-level window) + narrow token explode.
+    ``base_offsets`` — (group_col, shard, base) — shifts every global
+    position, which is how a micro-batch continues its group's stream
+    where earlier epochs ended (missing groups start at 0)."""
     g = encoded.join(meta.select(id_col, group_col), id_col).select(
         group_col,
         F.pmod(F.col(id_col), F.lit(int(n_shards))).alias("shard"),
@@ -178,7 +194,14 @@ def pack_token_ids(
     placed = g.withColumn(
         "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
-    toks = placed.select(
+    if base_offsets is not None:
+        placed = placed.join(
+            F.broadcast(base_offsets), [group_col, "shard"], "left"
+        ).withColumn(
+            "start_tok",
+            F.col("start_tok") + F.coalesce(F.col("base"), F.lit(0)),
+        )
+    return placed.select(
         group_col,
         "shard",
         "start_tok",
@@ -190,6 +213,17 @@ def pack_token_ids(
         "tid",
         F.when(F.col("i") == 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
     )
+
+
+def _pack_positions(
+    toks: DataFrame, budget: int, group_col: str, with_min_gpos: bool = False
+) -> DataFrame:
+    """Cut a (group, shard, gpos, tid, b) stream every ``budget`` tokens.
+    ``with_min_gpos`` adds the row's first global position — the merge
+    key the streaming store needs to stitch PARTIAL sequence rows from
+    different epochs back together in order."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     joined = lambda field, sep: F.array_join(  # noqa: E731
         F.transform(
             F.array_sort(
@@ -199,14 +233,17 @@ def pack_token_ids(
         ),
         sep,
     )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        joined("tid", " ").alias("token_ids"),
+        joined("b", "").alias("doc_mask"),
+    ]
+    if with_min_gpos:
+        aggs.append(F.min("gpos").cast("long").alias("min_gpos"))
     return (
         toks.withColumn("seq_id", F.expr(f"gpos div {int(budget)}"))
         .groupBy(group_col, "shard", "seq_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            joined("tid", " ").alias("token_ids"),
-            joined("b", "").alias("doc_mask"),
-        )
+        .agg(*aggs)
     )
 
 

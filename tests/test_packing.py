@@ -218,3 +218,86 @@ def test_packed_batches_straddles_exist_and_are_masked_zero(spark, sf_dir):
         r for r in rows if r["seq_id"] > 0 and r["doc_mask"][0] == "0"
     ]
     assert continuations  # some doc straddles a cut
+
+
+def test_packing_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
+    """Epoch-keyed packing with cross-batch sequence stitching: three
+    doc_id-range micro-batches under a frozen merge table must serve
+    EXACTLY the one-shot pack of the whole corpus (sequences straddling
+    batch boundaries included), a forced replay of both epoch artifacts
+    must change nothing, and a no-op stream rerun must be idempotent."""
+    from pyspark.sql import functions as F
+    from spotify_etl_pipeline_spark.operators.packing import pack_token_ids
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_train_merges,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+    from spotify_etl_pipeline_spark.streaming.packing_stream import (
+        read_packed_batches,
+        run_packing_stream,
+    )
+
+    BUDGET, SHARDS = 64, 2
+    docs = load_fixture(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=3)  # the frozen artifact
+    n = docs.count()
+    cuts = (n // 3, 2 * n // 3)
+    src = str(tmp_path / "docs_in")
+    # doc_id-RANGE split: within every (lang, shard) group the stream
+    # arrives in doc_id order across epochs — the packing stream's
+    # stated ordering contract
+    docs.filter(F.col("doc_id") < cuts[0]).coalesce(1).write.parquet(src)
+    docs.filter(
+        (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+    ).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= cuts[1]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "packed")
+    ckpt = str(tmp_path / "ckpt")
+    run_packing_stream(spark, src, merges, out, ckpt, budget=BUDGET,
+                       n_shards=SHARDS, max_files_per_trigger=1)
+
+    def served_set():
+        return {
+            tuple(r) for r in read_packed_batches(spark, out).collect()
+        }
+
+    want = {
+        tuple(r)
+        for r in pack_token_ids(
+            bpe_encode_ids(docs, merges=merges), docs,
+            budget=BUDGET, n_shards=SHARDS,
+        ).collect()
+    }
+    got = served_set()
+    assert got == want and len(want) > 0
+
+    # the interesting rows really exist: some sequence was stitched from
+    # partials of different epochs (straddles a batch boundary)
+    parts = spark.read.parquet(f"{out}/parts")
+    multi = (
+        parts.groupBy("lang", "shard", "seq_id")
+        .agg(F.countDistinct("epoch").alias("ne"))
+        .filter(F.col("ne") >= 2)
+        .count()
+    )
+    assert multi > 0
+
+    # forced replay: rewrite epoch 0's parts AND counts with identical
+    # content — serving must not change (exactly-once for both artifacts)
+    for part in ("parts", "counts"):
+        rows = spark.read.parquet(f"{out}/{part}/epoch=0").collect()
+        sch = spark.read.parquet(f"{out}/{part}/epoch=0").schema
+        spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(
+            f"{out}/{part}/epoch=0"
+        )
+        spark.catalog.refreshByPath(f"{out}/{part}")
+    assert served_set() == want
+
+    # no-op rerun: checkpoint remembers all three files
+    run_packing_stream(spark, src, merges, out, ckpt, budget=BUDGET,
+                       n_shards=SHARDS, max_files_per_trigger=1)
+    assert served_set() == want
