@@ -350,3 +350,33 @@ def test_cms_windowed_serving_and_retention(spark, sf_dir, tmp_path):
                            expect_hash_fn="xxhash64", since_epoch=SINCE)
     with pytest.raises(ValueError, match="all-history store"):
         retire_epochs(spark, f"{out}/sketch", before_epoch=SINCE)
+
+
+def test_windowed_sketch_read_prunes_epoch_partitions(spark, sf_dir, tmp_path):
+    """The since_epoch window must land as a PartitionFilter on the
+    epoch column — pre-window epochs are pruned BEFORE any file is read
+    (the claim behind 'older epochs are never read'), not filtered
+    post-scan."""
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        read_merged_sketch,
+        run_cms_stream,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    for part in (0, 1, 2):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "cms")
+    run_cms_stream(spark, src, out, str(tmp_path / "ckpt"), d=D, w=W,
+                   max_files_per_trigger=1)
+
+    df = read_merged_sketch(spark, out, expect_hash_fn="xxhash64",
+                            since_epoch=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]\n]*)", plan)
+    assert m and "epoch" in m.group(1), plan[:2000]
