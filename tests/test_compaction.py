@@ -379,3 +379,61 @@ def test_physical_delete_compaction_and_reinsert(spark, sf_dir, tmp_path):
     } == nd
     served_after = serve(live_codes())
     assert not {r[1] for r in served_after} & nd
+
+
+def test_packing_stores_compact_and_appends_continue_offsets(
+    spark, sf_dir, tmp_path
+):
+    """The packing stream's two stores are epoch stores like every
+    other: compacting parts (partial sequence rows keep their min_gpos
+    merge keys) and counts (the offset basis is a SUM — fold-invariant)
+    must leave serving identical, and a POST-compaction append must
+    continue each group's token offset from the folded base exactly —
+    the final serve still equals the one-shot pack of everything."""
+    from spotify_etl_pipeline_spark.operators.packing import pack_token_ids
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_train_merges,
+    )
+    from spotify_etl_pipeline_spark.streaming.packing_stream import (
+        read_packed_batches,
+        run_packing_stream,
+    )
+
+    BUDGET, SHARDS = 64, 2
+    docs = load_fixture(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=3)
+    n = docs.count()
+    src = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") < n // 3).coalesce(1).write.parquet(src)
+    docs.filter(
+        (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "packed")
+    ckpt = str(tmp_path / "ckpt")
+    run_packing_stream(spark, src, merges, out, ckpt, budget=BUDGET,
+                       n_shards=SHARDS, max_files_per_trigger=1)
+
+    def served():
+        return {tuple(r) for r in read_packed_batches(spark, out).collect()}
+
+    before = served()
+    assert compact_epoch_store(spark, f"{out}/parts") == 2
+    assert compact_epoch_store(spark, f"{out}/counts") == 2
+    assert served() == before
+
+    # post-compaction append: the third doc_id-range batch must pick up
+    # its offsets from the folded counts base
+    docs.filter(F.col("doc_id") >= 2 * n // 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_packing_stream(spark, src, merges, out, ckpt, budget=BUDGET,
+                       n_shards=SHARDS, max_files_per_trigger=1)
+    want = {
+        tuple(r)
+        for r in pack_token_ids(
+            bpe_encode_ids(docs, merges=merges), docs,
+            budget=BUDGET, n_shards=SHARDS,
+        ).collect()
+    }
+    assert served() == want
