@@ -103,6 +103,11 @@ def read_merged_sketch(
     containing a folded ``epoch=-1`` base (full-history compaction
     destroys epoch provenance — windowed stores retire old epochs with
     :func:`..compaction.retire_epochs` instead of folding them)."""
+    # a session that WROTE this store (foreachBatch) may hold a stale
+    # file-listing cache for it — observed at the sf10 tile as a
+    # zero-row read of a populated store; refresh is cheap and makes
+    # write-then-serve sessions correct (all store readers do this)
+    spark.catalog.refreshByPath(out_path)
     store = spark.read.parquet(out_path)
     if since_epoch is not None:
         from .compaction import BASE_EPOCH
@@ -223,6 +228,7 @@ def serve_cms_topk(
         spark, f"{out_path}/sketch", expect_hash_fn=hash_fn,
         since_epoch=since_epoch,
     )
+    spark.catalog.refreshByPath(f"{out_path}/cands")
     cands = spark.read.parquet(f"{out_path}/cands")
     if since_epoch is not None:
         cands = cands.filter(F.col("epoch") >= int(since_epoch))

@@ -51,6 +51,9 @@ def _existing_sigs(
     if os.path.isdir(index_path) and any(
         d.startswith("epoch=") for d in os.listdir(index_path)
     ):
+        # drop any stale file-listing cache a writer session holds (the
+        # shared store-reader rule — see cms_stream.read_merged_sketch)
+        spark.catalog.refreshByPath(index_path)
         df = spark.read.parquet(index_path)
         if exclude_epoch is not None:
             df = df.filter(F.col("epoch") != exclude_epoch)
@@ -136,5 +139,6 @@ def read_index(
     sigs = _existing_sigs(spark, index_path)
     if tombstones_path is None:
         return sigs
+    spark.catalog.refreshByPath(tombstones_path)
     dead = spark.read.parquet(tombstones_path).select("doc_id").distinct()
     return lsh_index_apply_tombstones(sigs, dead)

@@ -57,6 +57,10 @@ def _base_offsets(
         and any(d.startswith("epoch=") for d in os.listdir(counts_path))
     ):
         return None
+    # drop any stale file-listing cache: this READ happens inside the
+    # stream that WROTE the previous epoch's counts moments ago (the
+    # shared store-reader rule — see cms_stream.read_merged_sketch)
+    spark.catalog.refreshByPath(counts_path)
     df = spark.read.parquet(counts_path)
     if exclude_epoch is not None:
         df = df.filter(F.col("epoch") != exclude_epoch)
@@ -130,6 +134,7 @@ def read_packed_batches(
     partials ordered by their first global position (contiguous,
     non-overlapping by construction).  Output schema matches
     ``pack_token_ids`` exactly."""
+    spark.catalog.refreshByPath(f"{out_path}/parts")
     parts = spark.read.parquet(f"{out_path}/parts")
     stitched = lambda field, sep: F.array_join(  # noqa: E731
         F.transform(

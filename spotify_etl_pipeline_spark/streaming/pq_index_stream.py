@@ -84,6 +84,9 @@ def read_streamed_codes(spark: SparkSession, out_path: str) -> DataFrame:
     partitions, identical schema to ``pq_encode(..., keep_cols=(cell,))``
     — union it with the base build's code table and serve
     ``pq_ivfadc_topk(route_corpus=base)`` unchanged."""
+    # drop any stale file-listing cache a writer session holds (see
+    # cms_stream.read_merged_sketch — the shared store-reader rule)
+    spark.catalog.refreshByPath(out_path)
     df = spark.read.parquet(out_path)
     return df.select([c for c in df.columns if c != "epoch"])
 
@@ -125,6 +128,7 @@ def read_tombstones(spark: SparkSession, out_path: str) -> DataFrame:
     """The merged tombstone set: distinct union of the epoch partitions
     (idempotent under replays AND re-deletes by construction).  Feed it
     to ``operators.pq.index_apply_tombstones`` at serve time."""
+    spark.catalog.refreshByPath(out_path)
     df = spark.read.parquet(out_path)
     return df.select("vec_id").distinct()
 
