@@ -132,22 +132,18 @@ def _load_all() -> None:
 #: driver check is ever more than ~2 rounds old, with no per-round editing
 #: beyond this head list.
 #:
-#: Round 10 head — EMPTY, per VERDICT r9 #1 (every slot goes to the
-#: stale burn-down; 51 driver entries still carry no evidence newer
-#: than r6).  Nothing already-verified changed semantics this round:
-#: the ADVICE oracle-guard fixes (BPE chain-exhaustion LEFT JOINs, the
-#: unknown-symbol error() mirror) alter only never-taken guard paths —
-#: the affected entries re-hash identically (re-proven via
-#: tools/driver_sim this round) — and the CMS hash-family marker, the
-#: id_col rename, tombstones, compaction, and multi-probe serving are
-#: all NEW surface.  The three NEW r10 entries
-#: (knn_ivfadc_deleted_topk, packed_token_batches,
-#: knn_incremental_multiprobe_recall) sort ahead automatically as
-#: never-checked, so the ~50-slot sweep covers 3 new + the 9 r5
-#: entries + 38 of the 42 r6 entries; the last ~4 r6 entries (latest
-#: registration positions in that tier) clear in r11, which the
-#: arithmetic in COVERAGE.md records honestly (51 + 3 > 50: one round
-#: cannot finish the tier while also greening the new entries).
+#: Round 11 head — EMPTY, per VERDICT r10 #1 (every slot burns the
+#: evidence tail: 4 r6 entries + 41 r7 entries = 45 stale).  Nothing
+#: already-verified changed semantics this round — the r11 diff adds
+#: NEW surface only (windowed CMS serving entry, BPE decode, shard
+#: manifest) plus guard-path fixes that alter no verified query's
+#: output (broadcast hint on a 1-row attach, tombstone-store-empty
+#: guard, compaction swap ordering).  The three NEW r11 entries
+#: (cms_topk_windowed, bpe_decode_roundtrip, packed_shard_manifest)
+#: sort ahead automatically as never-checked: 3 new + 45 stale = 48
+#: slots, inside the ~50-slot sweep, so CORRECTNESS_r11 leaves no
+#: driver entry with evidence older than r8 — the rotation's promised
+#: steady state.
 _CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
@@ -207,6 +203,15 @@ def _ordered() -> list[QuerySpec]:
     unknown = [n for n in _CHANGED_THIS_ROUND if n not in CATALOG]
     if unknown:
         raise KeyError(f"_CHANGED_THIS_ROUND names not in catalog: {unknown}")
+    nondriver = [
+        n for n in _CHANGED_THIS_ROUND if not CATALOG[n].driver
+    ]
+    if nondriver:
+        # the tail below filters to driver=True; a driver=False name in
+        # the head would silently re-enter the sweep it was folded out of
+        raise ValueError(
+            f"_CHANGED_THIS_ROUND names are driver=False: {nondriver}"
+        )
     latest = _latest_evidence()
     names = [n for n in CATALOG if CATALOG[n].driver]
     reg_pos = {n: i for i, n in enumerate(names)}

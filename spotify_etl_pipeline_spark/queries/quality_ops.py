@@ -163,7 +163,7 @@ def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_fixture(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     total = docs.agg(F.count(F.lit(1)).alias("n"))
-    heavy = counts.crossJoin(total).filter(
+    heavy = counts.crossJoin(F.broadcast(total)).filter(
         F.col("n_docs") > FREQ_SUPPORT * F.col("n")
     )
     sketch = docs.stat.freqItems(["lang"], FREQ_SUPPORT).select(

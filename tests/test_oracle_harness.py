@@ -57,3 +57,32 @@ def test_matching_frames_pass_both_layers():
         )
         == []
     )
+
+
+def test_changed_this_round_rejects_driver_false(monkeypatch):
+    """ADVICE r10: a driver=False name in _CHANGED_THIS_ROUND would
+    silently re-enter the driver sweep the fold-out contract removed it
+    from — _ordered() must refuse it loudly."""
+    from spotify_etl_pipeline_spark.queries import catalog
+
+    catalog._load_all()
+    nondriver = next(
+        n for n, s in catalog.CATALOG.items() if not s.driver
+    )
+    monkeypatch.setattr(catalog, "_CHANGED_THIS_ROUND", (nondriver,))
+    import pytest
+
+    with pytest.raises(ValueError, match="driver=False"):
+        catalog._ordered()
+
+
+def test_changed_this_round_rejects_unknown_name(monkeypatch):
+    from spotify_etl_pipeline_spark.queries import catalog
+
+    monkeypatch.setattr(
+        catalog, "_CHANGED_THIS_ROUND", ("no_such_query_xyz",)
+    )
+    import pytest
+
+    with pytest.raises(KeyError, match="not in catalog"):
+        catalog._ordered()
