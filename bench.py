@@ -156,8 +156,80 @@ HEADLINE = [
 ]
 
 
+def _contention_evidence() -> dict[str, object] | None:
+    """Scan for conditions that pollute wall-clock timing, BEFORE this
+    bench's own JVM exists: any live foreign JVM, any other python
+    process running Spark/pytest, or a 1-minute loadavg above half the
+    CPU count.  BENCH_r10 shipped a 1.49× phantom regression because
+    something else ran during the driver's timing window and nothing in
+    the emitted JSON said so (VERDICT r10 #1); a contended run must
+    self-report.  Returns an evidence dict, or None when clean."""
+    # exclude ourselves AND our ancestor chain — the driver that invoked
+    # this bench is blocked on subprocess.wait, not competing for CPU,
+    # and its cmdline may legitimately mention "spark"
+    excluded = set()
+    pid_cursor = os.getpid()
+    while pid_cursor > 0 and pid_cursor not in excluded:
+        excluded.add(pid_cursor)
+        try:
+            with open(f"/proc/{pid_cursor}/stat") as fh:
+                # field 4 is ppid; comm (field 2) may contain spaces but
+                # is parenthesized — split after the closing paren
+                pid_cursor = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+    jvms: list[str] = []
+    spark_pys: list[str] = []
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        pids = []
+    for pid in pids:
+        if int(pid) in excluded:
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as fh:
+                comm = fh.read().strip()
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmdline = fh.read().replace(b"\x00", b" ").decode(
+                    "utf-8", "replace"
+                )
+        except OSError:
+            continue  # raced exit / permission — not evidence
+        if comm == "java":
+            jvms.append(f"pid {pid}: {cmdline[:160]}")
+        elif comm.startswith("python") and any(
+            k in cmdline for k in ("pyspark", "spark", "pytest")
+        ):
+            spark_pys.append(f"pid {pid}: {cmdline[:160]}")
+    try:
+        with open("/proc/loadavg") as fh:
+            load1 = float(fh.read().split()[0])
+    except (OSError, ValueError):
+        load1 = 0.0
+    ncpu = os.cpu_count() or 1
+    high_load = load1 > ncpu / 2
+    if not (jvms or spark_pys or high_load):
+        return None
+    ev: dict[str, object] = {"load1": load1, "ncpu": ncpu}
+    if jvms:
+        ev["foreign_jvms"] = jvms[:8]
+    if spark_pys:
+        ev["spark_pythons"] = spark_pys[:8]
+    if high_load:
+        ev["high_load"] = True
+    return ev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    contention = _contention_evidence()
+    if contention is not None:
+        print(
+            "bench.py: WARNING — timing window is contended; numbers "
+            f"below are suspect: {json.dumps(contention)}",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="bench")
     # full_catalog: the bench times driver=False production arms too
     # (rows-only ANN/sketch entries folded out of the driver sweep, r10)
@@ -231,6 +303,9 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    if contention is not None:
+        payload["contended"] = True
+        payload["contention_evidence"] = contention
     print(json.dumps(payload))
     spark.stop()
 

@@ -32,13 +32,18 @@ compaction:
   replayed in-flight epoch overwrites its own (un-folded) partition
   exactly as before.
 
-The swap itself is write-to-temp → drop old partitions → rename temp
-into place (the temp dir starts with a dot, so a concurrent reader
-lists either the old partitions or the new base, never the half-written
-fold).  Paths here are local-FS (the test environment); on a cluster
-the same three steps run against the Hadoop FileSystem API — rename is
-atomic per directory on HDFS and single-object stores with atomic
-rename semantics.
+The swap itself is write-to-temp → rename old partitions to dot-prefixed
+names (invisible to Spark's file index) → rename temp into place →
+delete the dot-prefixed originals.  Deletion happens strictly AFTER the
+base rename, so a crash mid-swap never loses data (either the dot-
+prefixed originals or the base survive, recoverable by hand).  The swap
+is still NOT atomic for concurrent readers: the rename loop is O(#parts)
+cheap renames, and a reader listing inside that window can see a subset
+of the old partitions with no base yet — the contract is single-writer
+with no concurrent reader DURING the swap (trivially true between
+``availableNow`` runs, the only supported schedule).  Paths here are
+local-FS (the test environment); on a cluster the same steps run against
+the Hadoop FileSystem API under the same single-maintainer contract.
 """
 
 from __future__ import annotations
@@ -56,25 +61,57 @@ from pyspark.sql import functions as F
 BASE_EPOCH = -1
 
 
+def list_epoch_partitions(path: str) -> list[str]:
+    """Snapshot the ``epoch=*`` partition directory names under a store.
+    Compactions that read-then-truncate (``compact_index_with_tombstones``)
+    take this snapshot FIRST and pass it through, so an epoch written by
+    a live feed between the read and the truncate survives untouched."""
+    return [
+        d for d in os.listdir(path)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d))
+    ]
+
+
 def compact_epoch_store(
     spark: SparkSession,
     path: str,
     fold: Callable[[DataFrame], DataFrame] | None = None,
+    parts: list[str] | None = None,
 ) -> int:
-    """Fold every ``epoch=*`` partition under ``path`` (including a
+    """Fold the ``epoch=*`` partitions under ``path`` (including a
     previous ``epoch=-1`` base) into a single fresh base partition.
     Returns the number of partitions folded.  ``fold`` post-processes
     the unioned rows (identity for row stores; cell-wise SUM for
     sketches) and must preserve the serving semantics — the tests pin
     serve-equality before/after for each store kind.
+
+    ``parts`` restricts the fold to an explicit partition snapshot
+    (names from :func:`list_epoch_partitions`): only those partitions
+    are read, and only those are removed by the swap — epochs that
+    appear after the snapshot survive as-is.  Requires the snapshot to
+    cover any existing ``epoch={BASE_EPOCH}`` base (folding around the
+    base would leave two bases).
     """
-    parts = [
-        d for d in os.listdir(path)
-        if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d))
-    ]
+    snapshot_given = parts is not None
+    if parts is None:
+        parts = list_epoch_partitions(path)
     if not parts:
         raise ValueError(f"no epoch partitions under {path}")
-    df = spark.read.parquet(path).drop("epoch")
+    base_dir = f"epoch={BASE_EPOCH}"
+    if (
+        snapshot_given
+        and base_dir not in parts
+        and os.path.isdir(os.path.join(path, base_dir))
+    ):
+        raise ValueError(
+            f"partition snapshot for {path} omits the existing {base_dir} "
+            "base — folding around it would produce two bases"
+        )
+    if snapshot_given:
+        df = spark.read.parquet(*[os.path.join(path, d) for d in parts])
+        df = df.select([c for c in df.columns if c != "epoch"])
+    else:
+        df = spark.read.parquet(path).drop("epoch")
     if fold is not None:
         df = fold(df)
     tmp = os.path.join(path, ".compact_tmp")
@@ -83,9 +120,14 @@ def compact_epoch_store(
     # no materialize-to-driver step, the swap below happens only after
     # the write (and its full upstream read) has finished
     df.write.mode("overwrite").parquet(tmp)
+    # swap: rename originals away (cheap, recoverable), install the new
+    # base, THEN delete — a crash at any point leaves either the dot-
+    # prefixed originals or the installed base on disk, never neither
     for d in parts:
-        shutil.rmtree(os.path.join(path, d))
-    os.rename(tmp, os.path.join(path, f"epoch={BASE_EPOCH}"))
+        os.rename(os.path.join(path, d), os.path.join(path, f".old_{d}"))
+    os.rename(tmp, os.path.join(path, base_dir))
+    for d in parts:
+        shutil.rmtree(os.path.join(path, f".old_{d}"))
     spark.catalog.refreshByPath(path)
     return len(parts)
 
@@ -159,20 +201,39 @@ def compact_index_with_tombstones(
     Returns (code partitions folded, tombstone partitions folded).
     Same committed-epoch contract as :func:`compact_epoch_store`: run
     it only when both streams' checkpoints have committed their epochs
-    (always true between ``availableNow`` runs)."""
+    (always true between ``availableNow`` runs).  The tombstone store is
+    SNAPSHOTTED up front and only the snapshotted partitions are read
+    and later truncated — a tombstone epoch written by a live delete
+    feed between the fold and the truncate survives unapplied (it keeps
+    scrubbing at serve time and is reclaimed by the next compaction)
+    instead of being destroyed."""
+    tomb_parts = list_epoch_partitions(tombstones_path)
+    if not tomb_parts:
+        raise ValueError(f"no epoch partitions under {tombstones_path}")
     # lazy is safe AND scale-right (no driver collect, anti-join shuffles
     # on the id key like every serve): the folded codes are fully WRITTEN
-    # before compact_epoch_store touches any partition, and the tombstone
-    # store is only rewritten by the second call below, strictly after
-    dead = spark.read.parquet(tombstones_path).select(id_col).distinct()
+    # before compact_epoch_store touches any partition, the snapshotted
+    # tombstone files still exist at fold time, and the tombstone store
+    # is only rewritten by the second call below, strictly after
+    dead = (
+        spark.read.parquet(
+            *[os.path.join(tombstones_path, d) for d in tomb_parts]
+        )
+        .select(id_col)
+        .distinct()
+    )
 
     def drop_dead(df: DataFrame) -> DataFrame:
         return df.join(dead, id_col, "left_anti")
 
     n_codes = compact_epoch_store(spark, codes_path, fold=drop_dead)
-    # truncate the tombstone store: same swap dance, empty base
+    # truncate ONLY the snapshotted tombstone partitions: same swap
+    # dance, empty base; post-snapshot epochs are left in place
     n_tombs = compact_epoch_store(
-        spark, tombstones_path, fold=lambda df: df.limit(0)
+        spark,
+        tombstones_path,
+        fold=lambda df: df.limit(0),
+        parts=tomb_parts,
     )
     return n_codes, n_tombs
 

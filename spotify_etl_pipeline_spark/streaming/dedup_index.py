@@ -139,6 +139,13 @@ def read_index(
     sigs = _existing_sigs(spark, index_path)
     if tombstones_path is None:
         return sigs
+    # same guard as _existing_sigs: a delete feed configured before the
+    # first delete epoch arrives serves the index unscrubbed, not a raise
+    if not (
+        os.path.isdir(tombstones_path)
+        and any(d.startswith("epoch=") for d in os.listdir(tombstones_path))
+    ):
+        return sigs
     spark.catalog.refreshByPath(tombstones_path)
     dead = spark.read.parquet(tombstones_path).select("doc_id").distinct()
     return lsh_index_apply_tombstones(sigs, dead)

@@ -437,3 +437,84 @@ def test_packing_stores_compact_and_appends_continue_offsets(
         ).collect()
     }
     assert served() == want
+
+
+def test_snapshot_limited_compaction_spares_midflight_epoch(
+    spark, tmp_path
+):
+    """ADVICE r10: compact_epoch_store(parts=snapshot) must fold ONLY
+    the snapshotted partitions — an epoch written between the snapshot
+    and the swap (a live feed racing the maintenance job) survives
+    untouched, and the folded base holds exactly the snapshot's rows."""
+    from spotify_etl_pipeline_spark.streaming.compaction import (
+        list_epoch_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    for e, ids in ((0, [1, 2]), (1, [3])):
+        spark.createDataFrame(
+            [(i,) for i in ids], "vec_id long"
+        ).write.parquet(f"{store}/epoch={e}")
+    snapshot = list_epoch_partitions(store)
+    assert sorted(snapshot) == ["epoch=0", "epoch=1"]
+    # the race: a new delete epoch lands after the snapshot
+    spark.createDataFrame([(99,)], "vec_id long").write.parquet(
+        f"{store}/epoch=2"
+    )
+    folded = compact_epoch_store(
+        spark, store, fold=lambda df: df.limit(0), parts=snapshot
+    )
+    assert folded == 2
+    assert _epochs(store) == {f"epoch={BASE_EPOCH}", "epoch=2"}
+    # base is empty (truncation fold); the mid-flight epoch still serves
+    spark.catalog.refreshByPath(store)
+    left = spark.read.parquet(store)
+    assert [r["vec_id"] for r in left.collect()] == [99]
+
+
+def test_snapshot_omitting_existing_base_raises(spark, tmp_path):
+    """A partition snapshot that folds around an existing epoch=-1 base
+    would install a second base — must refuse."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame([(1,)], "vec_id long").write.parquet(
+        f"{store}/epoch={BASE_EPOCH}"
+    )
+    spark.createDataFrame([(2,)], "vec_id long").write.parquet(
+        f"{store}/epoch=0"
+    )
+    with pytest.raises(ValueError, match="omits the existing"):
+        compact_epoch_store(spark, store, parts=["epoch=0"])
+
+
+def test_tombstone_reads_guard_empty_store(spark, sf_dir, tmp_path):
+    """ADVICE r10: a serve configured with a delete feed BEFORE the
+    first delete epoch arrives must serve unscrubbed, not raise — for
+    both the PQ code index and the LSH signature index."""
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_live_index,
+        read_tombstones,
+    )
+    from spotify_etl_pipeline_spark.streaming.dedup_index import read_index
+
+    never_written = str(tmp_path / "tombs_never")
+    assert read_tombstones(spark, never_written).count() == 0
+    # an mkdir'd-but-empty store (feed configured, no epoch yet) too
+    os.makedirs(str(tmp_path / "tombs_empty"))
+    assert read_tombstones(spark, str(tmp_path / "tombs_empty")).count() == 0
+
+    codes_path = str(tmp_path / "codes")
+    spark.createDataFrame(
+        [(1, 0, [0, 0]), (2, 1, [1, 1])],
+        "vec_id long, cell int, pq_codes array<int>",
+    ).write.parquet(f"{codes_path}/epoch=-1")
+    live = read_live_index(spark, codes_path, never_written)
+    assert live.count() == 2  # unscrubbed
+
+    sig_path = str(tmp_path / "sigs")
+    spark.createDataFrame(
+        [(1, 0, 7)], "doc_id long, band int, bucket long"
+    ).write.parquet(f"{sig_path}/epoch=0")
+    idx = read_index(spark, sig_path, str(tmp_path / "doc_tombs_never"))
+    assert idx.count() == 1  # unscrubbed
