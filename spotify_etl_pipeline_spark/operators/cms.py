@@ -57,7 +57,7 @@ def _bucket_expr(row_col: str, key_sql: str, w: int, hash_fn: str) -> F.Column:
 
 def count_min_build(
     items: DataFrame, key_col: str, d: int = 4, w: int = 1024,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "xxhash64", group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build the sketch: (row, bucket, n) with d·w live cells at most.
 
@@ -66,16 +66,25 @@ def count_min_build(
     no matter how many input rows arrive, which is the sketch's entire
     scale argument.  Merging sketches from two corpora/partitions/days
     is ``unionByName`` + the same groupBy-SUM — no rescan.
+
+    ``group_cols`` builds one independent sketch PER GROUP in the same
+    pass — (group…, row, bucket, n), |groups|·d·w cells at most — the
+    epoch-keyed layout the streaming store persists one partition at a
+    time: summing a subset of groups cell-wise serves that subset's
+    window exactly (SUM-mergeability), which is what
+    ``serve_cms_topk(since_epoch=)`` exploits.
     """
+    gc = list(group_cols)
     exploded = items.select(
+        *gc,
         F.col(key_col).cast("string").alias("k"),
         F.explode(F.array(*[F.lit(i) for i in range(int(d))])).alias("row"),
     )
     return (
         exploded.select(
-            "row", _bucket_expr("row", "k", w, hash_fn).alias("bucket")
+            *gc, "row", _bucket_expr("row", "k", w, hash_fn).alias("bucket")
         )
-        .groupBy("row", "bucket")
+        .groupBy(*gc, "row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 

@@ -349,6 +349,110 @@ def cms_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("k").alias("word"), "cms_n", "rank")
 
 
+#: cms_topk_windowed window: serve only epochs >= CMS_WIN_SINCE of the
+#: CMS_EPOCHS epoch splits — the batch twin of
+#: serve_cms_topk(since_epoch=CMS_WIN_SINCE), where exclusion of older
+#: epochs is partition pruning on the store (plan-asserted in
+#: tests/test_cms.py).
+CMS_WIN_SINCE = 3
+
+
+@register(
+    "cms_topk_windowed",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id % {CMS_EPOCHS} AS ep,
+             unnest(string_split(text, ' ')) AS k
+      FROM documents
+    ),
+    rows_ AS (SELECT UNNEST(range({CMS_D})) AS row),
+    cells AS (
+      SELECT words.ep, rows_.row,
+             (('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || words.k),
+                                 1, 15))::BIGINT) % {CMS_W} AS bucket
+      FROM words CROSS JOIN rows_
+    ),
+    cms AS (SELECT row, bucket, COUNT(*) AS n FROM cells
+            WHERE ep >= {CMS_WIN_SINCE} GROUP BY row, bucket),
+    pc AS (SELECT ep, k, COUNT(*) AS n FROM words
+           WHERE ep >= {CMS_WIN_SINCE} GROUP BY ep, k),
+    cand AS (
+      SELECT DISTINCT k
+      FROM (SELECT ep, k,
+                   ROW_NUMBER() OVER (PARTITION BY ep
+                                      ORDER BY n DESC, k ASC) AS rn
+            FROM pc)
+      WHERE rn <= {CMS_CANDS}
+    ),
+    probes AS (
+      SELECT cand.k, rows_.row,
+             (('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || cand.k),
+                                 1, 15))::BIGINT) % {CMS_W} AS bucket
+      FROM cand CROSS JOIN rows_
+    ),
+    est AS (
+      SELECT probes.k, MIN(COALESCE(cms.n, 0)) AS cms_n
+      FROM probes LEFT JOIN cms USING (row, bucket)
+      GROUP BY probes.k
+    )
+    SELECT k AS word, CAST(cms_n AS BIGINT) AS cms_n,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT k, cms_n,
+                 ROW_NUMBER() OVER (ORDER BY cms_n DESC, k ASC) AS rank
+          FROM est)
+    WHERE rank <= {CMS_TOPK}
+    """,
+    survey="X40,X6,X8",
+    doc="SLIDING-WINDOW heavy-hitter serving (X40) — the batch twin of "
+    "streaming/cms_stream.serve_cms_topk(since_epoch=): per-epoch CMS "
+    f"sketches (doc_id % {CMS_EPOCHS} epochs, one independent "
+    "(ep, row, bucket, n) sketch each — exactly the epoch-partitioned "
+    "layout the maintenance stream persists), cell-wise SUM over ONLY "
+    f"the window's epochs (ep >= {CMS_WIN_SINCE}; SUM-mergeability is "
+    "what makes the window an algebra, not a rescan), candidate union "
+    "restricted to the same window, probe + rank never touching the raw "
+    "corpus. In the streaming store the epoch restriction is PARTITION "
+    "PRUNING — excluded epochs are never read (plan-asserted, "
+    "tests/test_cms.py) — and retention is compaction.retire_epochs. "
+    "md5 pinned as the cross-engine audit family; the xxhash64 "
+    "production dial serves identically (stream==batch equality tests "
+    "cover both).",
+)
+def cms_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as Wd
+
+    from ..operators.cms import count_min_build, count_min_topk
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    words = docs.select(
+        (F.col("doc_id") % CMS_EPOCHS).alias("ep"),
+        F.explode(F.split("text", " ")).alias("k"),
+    )
+    # one independent sketch per epoch — the store layout; serving SUMs
+    # only the window's cells (older epochs would be pruned partitions)
+    per_epoch = count_min_build(
+        words, "k", d=CMS_D, w=CMS_W, hash_fn="md5", group_cols=("ep",)
+    )
+    merged = (
+        per_epoch.filter(F.col("ep") >= CMS_WIN_SINCE)
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    rn = Wd.partitionBy("ep").orderBy(F.desc("n"), F.asc("k"))
+    cand = (
+        words.filter(F.col("ep") >= CMS_WIN_SINCE)
+        .groupBy("ep", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= CMS_CANDS)
+        .select("k")
+        .distinct()
+    )
+    return count_min_topk(
+        merged, cand, "k", k=CMS_TOPK, d=CMS_D, w=CMS_W, hash_fn="md5"
+    ).select(F.col("k").alias("word"), "cms_n", "rank")
+
+
 FUZZY_KEY_MAX = 500  # constant-size match set at every SF
 
 

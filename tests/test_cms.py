@@ -380,3 +380,51 @@ def test_windowed_sketch_read_prunes_epoch_partitions(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]\n]*)", plan)
     assert m and "epoch" in m.group(1), plan[:2000]
+
+
+def test_cms_topk_windowed_entry_equals_streamed_serve(
+    spark, sf_dir, tmp_path
+):
+    """The driver-facing cms_topk_windowed entry must be bit-equal to
+    serve_cms_topk(since_epoch=) over a store whose stream epochs match
+    the entry's doc_id%E split, under the same (md5) hash family — the
+    X40 claim that the batch twin and the windowed streaming serve are
+    one algebra."""
+    from spotify_etl_pipeline_spark.queries.quality_ops import (
+        CMS_CANDS,
+        CMS_EPOCHS,
+        CMS_TOPK,
+        CMS_WIN_SINCE,
+        cms_topk_windowed,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        run_cms_topk_stream,
+        serve_cms_topk,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    for e in range(CMS_EPOCHS):  # one file per epoch -> epoch split
+        docs.filter(F.col("doc_id") % CMS_EPOCHS == e).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    out = str(tmp_path / "hh")
+    run_cms_topk_stream(
+        spark, src, out, str(tmp_path / "ckpt"), d=D, w=W,
+        per_epoch_candidates=CMS_CANDS, max_files_per_trigger=1,
+        hash_fn="md5",
+    )
+    streamed = [
+        tuple(r)
+        for r in serve_cms_topk(
+            spark, out, k=CMS_TOPK, d=D, w=W, hash_fn="md5",
+            since_epoch=CMS_WIN_SINCE,
+        ).collect()
+    ]
+    entry = [tuple(r) for r in cms_topk_windowed(spark, sf_dir).collect()]
+    # the window's candidate union can hold fewer than CMS_TOPK distinct
+    # keys (2 in-window epochs x CMS_CANDS with overlap) — the serve is
+    # bounded by the candidate set, identically on both arms
+    assert entry == streamed
+    assert 0 < len(entry) <= CMS_TOPK
