@@ -1215,3 +1215,73 @@ def bpe_encode_ids(
             ).alias("token_ids"),
         )
     )
+
+
+def bpe_decode_ids(
+    df: DataFrame,
+    merges: DataFrame,
+    ids_col: str = "token_ids",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """DECODE token-id sequences back to text — the inverse of
+    ``bpe_encode_ids``, closing the tokenizer loop (train → encode →
+    pack → DECODE): adds ``out_col``, the concatenation of the symbol
+    strings the ids name, to every row of ``df``.
+
+    Id space is the encoder's own: 0..25 are the base characters
+    (``chr(97 + id)``); id ``25 + s`` is the symbol string created at
+    merge step ``s``.  String collisions in the merge table are
+    first-step-wins on the ENCODE side, so only the winning (minimum)
+    id per symbol string can appear in encoder output — the inverse
+    keeps exactly those ids and an unknown id raises (mirroring the
+    encoder's unknown-symbol guard: garbage input should fail loudly,
+    not decode to silently wrong text).
+
+    Scale shape: the id→symbol table is the tokenizer artifact itself
+    (k + 26 entries, bounded) baked into the plan as ONE flat
+    ``map_from_arrays`` literal — two array literals, no nested
+    expression depth at production k — so decoding is a purely NARROW
+    ``transform`` + ``concat_ws`` projection inside whole-stage
+    codegen: no join, no shuffle, no explode.  Decoding a 100 TB packed
+    corpus is a map-only stage.
+
+    Losslessness caveat (by construction of the encoder): word
+    boundaries are not represented in the id stream, so the decode of a
+    document's ids equals its trainable words CONCATENATED; the
+    round-trip property (``bpe_decode_roundtrip``, and the packed-batch
+    split test) compares against exactly that ground truth.
+    """
+    # bounded collect: k merge rules — the tokenizer artifact itself
+    rule_rows = merges.orderBy("step").select("step", "x", "y").collect()
+    sym_id: dict[str, int] = {}
+    for r in rule_rows:
+        s = r["x"] + r["y"]
+        if s not in sym_id:  # first-step-wins, as the encoder
+            sym_id[s] = 25 + int(r["step"])
+    id_sym = {v: k for k, v in sym_id.items()}
+    for i in range(26):
+        id_sym[i] = chr(97 + i)
+    ids_sorted = sorted(id_sym)
+    lut = F.map_from_arrays(
+        F.lit([str(i) for i in ids_sorted]),
+        F.lit([id_sym[i] for i in ids_sorted]),
+    )
+
+    def to_sym(t: F.Column) -> F.Column:
+        return F.when(
+            F.element_at(lut, t).isNotNull(), F.element_at(lut, t)
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("bpe_decode_ids: unknown token id: "), t)
+            ).cast("string")
+        )
+
+    toks = F.split(F.col(ids_col), " ")
+    decoded = F.concat_ws(
+        "",
+        F.transform(toks, lambda t: to_sym(t)),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(ids_col) == "", F.lit("")).otherwise(decoded),
+    )

@@ -876,6 +876,70 @@ def bpe_encode_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ids(_docs(spark, sf_dir), n_merges=BPE_TRAIN_K)
 
 
+@register(
+    "bpe_decode_roundtrip",
+    oracle=_BPE_IDS_PREFIX + """,
+    docids AS (
+      SELECT d.doc_id, CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens
+      FROM docw d JOIN wenc e ON d.w = e.w
+      GROUP BY d.doc_id
+    ),
+    truth AS (
+      SELECT doc_id, string_agg(w, '' ORDER BY pos) AS decoded
+      FROM docw GROUP BY doc_id
+    )
+    SELECT t.doc_id, i.n_tokens, t.decoded, TRUE AS roundtrip_ok
+    FROM truth t JOIN docids i ON t.doc_id = i.doc_id
+    """,
+    survey="X4,X14,X35",
+    doc=f"TOKENIZER LOSSLESSNESS — decode(encode(corpus)) == corpus: "
+    f"every document is encoded to ids with the k={BPE_TRAIN_K} merge "
+    "table (bpe_encode_ids), DECODED back via operators/text.py::"
+    "bpe_decode_ids (the id->symbol tokenizer artifact baked into the "
+    "plan as one flat map literal — decoding is a purely narrow "
+    "transform+concat projection, no join/shuffle/explode: a map-only "
+    "stage at 100 TB), and compared per document against the "
+    "independently derived ground truth (the trainable words in "
+    "original order, concatenated — word boundaries are not in the id "
+    "stream by construction). The oracle rederives n_tokens through "
+    "the full CTE merge chain and the ground-truth decoded string "
+    "directly from the corpus, and pins roundtrip_ok TRUE — a decoder "
+    "or encoder defect breaks the value hash on decoded AND flips "
+    "roundtrip_ok. The packed-batch extension of the same property "
+    "(split packed token_ids at doc_mask '1's, decode, compare) is in "
+    "tests/test_packing.py.",
+)
+def bpe_decode_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train_merges(docs, n_merges=BPE_TRAIN_K)
+    ids = bpe_encode_ids(docs, merges=merges)
+    dec = bpe_decode_ids(ids, merges)
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
+    truth = words.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            "",
+        ).alias("truth")
+    )
+    return dec.join(truth, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "decoded",
+        (F.col("decoded") == F.col("truth")).alias("roundtrip_ok"),
+    )
+
+
 #: Packing dials for the packed-batch capstone. 128 tokens/sequence keeps
 #: multiple full sequences AND a partial tail per (lang, shard) group at
 #: fixture scale (so both regimes are hash-checked); 4 shards exercises

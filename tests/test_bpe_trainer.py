@@ -375,3 +375,46 @@ def test_encode_ids_chunked_regimes_agree_at_production_k(spark):
         for r in bpe_encode_ids(docs, merges=merges, chunk_size=333).collect()
     }
     assert a == b == want
+
+
+def test_bpe_decode_ids_roundtrip_guard_and_empty(spark, sf_dir):
+    """bpe_decode_ids inverts bpe_encode_ids per document (against the
+    independently derived trainable-word concatenation), raises on an
+    id outside the tokenizer artifact (mirroring the encoder's
+    unknown-symbol guard), and decodes an empty sequence to ''."""
+    import pytest
+    from pyspark.sql import functions as F
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train_merges,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents").limit(100)
+    merges = bpe_train_merges(docs, n_merges=5)
+    dec = bpe_decode_ids(bpe_encode_ids(docs, merges=merges), merges)
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
+    truth = words.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            "",
+        ).alias("truth")
+    )
+    j = dec.join(truth, "doc_id")
+    assert j.count() > 0
+    assert j.filter(F.col("decoded") != F.col("truth")).count() == 0
+
+    bad = spark.createDataFrame(
+        [(1, "0 99999")], "doc_id long, token_ids string"
+    )
+    with pytest.raises(Exception, match="unknown token id"):
+        bpe_decode_ids(bad, merges).collect()
+
+    empty = spark.createDataFrame([(1, "")], "doc_id long, token_ids string")
+    assert bpe_decode_ids(empty, merges).collect()[0]["decoded"] == ""

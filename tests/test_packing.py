@@ -301,3 +301,81 @@ def test_packing_stream_matches_batch_including_replay(spark, sf_dir, tmp_path):
     run_packing_stream(spark, src, merges, out, ckpt, budget=BUDGET,
                        n_shards=SHARDS, max_files_per_trigger=1)
     assert served_set() == want
+
+
+def test_packed_batches_decode_roundtrip_to_text(spark, sf_dir):
+    """The full tokenize->pack->DECODE loop (VERDICT r10 #4): splitting
+    each (lang, shard) packed stream at doc_mask '1' positions and
+    decoding every per-doc id slice with bpe_decode_ids must reproduce
+    each document's trainable words verbatim (concatenated — word
+    boundaries are not in the id stream by construction), in doc_id
+    order within the group.  This is the property a trainer relies on:
+    the packed artifact is a lossless re-arrangement of the corpus."""
+    from pyspark.sql import functions as F
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_decode_ids,
+        bpe_train_merges,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=3)  # _packed's n_merges
+    _, packed = _packed(spark, sf_dir, budget=64, n_shards=2)
+
+    # ground truth: per doc, the trainable words concatenated, grouped
+    # by (lang, shard) in doc_id order
+    words = docs.select(
+        "doc_id", "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
+    truth_rows = (
+        words.groupBy("doc_id", "lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                "",
+            ).alias("truth")
+        )
+        .withColumn("shard", F.pmod("doc_id", F.lit(2)))
+        .orderBy("lang", "shard", "doc_id")
+        .collect()
+    )
+    want = {}
+    for r in truth_rows:
+        want.setdefault((r["lang"], r["shard"]), []).append(r["truth"])
+
+    # split each packed stream at mask '1's into per-doc id strings
+    streams = {}
+    for r in sorted(
+        packed.collect(), key=lambda r: (r["lang"], r["shard"], r["seq_id"])
+    ):
+        ids, mask = streams.setdefault((r["lang"], r["shard"]), ([], []))
+        ids.extend(r["token_ids"].split(" "))
+        mask.extend(r["doc_mask"])
+    slices = []  # (lang, shard, doc_index_in_group, id string)
+    for (lang, shard), (ids, mask) in streams.items():
+        cur, idx = [], 0
+        for tid, m in zip(ids, mask):
+            if m == "1" and cur:
+                slices.append((lang, int(shard), idx, " ".join(cur)))
+                cur, idx = [], idx + 1
+            cur.append(tid)
+        slices.append((lang, int(shard), idx, " ".join(cur)))
+
+    # decode all slices in one distributed pass
+    sliced = spark.createDataFrame(
+        slices, "lang string, shard long, idx long, token_ids string"
+    )
+    decoded = {
+        (r["lang"], r["shard"], r["idx"]): r["decoded"]
+        for r in bpe_decode_ids(sliced, merges).collect()
+    }
+    assert decoded
+    for (lang, shard), truths in want.items():
+        for idx, truth in enumerate(truths):
+            assert decoded[(lang, shard, idx)] == truth, (lang, shard, idx)
+    # every decoded slice is accounted for (no phantom documents)
+    assert len(decoded) == sum(len(v) for v in want.values())
