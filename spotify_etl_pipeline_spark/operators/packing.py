@@ -280,3 +280,57 @@ def seeded_shuffle(
         .withColumn("pos_in_shard", F.row_number().over(w))
         .select(id_col, "shard", "pos_in_shard")
     )
+
+
+def packed_shard_manifest(
+    packed: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """The TRAINER-SIDE READER CONTRACT over packed batches — one row
+    per (group, shard): what a data loader needs to mount a shard
+    without scanning it (the webdataset/megatron index-file shape):
+
+    - ``n_sequences`` / ``n_tokens`` — sizing (how many fixed-budget
+      rows, how many real positions) for sampler bookkeeping;
+    - ``n_straddling`` — sequences that OPEN mid-document (first mask
+      char '0'): the rows whose attention reset depends on the mask;
+    - ``checksum`` — md5 over the shard's (token_ids # doc_mask) pairs
+      concatenated in seq_id order: any reordering, truncation, or
+      bit-flip of the shard's content or mask changes it, so a reader
+      can verify a downloaded shard against the manifest.
+
+    One groupBy over the packed table (already sequence-rows, ~corpus
+    tokens / budget of them); the checksum's collect_list is bounded by
+    the shard's sequence count — shards are sized so a shard fits a
+    task, exactly the export contract
+    (sources/maintenance.py::export_training_shards).  Deterministic
+    string arithmetic end-to-end (md5 of an ORDER-pinned concat), so an
+    external SQL engine rederives every column — the manifest itself is
+    hash-checkable, not just its integer columns.
+    """
+    ordered = lambda field, sep: F.array_join(  # noqa: E731
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("seq_id", F.col(field).alias("v")))
+            ),
+            lambda x: x["v"],
+        ),
+        sep,
+    )
+    return (
+        packed.withColumn(
+            "content", F.concat_ws("#", "token_ids", "doc_mask")
+        )
+        .groupBy(group_col, "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sequences"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.substring("doc_mask", 1, 1) == "0", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_straddling"),
+            F.md5(F.encode(ordered("content", "|"), "utf-8")).alias(
+                "checksum"
+            ),
+        )
+    )

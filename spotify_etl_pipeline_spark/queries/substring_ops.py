@@ -948,9 +948,12 @@ PACK_BUDGET = 128
 PACK_SHARDS = 4
 
 
-@register(
-    "packed_token_batches",
-    oracle=_BPE_IDS_PREFIX + f""",
+#: Shared oracle chain for the packed-batch tier: _BPE_IDS_PREFIX +
+#: per-doc id assembly + placement + token positions, ending at the
+#: ``packed`` CTE (one row per (lang, shard, seq_id) — identical to
+#: pack_token_ids' output).  ``packed_token_batches`` selects it
+#: verbatim; ``packed_shard_manifest`` aggregates it per shard.
+_PACKED_CTES = _BPE_IDS_PREFIX + f""",
     docids AS (
       SELECT d.doc_id,
              CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
@@ -979,14 +982,22 @@ PACK_SHARDS = 4
                    unnest(range(1, len(string_split(token_ids, ' ')) + 1))
                      AS i
             FROM placed)
-    )
-    SELECT lang, CAST(shard AS BIGINT) AS shard,
-           CAST(gpos // {PACK_BUDGET} AS BIGINT) AS seq_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           string_agg(tid, ' ' ORDER BY gpos) AS token_ids,
-           string_agg(b, '' ORDER BY gpos) AS doc_mask
-    FROM toks
-    GROUP BY lang, shard, gpos // {PACK_BUDGET}
+    ),
+    packed AS (
+      SELECT lang, CAST(shard AS BIGINT) AS shard,
+             CAST(gpos // {PACK_BUDGET} AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             string_agg(tid, ' ' ORDER BY gpos) AS token_ids,
+             string_agg(b, '' ORDER BY gpos) AS doc_mask
+      FROM toks
+      GROUP BY lang, shard, gpos // {PACK_BUDGET}
+    )"""
+
+
+@register(
+    "packed_token_batches",
+    oracle=_PACKED_CTES + """
+    SELECT lang, shard, seq_id, n_tokens, token_ids, doc_mask FROM packed
     """,
     survey="X4,X14,X35,X39",
     doc=f"PACKED TRAINING BATCHES — the tokenized-training-batch "
@@ -1014,6 +1025,48 @@ def packed_token_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_ids(
         enc, docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS
     )
+
+
+@register(
+    "packed_shard_manifest",
+    oracle=_PACKED_CTES + """
+    SELECT lang, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN substring(doc_mask, 1, 1) = '0'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+           md5(string_agg(token_ids || '#' || doc_mask, '|'
+                          ORDER BY seq_id)) AS checksum
+    FROM packed
+    GROUP BY lang, shard
+    """,
+    survey="X35,X39",
+    doc="PACKED-SHARD MANIFEST — the trainer-side reader contract "
+    "(VERDICT r10 #7): per (lang, shard) of packed_token_batches, the "
+    "sequence count, token count, count of sequences opening "
+    "mid-document (first mask char '0' — the rows whose attention "
+    "reset depends on the mask), and an md5 CHECKSUM over the shard's "
+    "(token_ids#doc_mask) content concatenated in seq_id order — a "
+    "data loader can size, sample, and VERIFY a mounted shard without "
+    "scanning it (the webdataset/megatron index-file shape; "
+    "operators/packing.py::packed_shard_manifest). One groupBy over "
+    "sequence rows (~tokens/budget); deterministic string arithmetic "
+    "end-to-end, so the checksum column itself is value-hash-checked "
+    "cross-engine, not just the integers. The physical layout twin "
+    "(one parquet file per (split, shard) leaf via "
+    "export_training_shards) is layout-tested in "
+    "tests/test_maintenance.py.",
+)
+def packed_shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_token_ids, packed_shard_manifest
+    from ..operators.text import bpe_encode_ids
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode_ids(docs, n_merges=BPE_TRAIN_K)
+    packed = pack_token_ids(
+        enc, docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+    return packed_shard_manifest(packed)
 
 
 @register(

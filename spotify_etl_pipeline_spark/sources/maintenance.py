@@ -180,3 +180,32 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def export_packed_shards(
+    packed: DataFrame, out_path: str, group_col: str = "lang"
+) -> None:
+    """Materialize packed training batches (operators/packing.py::
+    pack_token_ids output) in the layout a training data loader mounts:
+    parquet partitioned by ``(group, shard)``, ONE file per leaf, rows
+    in ``seq_id`` order — the physical twin of the
+    ``packed_shard_manifest`` reader contract (the manifest's
+    n_sequences/n_tokens/checksum describe exactly one file each).
+
+    Same mechanics as :func:`export_training_shards`: repartition on
+    the leaf key so each (group, shard) lands in one task, and lead the
+    within-task sort with the leaf columns (two leaves can hash into
+    the same task; the writer's inserted partition-column sort is not
+    guaranteed stable) so seq_id order is what actually lands in each
+    file.  At warehouse scale raise the packer's ``n_shards`` so a
+    shard fits a task — the manifest and the layout scale together.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        packed.repartition(F.col(group_col), F.col("shard"))
+        .sortWithinPartitions(group_col, "shard", "seq_id")
+        .write.partitionBy(group_col, "shard")
+        .mode("overwrite")
+        .parquet(out_path)
+    )

@@ -149,3 +149,53 @@ def test_zorder_clustering_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert zo_tp >= 0.4
     # row preservation
     assert spark.read.parquet(zo).count() == o.count()
+
+
+def test_export_packed_shards_layout_matches_manifest(spark, sf_dir, tmp_path):
+    """The packed-batch physical layout (VERDICT r10 #7): one parquet
+    file per (lang, shard) leaf, rows in seq_id order, and the
+    manifest computed from the WRITTEN files equals the logical
+    packed_shard_manifest over the in-memory packed table — checksum
+    included, so the manifest really does verify a mounted shard."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from spotify_etl_pipeline_spark.operators.packing import (
+        pack_token_ids,
+        packed_shard_manifest,
+    )
+    from spotify_etl_pipeline_spark.operators.text import bpe_encode_ids
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+    from spotify_etl_pipeline_spark.sources.maintenance import (
+        export_packed_shards,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    enc = bpe_encode_ids(docs, n_merges=3)
+    packed = pack_token_ids(enc, docs, budget=64, n_shards=2)
+    out = str(tmp_path / "packed")
+    export_packed_shards(packed, out)
+
+    leaves = [p for p in Path(out).glob("lang=*/shard=*") if p.is_dir()]
+    assert leaves, "no leaf directories written"
+    for leaf in leaves:
+        files = list(leaf.glob("*.parquet"))
+        assert len(files) == 1, f"{leaf} has {len(files)} files"
+        seq = pq.read_table(files[0], columns=["seq_id"])["seq_id"].to_pylist()
+        assert seq == sorted(seq)  # seq_id order baked into the file
+
+    want = {
+        (r["lang"], r["shard"]): (
+            r["n_sequences"], r["n_tokens"], r["n_straddling"], r["checksum"]
+        )
+        for r in packed_shard_manifest(packed).collect()
+    }
+    got = {
+        (r["lang"], r["shard"]): (
+            r["n_sequences"], r["n_tokens"], r["n_straddling"], r["checksum"]
+        )
+        for r in packed_shard_manifest(spark.read.parquet(out)).collect()
+    }
+    assert got == want
+    assert len(got) == len(leaves)
