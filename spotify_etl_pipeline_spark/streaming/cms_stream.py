@@ -72,6 +72,59 @@ def run_cms_stream(
     q.awaitTermination()
 
 
+def list_epoch_values(spark: SparkSession, path: str) -> list[int]:
+    """Epoch values present in a store, from ONE Hadoop-FS directory
+    listing — no Spark job.  The r11 many-epoch measurement (SCALE.md
+    §Round-11) showed windowed serves paying O(live epochs) even though
+    partition pruning kept excluded DATA unread: the provenance guard's
+    ``select("epoch").distinct().collect()`` planned a job over every
+    partition, and the windowed read still listed the whole store.
+    Listing the partition directories through the FileSystem API (works
+    on local FS, HDFS, and Hadoop-backed object stores alike) makes the
+    epoch inventory metadata-priced, and lets windowed readers hand
+    Spark ONLY the in-window partition paths."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    vals = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            vals.append(int(name.split("=", 1)[1]))
+    return sorted(vals)
+
+
+def _windowed_store(
+    spark: SparkSession, out_path: str, since_epoch: int
+) -> DataFrame:
+    """The in-window slice of an epoch store: refuse a provenance-free
+    compacted base, then read ONLY the ``epoch >= since_epoch``
+    partition directories — both the guard and the read are priced by
+    the WINDOW (one FS listing + |window| partition paths), not by live
+    history.  Falls back to a pruned full read when the window is empty
+    (keeps the empty-result schema and downstream errors identical)."""
+    from .compaction import BASE_EPOCH
+
+    epochs = list_epoch_values(spark, out_path)
+    if BASE_EPOCH in epochs:
+        raise ValueError(
+            f"CMS store {out_path} contains a compacted epoch={BASE_EPOCH} "
+            "base — epoch provenance is gone, a windowed read is "
+            "impossible; use retire_epochs (not full-history "
+            "compaction) on stores served with since_epoch"
+        )
+    live = [e for e in epochs if e >= since_epoch]
+    if not live:
+        return spark.read.parquet(out_path).filter(
+            F.col("epoch") >= since_epoch
+        ).drop("epoch")
+    return spark.read.parquet(
+        *[f"{out_path}/epoch={e}" for e in live]
+    )
+
+
 def read_merged_sketch(
     spark: SparkSession,
     out_path: str,
@@ -98,8 +151,14 @@ def read_merged_sketch(
     only partitions with ``epoch >= since_epoch`` enter the SUM — the
     windowed/decayed frequency view (recent-heavy-hitter serving)
     that epoch-keyed sketches make free, because each epoch is an
-    independent mergeable sketch.  Partition pruning means the
-    excluded epochs are never read.  A windowed read REFUSES a store
+    independent mergeable sketch.  Exclusion is PATH-level (r11): the
+    reader lists epoch directories once through the FileSystem API and
+    hands Spark only the in-window partition paths, so excluded epochs
+    are never read AND never listed — both the provenance guard and the
+    scan are priced by the window, not by live history (the r10
+    PartitionFilter formulation still paid an O(live epochs) listing +
+    a guard job; measured, SCALE.md §Round-11).  A windowed read
+    REFUSES a store
     containing a folded ``epoch=-1`` base (full-history compaction
     destroys epoch provenance — windowed stores retire old epochs with
     :func:`..compaction.retire_epochs` instead of folding them)."""
@@ -108,19 +167,10 @@ def read_merged_sketch(
     # zero-row read of a populated store; refresh is cheap and makes
     # write-then-serve sessions correct (all store readers do this)
     spark.catalog.refreshByPath(out_path)
-    store = spark.read.parquet(out_path)
     if since_epoch is not None:
-        from .compaction import BASE_EPOCH
-
-        epochs = [r[0] for r in store.select("epoch").distinct().collect()]
-        if BASE_EPOCH in epochs:
-            raise ValueError(
-                f"CMS store {out_path} contains a compacted epoch={BASE_EPOCH} "
-                "base — epoch provenance is gone, a windowed read is "
-                "impossible; use retire_epochs (not full-history "
-                "compaction) on stores served with since_epoch"
-            )
-        store = store.filter(F.col("epoch") >= int(since_epoch))
+        store = _windowed_store(spark, out_path, int(since_epoch))
+    else:
+        store = spark.read.parquet(out_path)
     if "hash_fn" in store.columns:
         if expect_hash_fn is not None:
             families = sorted(
@@ -229,8 +279,11 @@ def serve_cms_topk(
         since_epoch=since_epoch,
     )
     spark.catalog.refreshByPath(f"{out_path}/cands")
-    cands = spark.read.parquet(f"{out_path}/cands")
     if since_epoch is not None:
-        cands = cands.filter(F.col("epoch") >= int(since_epoch))
+        cands = _windowed_store(
+            spark, f"{out_path}/cands", int(since_epoch)
+        )
+    else:
+        cands = spark.read.parquet(f"{out_path}/cands")
     cands = cands.select("k").distinct()
     return count_min_topk(merged, cands, "k", k=k, d=d, w=w, hash_fn=hash_fn)

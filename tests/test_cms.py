@@ -353,11 +353,15 @@ def test_cms_windowed_serving_and_retention(spark, sf_dir, tmp_path):
 
 
 def test_windowed_sketch_read_prunes_epoch_partitions(spark, sf_dir, tmp_path):
-    """The since_epoch window must land as a PartitionFilter on the
-    epoch column — pre-window epochs are pruned BEFORE any file is read
-    (the claim behind 'older epochs are never read'), not filtered
-    post-scan."""
+    """Pre-window epochs must never be read.  Since r11 the exclusion
+    is stronger than a PartitionFilter: the windowed reader lists the
+    epoch directories through the FileSystem API and hands Spark ONLY
+    the in-window partition paths (the r10 PartitionFilter plan still
+    paid an O(live epochs) file listing + a provenance-guard Spark job
+    — measured in SCALE.md §Round-11).  Assert the scan's file index
+    contains the in-window path and NOT the excluded ones."""
     from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        list_epoch_values,
         read_merged_sketch,
         run_cms_stream,
     )
@@ -372,14 +376,26 @@ def test_windowed_sketch_read_prunes_epoch_partitions(spark, sf_dir, tmp_path):
     out = str(tmp_path / "cms")
     run_cms_stream(spark, src, out, str(tmp_path / "ckpt"), d=D, w=W,
                    max_files_per_trigger=1)
+    assert list_epoch_values(spark, out) == [0, 1, 2]
 
     df = read_merged_sketch(spark, out, expect_hash_fn="xxhash64",
                             since_epoch=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    import re
+    files = df.inputFiles()
+    assert files and all("epoch=2" in f for f in files), files
+    assert "epoch=0" not in plan and "epoch=1" not in plan, plan[:2000]
+    # and the windowed answer is still the in-window build
+    got = {(r["row"], r["bucket"], r["n"]) for r in df.collect()}
+    from spotify_etl_pipeline_spark.operators.cms import count_min_build
 
-    m = re.search(r"PartitionFilters: \[([^\]\n]*)", plan)
-    assert m and "epoch" in m.group(1), plan[:2000]
+    win_words = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.explode(F.split("text", " ")).alias("k")
+    )
+    want = {
+        (r["row"], r["bucket"], r["n"])
+        for r in count_min_build(win_words, "k", d=D, w=W).collect()
+    }
+    assert got == want
 
 
 def test_cms_topk_windowed_entry_equals_streamed_serve(
