@@ -82,18 +82,12 @@ def list_epoch_values(spark: SparkSession, path: str) -> list[int]:
     Listing the partition directories through the FileSystem API (works
     on local FS, HDFS, and Hadoop-backed object stores alike) makes the
     epoch inventory metadata-priced, and lets windowed readers hand
-    Spark ONLY the in-window partition paths."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return []
-    vals = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("epoch="):
-            vals.append(int(name.split("=", 1)[1]))
-    return sorted(vals)
+    Spark ONLY the in-window partition paths.  Thin alias of
+    ``stores.epoch_values`` — the shared epoch-store filesystem layer
+    every guard and maintenance job uses."""
+    from .stores import epoch_values
+
+    return epoch_values(spark, path)
 
 
 def _windowed_store(

@@ -41,19 +41,23 @@ is still NOT atomic for concurrent readers: the rename loop is O(#parts)
 cheap renames, and a reader listing inside that window can see a subset
 of the old partitions with no base yet — the contract is single-writer
 with no concurrent reader DURING the swap (trivially true between
-``availableNow`` runs, the only supported schedule).  Paths here are
-local-FS (the test environment); on a cluster the same steps run against
-the Hadoop FileSystem API under the same single-maintainer contract.
+``availableNow`` runs, the only supported schedule).  All directory
+operations go through the Hadoop FileSystem API (streaming/stores.py),
+so the same code is correct on local FS (the test environment — which
+exercises the identical call path via Hadoop's LocalFileSystem) and on
+HDFS / Hadoop-backed object stores, under the same single-maintainer
+contract.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import stores
 
 #: The partition every compaction folds into. Negative on purpose:
 #: foreachBatch epochs are >= 0, so the base can never be overwritten by
@@ -61,15 +65,14 @@ from pyspark.sql import functions as F
 BASE_EPOCH = -1
 
 
-def list_epoch_partitions(path: str) -> list[str]:
+def list_epoch_partitions(spark: SparkSession, path: str) -> list[str]:
     """Snapshot the ``epoch=*`` partition directory names under a store.
     Compactions that read-then-truncate (``compact_index_with_tombstones``)
     take this snapshot FIRST and pass it through, so an epoch written by
-    a live feed between the read and the truncate survives untouched."""
-    return [
-        d for d in os.listdir(path)
-        if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d))
-    ]
+    a live feed between the read and the truncate survives untouched.
+    One FileSystem listing (stores.py) — correct on local FS and
+    cluster filesystems alike."""
+    return stores.epoch_partitions(spark, path)
 
 
 def compact_epoch_store(
@@ -94,14 +97,14 @@ def compact_epoch_store(
     """
     snapshot_given = parts is not None
     if parts is None:
-        parts = list_epoch_partitions(path)
+        parts = list_epoch_partitions(spark, path)
     if not parts:
         raise ValueError(f"no epoch partitions under {path}")
     base_dir = f"epoch={BASE_EPOCH}"
     if (
         snapshot_given
         and base_dir not in parts
-        and os.path.isdir(os.path.join(path, base_dir))
+        and stores.is_dir(spark, os.path.join(path, base_dir))
     ):
         raise ValueError(
             f"partition snapshot for {path} omits the existing {base_dir} "
@@ -124,10 +127,12 @@ def compact_epoch_store(
     # base, THEN delete — a crash at any point leaves either the dot-
     # prefixed originals or the installed base on disk, never neither
     for d in parts:
-        os.rename(os.path.join(path, d), os.path.join(path, f".old_{d}"))
-    os.rename(tmp, os.path.join(path, base_dir))
+        stores.rename(
+            spark, os.path.join(path, d), os.path.join(path, f".old_{d}")
+        )
+    stores.rename(spark, tmp, os.path.join(path, base_dir))
     for d in parts:
-        shutil.rmtree(os.path.join(path, f".old_{d}"))
+        stores.delete(spark, os.path.join(path, f".old_{d}"))
     spark.catalog.refreshByPath(path)
     return len(parts)
 
@@ -148,10 +153,12 @@ def retire_epochs(
     turns into a loud failure.  Retired epochs are committed history
     (same contract as compaction), so exactly-once for live epochs is
     untouched.  Returns the number of partitions deleted."""
-    parts = {}
-    for d in os.listdir(path):
-        if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d)):
-            parts[int(d.split("=", 1)[1])] = d
+    parts = {
+        int(d.split("=", 1)[1]): d
+        for d in stores.epoch_partitions(spark, path)
+    }
+    if not parts:
+        raise ValueError(f"no epoch partitions under {path}")
     if BASE_EPOCH in parts:
         raise ValueError(
             f"store {path} contains a compacted epoch={BASE_EPOCH} base — "
@@ -165,7 +172,7 @@ def retire_epochs(
             f"{path} (max live epoch {max(parts)}) — refusing"
         )
     for d in victims:
-        shutil.rmtree(os.path.join(path, d))
+        stores.delete(spark, os.path.join(path, d))
     spark.catalog.refreshByPath(path)
     return len(victims)
 
@@ -207,7 +214,7 @@ def compact_index_with_tombstones(
     feed between the fold and the truncate survives unapplied (it keeps
     scrubbing at serve time and is reclaimed by the next compaction)
     instead of being destroyed."""
-    tomb_parts = list_epoch_partitions(tombstones_path)
+    tomb_parts = list_epoch_partitions(spark, tombstones_path)
     if not tomb_parts:
         raise ValueError(f"no epoch partitions under {tombstones_path}")
     # lazy is safe AND scale-right (no driver collect, anti-join shuffles

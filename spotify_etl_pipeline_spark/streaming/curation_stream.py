@@ -23,7 +23,6 @@ score, filter, min-doc_id-per-fingerprint — is asserted in tests.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,9 +85,9 @@ def score_documents(docs: DataFrame, lm: DataFrame, total: float) -> DataFrame:
 def _existing_fps(
     spark: SparkSession, seen_path: str, exclude_epoch: int | None = None
 ) -> DataFrame:
-    if os.path.isdir(seen_path) and any(
-        d.startswith("epoch=") for d in os.listdir(seen_path)
-    ):
+    from .stores import store_has_epochs
+
+    if store_has_epochs(spark, seen_path):
         df = spark.read.parquet(seen_path)
         if exclude_epoch is not None:
             df = df.filter(F.col("epoch") != exclude_epoch)

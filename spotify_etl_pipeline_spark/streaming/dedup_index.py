@@ -16,7 +16,6 @@ is discovered by whichever of its two documents arrives second.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -48,9 +47,9 @@ def _existing_sigs(
 ) -> DataFrame:
     from pyspark.sql import functions as F
 
-    if os.path.isdir(index_path) and any(
-        d.startswith("epoch=") for d in os.listdir(index_path)
-    ):
+    from .stores import store_has_epochs
+
+    if store_has_epochs(spark, index_path):
         # drop any stale file-listing cache a writer session holds (the
         # shared store-reader rule — see cms_stream.read_merged_sketch)
         spark.catalog.refreshByPath(index_path)
@@ -141,10 +140,9 @@ def read_index(
         return sigs
     # same guard as _existing_sigs: a delete feed configured before the
     # first delete epoch arrives serves the index unscrubbed, not a raise
-    if not (
-        os.path.isdir(tombstones_path)
-        and any(d.startswith("epoch=") for d in os.listdir(tombstones_path))
-    ):
+    from .stores import store_has_epochs
+
+    if not store_has_epochs(spark, tombstones_path):
         return sigs
     spark.catalog.refreshByPath(tombstones_path)
     dead = spark.read.parquet(tombstones_path).select("doc_id").distinct()

@@ -36,7 +36,6 @@ prior epochs' documents or tokens.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,10 +51,9 @@ def _base_offsets(
     group_col: str,
     exclude_epoch: int | None = None,
 ) -> DataFrame | None:
-    if not (
-        os.path.isdir(counts_path)
-        and any(d.startswith("epoch=") for d in os.listdir(counts_path))
-    ):
+    from .stores import store_has_epochs
+
+    if not store_has_epochs(spark, counts_path):
         return None
     # drop any stale file-listing cache: this READ happens inside the
     # stream that WROTE the previous epoch's counts moments ago (the

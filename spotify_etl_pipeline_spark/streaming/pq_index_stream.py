@@ -124,25 +124,15 @@ def run_pq_delete_stream(
     q.awaitTermination()
 
 
-def _store_has_epochs(path: str) -> bool:
-    """True when an epoch-keyed store exists and holds >=1 partition.
-    Serve-path readers guard on this (the ``dedup_index._existing_sigs``
-    rule): a serve configured with a delete/append feed BEFORE the first
-    epoch arrives must serve the unscrubbed/empty view, not raise."""
-    import os
-
-    return os.path.isdir(path) and any(
-        d.startswith("epoch=") for d in os.listdir(path)
-    )
-
-
 def read_tombstones(spark: SparkSession, out_path: str) -> DataFrame:
     """The merged tombstone set: distinct union of the epoch partitions
     (idempotent under replays AND re-deletes by construction).  Feed it
     to ``operators.pq.index_apply_tombstones`` at serve time.  A store
     with no delete epoch yet (feed configured, nothing deleted) reads
     as the empty set."""
-    if not _store_has_epochs(out_path):
+    from .stores import store_has_epochs
+
+    if not store_has_epochs(spark, out_path):
         return spark.createDataFrame([], TOMBSTONE_SCHEMA)
     spark.catalog.refreshByPath(out_path)
     df = spark.read.parquet(out_path)

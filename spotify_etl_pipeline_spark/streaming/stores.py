@@ -1,0 +1,87 @@
+"""Epoch-store filesystem layer — every epoch-keyed store operation
+that touches directories (existence guards, epoch inventories, the
+compaction swap, retention deletes) goes through the Hadoop FileSystem
+API here instead of ``os``/``shutil``.
+
+Why it matters at 100 TB: the epoch stores these modules maintain
+(PQ code tables, LSH signature indexes, CMS sketches, packing offsets,
+tombstone feeds) live wherever the stream's ``out_path`` points — on a
+cluster that is HDFS or a Hadoop-backed object store, where
+``os.listdir`` simply does not resolve.  ``Path.getFileSystem`` picks
+the right implementation from the URI scheme (``file:`` in the test
+environment, ``hdfs:``/``s3a:``/… on a cluster), so the SAME guard and
+maintenance code is correct in both; the local tests run through the
+identical call path (Hadoop's ``LocalFileSystem``), not a parallel
+local branch.
+
+Costs: each call is one py4j round-trip + one namenode/list operation —
+metadata-priced, no Spark job.  This module is also where the r11
+windowed-serving fix lives conceptually: serving windows take their
+epoch inventory from ONE ``listStatus`` instead of a Spark job over
+every live partition (SCALE.md §Round-11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def epoch_partitions(spark: SparkSession, path: str) -> list[str]:
+    """The ``epoch=*`` partition directory NAMES under a store, from one
+    FileSystem listing — [] for a missing or epoch-less store.  This is
+    the snapshot compactions pass through (read-then-truncate safety:
+    epochs appearing after the snapshot survive untouched)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    names = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            names.append(name)
+    return sorted(names)
+
+
+def epoch_values(spark: SparkSession, path: str) -> list[int]:
+    """Epoch numbers present in a store, sorted ascending."""
+    return sorted(
+        int(n.split("=", 1)[1]) for n in epoch_partitions(spark, path)
+    )
+
+
+def store_has_epochs(spark: SparkSession, path: str) -> bool:
+    """True when an epoch-keyed store exists and holds >= 1 partition.
+    Serve-path readers guard on this: a serve configured with a feed
+    BEFORE its first epoch arrives must serve the empty/unscrubbed
+    view, not raise."""
+    return bool(epoch_partitions(spark, path))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory rename through the store's FileSystem (atomic on HDFS
+    and local FS; object stores without atomic rename inherit their
+    committer's semantics — the compaction docstrings carry the
+    single-maintainer contract either way)."""
+    fs, jsrc = _fs_and_path(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the store's FileSystem."""
+    fs, jpath = _fs_and_path(spark, path)
+    if fs.exists(jpath) and not fs.delete(jpath, True):
+        raise OSError(f"delete failed: {path}")
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath)) and bool(fs.getFileStatus(jpath).isDirectory())

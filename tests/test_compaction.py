@@ -455,7 +455,7 @@ def test_snapshot_limited_compaction_spares_midflight_epoch(
         spark.createDataFrame(
             [(i,) for i in ids], "vec_id long"
         ).write.parquet(f"{store}/epoch={e}")
-    snapshot = list_epoch_partitions(store)
+    snapshot = list_epoch_partitions(spark, store)
     assert sorted(snapshot) == ["epoch=0", "epoch=1"]
     # the race: a new delete epoch lands after the snapshot
     spark.createDataFrame([(99,)], "vec_id long").write.parquet(
