@@ -153,37 +153,63 @@ HEADLINE = [
     # design, so its wall time measures the harness, not serving.
     "knn_ivfadc_deleted_topk",
     "packed_token_batches",
+    # round 11: the windowed heavy-hitter serve (pairs with
+    # cms_topk_serving to record the window restriction's cost), the
+    # decode round-trip (the tokenizer loop closed — encode + map-only
+    # decode + independent truth join), and the shard manifest (one
+    # bounded groupBy + order-pinned checksum on top of
+    # packed_token_batches — the pair records the manifest stage alone)
+    "cms_topk_windowed",
+    "bpe_decode_roundtrip",
+    "packed_shard_manifest",
 ]
 
 
-def _contention_evidence() -> dict[str, object] | None:
-    """Scan for conditions that pollute wall-clock timing, BEFORE this
-    bench's own JVM exists: any live foreign JVM, any other python
-    process running Spark/pytest, or a 1-minute loadavg above half the
-    CPU count.  BENCH_r10 shipped a 1.49× phantom regression because
-    something else ran during the driver's timing window and nothing in
-    the emitted JSON said so (VERDICT r10 #1); a contended run must
-    self-report.  Returns an evidence dict, or None when clean."""
-    # exclude ourselves AND our ancestor chain — the driver that invoked
-    # this bench is blocked on subprocess.wait, not competing for CPU,
-    # and its cmdline may legitimately mention "spark"
-    excluded = set()
-    pid_cursor = os.getpid()
-    while pid_cursor > 0 and pid_cursor not in excluded:
-        excluded.add(pid_cursor)
-        try:
-            with open(f"/proc/{pid_cursor}/stat") as fh:
-                # field 4 is ppid; comm (field 2) may contain spaces but
-                # is parenthesized — split after the closing paren
-                pid_cursor = int(fh.read().rsplit(")", 1)[1].split()[1])
-        except (OSError, ValueError, IndexError):
-            break
-    jvms: list[str] = []
-    spark_pys: list[str] = []
+def _contention_evidence(include_load: bool = True) -> dict[str, object] | None:
+    """Scan for conditions that pollute wall-clock timing: any live
+    foreign JVM, any other python process running Spark/pytest, or (when
+    ``include_load``) a 1-minute loadavg above half the CPU count.
+    BENCH_r10 shipped a 1.49× phantom regression because something else
+    ran during the driver's timing window and nothing in the emitted
+    JSON said so (VERDICT r10 #1); a contended run must self-report.
+    Called twice: before this bench's own JVM exists, and again after
+    the timed loop (contention can arrive mid-run) — the end scan skips
+    the load signal (our own 32-thread run IS the load) and relies on
+    the self-subtree exclusion below to ignore our own JVM.  Returns an
+    evidence dict, or None when clean."""
+    # exclude ourselves, our ancestor chain (the driver that invoked this
+    # bench is blocked on subprocess.wait, not competing for CPU, and its
+    # cmdline may legitimately mention "spark"), AND our descendants (the
+    # end-of-run scan happens while this bench's OWN Spark JVM — a child
+    # process — is still alive; it is the measurement, not contention)
     try:
         pids = [p for p in os.listdir("/proc") if p.isdigit()]
     except OSError:
         pids = []
+    ppid: dict[int, int] = {}
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                # field 4 is ppid; comm (field 2) may contain spaces but
+                # is parenthesized — split after the closing paren
+                ppid[int(pid)] = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+    me = os.getpid()
+    excluded = {me}
+    cursor = me
+    while cursor in ppid and ppid[cursor] not in excluded and ppid[cursor] > 0:
+        cursor = ppid[cursor]
+        excluded.add(cursor)
+    grew = True
+    while grew:  # descendants: fixpoint over the ppid map
+        grew = False
+        for pid, parent in ppid.items():
+            if parent in excluded and pid not in excluded:
+                excluded.add(pid)
+                grew = True
+    jvms: list[str] = []
+    spark_pys: list[str] = []
     for pid in pids:
         if int(pid) in excluded:
             continue
@@ -208,7 +234,7 @@ def _contention_evidence() -> dict[str, object] | None:
     except (OSError, ValueError):
         load1 = 0.0
     ncpu = os.cpu_count() or 1
-    high_load = load1 > ncpu / 2
+    high_load = include_load and load1 > ncpu / 2
     if not (jvms or spark_pys or high_load):
         return None
     ev: dict[str, object] = {"load1": load1, "ncpu": ncpu}
@@ -292,6 +318,9 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
             spark.catalog.clearCache()
+    end_contention = _contention_evidence(include_load=False)
+    if end_contention is not None:
+        contention = {**(contention or {}), "at_end": end_contention}
     total = round(sum(t for t in times.values() if isinstance(t, float)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
