@@ -196,18 +196,23 @@ def _contention_evidence(include_load: bool = True) -> dict[str, object] | None:
         except (OSError, ValueError, IndexError):
             continue
     me = os.getpid()
-    excluded = {me}
+    ancestors = set()
     cursor = me
-    while cursor in ppid and ppid[cursor] not in excluded and ppid[cursor] > 0:
+    while cursor in ppid and ppid[cursor] not in ancestors and ppid[cursor] > 0:
         cursor = ppid[cursor]
-        excluded.add(cursor)
+        ancestors.add(cursor)
+    # descendants of SELF only — NOT of ancestors: the driver's OTHER
+    # children (a concurrently launched test run or second bench) are
+    # precisely the r10 pollution scenario and must stay detectable
+    subtree = {me}
     grew = True
-    while grew:  # descendants: fixpoint over the ppid map
+    while grew:
         grew = False
         for pid, parent in ppid.items():
-            if parent in excluded and pid not in excluded:
-                excluded.add(pid)
+            if parent in subtree and pid not in subtree:
+                subtree.add(pid)
                 grew = True
+    excluded = ancestors | subtree
     jvms: list[str] = []
     spark_pys: list[str] = []
     for pid in pids:
