@@ -382,3 +382,31 @@ def test_packed_batches_windows_are_group_partitioned(spark, sf_dir):
         assert "lang" in spec or "doc_id" in spec, spec
     # the final packing aggregate is partial+final on (lang, shard, seq)
     assert "partial_collect_list" in plan, plan
+
+
+def test_bpe_decode_is_shuffle_free_map_stage(spark, sf_dir, tmp_path):
+    """bpe_decode_ids' 100 TB claim: decoding packed/encoded ids is a
+    purely NARROW projection — the id→symbol artifact is a flat map
+    literal, so applying the decoder to a stored id table must add ZERO
+    exchanges, joins, or generators to the scan."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.text import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train_merges,
+    )
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents").limit(200)
+    merges = bpe_train_merges(docs, n_merges=4)
+    store = str(tmp_path / "ids")
+    bpe_encode_ids(docs, merges=merges).write.parquet(store)
+
+    decoded = bpe_decode_ids(
+        spark.read.parquet(store), merges
+    ).select("doc_id", "decoded")
+    plan = executed_plan(decoded)
+    for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
+        assert op not in plan, (op, plan)
+    assert "Scan parquet" in plan or "FileScan" in plan, plan
