@@ -225,8 +225,18 @@ def _contention_evidence(include_load: bool = True) -> dict[str, object] | None:
                 cmdline = fh.read().replace(b"\x00", b" ").decode(
                     "utf-8", "replace"
                 )
-        except OSError:
+            with open(f"/proc/{pid}/stat") as fh:
+                # state is the first field after the parenthesized comm
+                # (which may itself contain spaces/parens)
+                state = fh.read().rsplit(")", 1)[1].split()[0]
+        except (OSError, IndexError):
             continue  # raced exit / permission — not evidence
+        if state == "Z":
+            # a zombie is an exited, unreaped process: it holds no CPU
+            # and its cmdline reads empty — counting it stamped
+            # BENCH_r11 "contended" on a run that was actually clean
+            # (VERDICT r11 What's-wrong #1)
+            continue
         if comm == "java":
             jvms.append(f"pid {pid}: {cmdline[:160]}")
         elif comm.startswith("python") and any(

@@ -76,3 +76,43 @@ def test_reparented_sibling_is_contention():
         assert str(gpid) in _flagged_pids(ev), ev
     finally:
         os.kill(gpid, 15)
+
+
+def test_zombie_java_is_not_contention(tmp_path, monkeypatch):
+    """An exited-but-unreaped (zombie) process whose comm was ``java``
+    must NOT be flagged: it consumes no CPU and its cmdline reads empty
+    — exactly the evidence (``pid NNN: ``) that spuriously stamped
+    BENCH_r11 ``contended`` (VERDICT r11 What's-wrong #1).  A LIVE java
+    process in the same (sibling) position is the positive control
+    proving the zombie was visible to the scan, not hidden by the
+    subtree exclusion."""
+    # comm comes from the basename passed to execve, so a symlink named
+    # "java" gives us a process the detector classifies as a JVM
+    java = tmp_path / "java"
+    java.symlink_to("/bin/sleep")
+    decoy = subprocess.Popen(["/bin/sleep", "30"])
+    live = subprocess.Popen([str(java), "30"])
+    # created LAST: each new Popen runs subprocess._cleanup(), which
+    # would reap an existing zombie child
+    zombie = subprocess.Popen([str(java), "0"])
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline:  # wait for the child to exit
+            with open(f"/proc/{zombie.pid}/stat") as fh:
+                if fh.read().rsplit(")", 1)[1].split()[0] == "Z":
+                    break
+            time.sleep(0.1)
+        # view the scan from the decoy's pid: the zombie and the live
+        # java are then SIBLINGS (children of an ancestor), outside the
+        # self-subtree exclusion — the driver-spawned-zombie shape
+        monkeypatch.setattr(os, "getpid", lambda: decoy.pid)
+        ev = bench._contention_evidence(include_load=False)
+        flagged = _flagged_pids(ev)
+        assert str(live.pid) in flagged, ev  # positive control
+        assert str(zombie.pid) not in flagged, ev
+    finally:
+        monkeypatch.undo()
+        for p in (decoy, live):
+            p.terminate()
+            p.wait()
+        zombie.wait()
