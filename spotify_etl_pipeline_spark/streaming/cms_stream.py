@@ -97,8 +97,9 @@ def _windowed_store(
     compacted base, then read ONLY the ``epoch >= since_epoch``
     partition directories — both the guard and the read are priced by
     the WINDOW (one FS listing + |window| partition paths), not by live
-    history.  Falls back to a pruned full read when the window is empty
-    (keeps the empty-result schema and downstream errors identical)."""
+    history.  An empty window stays O(1): the correctly-typed empty
+    slice is derived from ONE partition path (the newest epoch), never
+    a whole-store listing (ADVICE r11)."""
     from .compaction import BASE_EPOCH
 
     epochs = list_epoch_values(spark, out_path)
@@ -109,11 +110,17 @@ def _windowed_store(
             "impossible; use retire_epochs (not full-history "
             "compaction) on stores served with since_epoch"
         )
+    if not epochs:
+        raise ValueError(
+            f"CMS store {out_path} has no epoch partitions — the feed "
+            "has not written yet (or the path is wrong); a windowed "
+            "serve needs at least one epoch to exist"
+        )
     live = [e for e in epochs if e >= since_epoch]
     if not live:
-        return spark.read.parquet(out_path).filter(
-            F.col("epoch") >= since_epoch
-        ).drop("epoch")
+        return spark.read.parquet(
+            f"{out_path}/epoch={max(epochs)}"
+        ).limit(0)
     return spark.read.parquet(
         *[f"{out_path}/epoch={e}" for e in live]
     )
@@ -170,7 +177,10 @@ def read_merged_sketch(
             families = sorted(
                 r[0] for r in store.select("hash_fn").distinct().collect()
             )
-            if families != [expect_hash_fn]:
+            # an empty slice (empty window) has no family to validate
+            # and no cells to mis-probe — estimates are correctly 0;
+            # raising "built with hash family []" here would be noise
+            if families and families != [expect_hash_fn]:
                 raise ValueError(
                     f"CMS store {out_path} was built with hash family "
                     f"{families}, probe requested {expect_hash_fn!r} — "

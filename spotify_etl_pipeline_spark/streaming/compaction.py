@@ -123,18 +123,64 @@ def compact_epoch_store(
     # no materialize-to-driver step, the swap below happens only after
     # the write (and its full upstream read) has finished
     df.write.mode("overwrite").parquet(tmp)
-    # swap: rename originals away (cheap, recoverable), install the new
-    # base, THEN delete — a crash at any point leaves either the dot-
-    # prefixed originals or the installed base on disk, never neither
-    for d in parts:
+    # swap: drop a marker, rename originals away (cheap, recoverable),
+    # install the new base, delete the originals, remove the marker.  A
+    # crash at any point leaves either the dot-prefixed originals or
+    # the installed base on disk, never neither — and while the marker
+    # (or any ``.old_*`` dir) exists, every store listing
+    # (stores.epoch_partitions) REFUSES to serve or re-swap the store
+    # (ADVICE r11: the pre-marker guards saw a crashed-swap store as
+    # "no epochs yet" and silently served an empty tombstone set).
+    # recover_swap() rolls an interrupted swap forward or back; the
+    # base partition renames FIRST, so "marker present and base_dir
+    # exists" can only mean the install completed (mid-loop, any old
+    # base is already renamed away and the new base not yet installed).
+    marker = os.path.join(path, stores.SWAP_MARKER)
+    stores.touch(spark, marker)
+    for d in sorted(parts, key=lambda n: n != base_dir):
         stores.rename(
             spark, os.path.join(path, d), os.path.join(path, f".old_{d}")
         )
     stores.rename(spark, tmp, os.path.join(path, base_dir))
     for d in parts:
         stores.delete(spark, os.path.join(path, f".old_{d}"))
+    stores.delete(spark, marker)
     spark.catalog.refreshByPath(path)
     return len(parts)
+
+
+def recover_swap(spark: SparkSession, path: str) -> str:
+    """Recover a store whose compaction crashed mid-swap (the state
+    every listing refuses with "interrupted compaction swap").  Roll
+    FORWARD when the new base was installed — delete the renamed-away
+    originals and the marker, exactly what the crashed job would have
+    done next; roll BACK otherwise — restore the original partition
+    names and drop the half-written temp.  Either way the store serves
+    exactly one consistent state afterwards; returns ``"completed"``,
+    ``"rolled_back"``, or ``"clean"`` (nothing to do).  Same
+    single-maintainer contract as the compaction itself."""
+    arts = stores.swap_artifacts(spark, path)
+    if not arts:
+        return "clean"
+    olds = [n for n in arts if n.startswith(".old_epoch=")]
+    if stores.is_dir(spark, os.path.join(path, f"epoch={BASE_EPOCH}")):
+        # base-first rename ordering makes this unambiguous: a live
+        # base alongside swap artifacts means the install happened
+        for n in olds:
+            stores.delete(spark, os.path.join(path, n))
+        action = "completed"
+    else:
+        for n in olds:
+            stores.rename(
+                spark,
+                os.path.join(path, n),
+                os.path.join(path, n.removeprefix(".old_")),
+            )
+        stores.delete(spark, os.path.join(path, ".compact_tmp"))
+        action = "rolled_back"
+    stores.delete(spark, os.path.join(path, stores.SWAP_MARKER))
+    spark.catalog.refreshByPath(path)
+    return action
 
 
 def retire_epochs(
@@ -217,6 +263,14 @@ def compact_index_with_tombstones(
     tomb_parts = list_epoch_partitions(spark, tombstones_path)
     if not tomb_parts:
         raise ValueError(f"no epoch partitions under {tombstones_path}")
+    # snapshot the CODE partitions too (ADVICE r11): an append epoch
+    # landing between this listing and the fold's file-index creation
+    # must survive as a live partition OUTSIDE the fold — an
+    # unsnapshotted whole-path read could fold it into the base AND
+    # leave it live, duplicating its rows
+    code_parts = list_epoch_partitions(spark, codes_path)
+    if not code_parts:
+        raise ValueError(f"no epoch partitions under {codes_path}")
     # lazy is safe AND scale-right (no driver collect, anti-join shuffles
     # on the id key like every serve): the folded codes are fully WRITTEN
     # before compact_epoch_store touches any partition, the snapshotted
@@ -233,7 +287,9 @@ def compact_index_with_tombstones(
     def drop_dead(df: DataFrame) -> DataFrame:
         return df.join(dead, id_col, "left_anti")
 
-    n_codes = compact_epoch_store(spark, codes_path, fold=drop_dead)
+    n_codes = compact_epoch_store(
+        spark, codes_path, fold=drop_dead, parts=code_parts
+    )
     # truncate ONLY the snapshotted tombstone partitions: same swap
     # dance, empty base; post-snapshot epochs are left in place
     n_tombs = compact_epoch_store(

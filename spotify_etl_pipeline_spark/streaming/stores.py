@@ -33,19 +33,66 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, jpath
 
 
+#: Marker file a compaction creates before its rename swap and removes
+#: after the post-install deletes: its presence (or a leftover
+#: ``.old_epoch=*`` dir) means the store is mid-/crashed-swap and MUST
+#: NOT be served or re-compacted until recovered.
+SWAP_MARKER = ".compact_inprogress"
+
+
+def swap_artifacts(spark: SparkSession, path: str) -> list[str]:
+    """Names of interrupted-compaction artifacts under a store: the
+    ``SWAP_MARKER`` file and any ``.old_epoch=*`` dirs.  A leftover
+    ``.compact_tmp`` alone is NOT listed — a crash during the fold
+    write leaves the source partitions fully intact (serving is
+    unaffected) and the next compaction's overwrite replaces it."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    found = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name == SWAP_MARKER or name.startswith(".old_epoch="):
+            found.append(name)
+    return sorted(found)
+
+
 def epoch_partitions(spark: SparkSession, path: str) -> list[str]:
     """The ``epoch=*`` partition directory NAMES under a store, from one
     FileSystem listing — [] for a missing or epoch-less store.  This is
     the snapshot compactions pass through (read-then-truncate safety:
-    epochs appearing after the snapshot survive untouched)."""
+    epochs appearing after the snapshot survive untouched).
+
+    RAISES on a store left mid-swap by a crashed compaction (the
+    ``SWAP_MARKER`` file or ``.old_epoch=*`` dirs present): every
+    consumer of this listing — serve guards (``store_has_epochs``),
+    windowed readers (``epoch_values``), retention and compaction
+    entries — would otherwise act on a partial store.  The
+    pre-marker behavior returned the partial listing, which made
+    ``read_tombstones`` serve an EMPTY delete set after a crash
+    between the rename-away and the base install.  (The artifact check
+    shares this function's single ``listStatus`` — no extra round
+    trip.)"""
     fs, jpath = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return []
     names = []
+    arts = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("epoch="):
+        if name == SWAP_MARKER or name.startswith(".old_epoch="):
+            arts.append(name)
+        elif st.isDirectory() and name.startswith("epoch="):
             names.append(name)
+    if arts:
+        raise RuntimeError(
+            f"epoch store {path} holds an interrupted compaction swap "
+            f"({sorted(arts)}) — a partial store must not be served "
+            "(ADVICE r11: the guards would otherwise see an EMPTY "
+            "tombstone store and silently resurrect deleted rows) or "
+            "re-swapped; run "
+            "streaming.compaction.recover_swap(spark, path) first"
+        )
     return sorted(names)
 
 
@@ -80,6 +127,12 @@ def delete(spark: SparkSession, path: str) -> None:
     fs, jpath = _fs_and_path(spark, path)
     if fs.exists(jpath) and not fs.delete(jpath, True):
         raise OSError(f"delete failed: {path}")
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file (marker) through the store's FileSystem."""
+    fs, jpath = _fs_and_path(spark, path)
+    fs.create(jpath, True).close()
 
 
 def is_dir(spark: SparkSession, path: str) -> bool:

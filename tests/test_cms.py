@@ -4,6 +4,9 @@ distributed/streaming frequency sketch)."""
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from spotify_etl_pipeline_spark.operators.cms import (
@@ -398,6 +401,52 @@ def test_windowed_sketch_read_prunes_epoch_partitions(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_windowed_sketch_empty_window_reads_one_partition(
+    spark, sf_dir, tmp_path
+):
+    """A window past the newest epoch must serve an EMPTY sketch whose
+    scan touches at most ONE partition path (the schema donor) — the
+    old fallback re-read the whole store just to produce zero rows,
+    re-introducing the O(live-epochs) listing the windowed reader
+    exists to avoid; and with expect_hash_fn set it raised a misleading
+    "built with hash family []" error (ADVICE r11)."""
+    from spotify_etl_pipeline_spark.operators.cms import count_min_estimate
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        read_merged_sketch,
+        run_cms_stream,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    for part in (0, 1, 2):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "cms")
+    run_cms_stream(spark, src, out, str(tmp_path / "ckpt"), d=D, w=W,
+                   max_files_per_trigger=1)
+
+    df = read_merged_sketch(spark, out, expect_hash_fn="xxhash64",
+                            since_epoch=99)
+    dirs = {f.rsplit("/", 1)[0] for f in df.inputFiles()}
+    assert len(dirs) <= 1, dirs  # schema donor only — never the store
+    assert df.count() == 0
+    assert df.columns == ["row", "bucket", "n"]
+    # empty sketch serves estimate 0 (never-undercount holds trivially)
+    probe = spark.createDataFrame([("anything",)], "k string")
+    est = count_min_estimate(df, probe, "k", d=D, w=W).collect()
+    assert [r["cms_n"] for r in est] == [0]
+
+    # a store with NO epochs at all is a loud config error, not an
+    # empty frame
+    import pytest
+
+    with pytest.raises(ValueError, match="no epoch partitions"):
+        read_merged_sketch(spark, str(tmp_path / "nothing"),
+                           since_epoch=0)
+
+
 def test_cms_topk_windowed_entry_equals_streamed_serve(
     spark, sf_dir, tmp_path
 ):
@@ -421,10 +470,18 @@ def test_cms_topk_windowed_entry_equals_streamed_serve(
 
     docs = load_fixture(spark, sf_dir, "documents")
     src = str(tmp_path / "src")
+    seen: set = set()
     for e in range(CMS_EPOCHS):  # one file per epoch -> epoch split
         docs.filter(F.col("doc_id") % CMS_EPOCHS == e).coalesce(
             1
         ).write.mode("append").parquet(src)
+        # FileStreamSource orders files by mtime; two appends landing in
+        # the same mtime tick could swap epoch assignment (ADVICE r11).
+        # Force a distinct, increasing mtime per epoch file.
+        parts = {p for p in Path(src).glob("part-*.parquet")}
+        (new,) = parts - seen
+        os.utime(new, (1_700_000_000 + e, 1_700_000_000 + e))
+        seen = parts
     out = str(tmp_path / "hh")
     run_cms_topk_stream(
         spark, src, out, str(tmp_path / "ckpt"), d=D, w=W,

@@ -518,3 +518,146 @@ def test_tombstone_reads_guard_empty_store(spark, sf_dir, tmp_path):
     ).write.parquet(f"{sig_path}/epoch=0")
     idx = read_index(spark, sig_path, str(tmp_path / "doc_tombs_never"))
     assert idx.count() == 1  # unscrubbed
+
+
+def test_crashed_swap_before_install_refuses_then_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): a crash between the rename-away loop and
+    the base install used to leave a store whose only visible contents
+    were dot-prefixed dirs — store_has_epochs then read it as "no
+    epochs yet" and read_tombstones silently served an EMPTY delete
+    set, resurrecting deleted rows.  Now every listing REFUSES the
+    crashed store loudly, and recover_swap restores the pre-compaction
+    state."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.streaming import stores
+    from spotify_etl_pipeline_spark.streaming.compaction import recover_swap
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_tombstones,
+    )
+
+    store = str(tmp_path / "tombs")
+    for e, ids in ((0, [1, 2]), (1, [3])):
+        spark.createDataFrame(
+            [(i,) for i in ids], "vec_id long"
+        ).write.parquet(f"{store}/epoch={e}")
+
+    real_rename = stores.rename
+
+    def crash_on_install(spark_, src, dst):
+        if src.endswith(".compact_tmp"):
+            raise OSError("simulated crash before base install")
+        real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(stores, "rename", crash_on_install)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_epoch_store(spark, store)
+    monkeypatch.undo()
+
+    # every consumer of the listing now fails loudly instead of serving
+    # a partial (here: empty) store
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        stores.store_has_epochs(spark, store)
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        read_tombstones(spark, store)
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        compact_epoch_store(spark, store)  # no re-swap over artifacts
+
+    assert recover_swap(spark, store) == "rolled_back"
+    assert _epochs(store) == {"epoch=0", "epoch=1"}
+    assert stores.swap_artifacts(spark, store) == []
+    assert {r["vec_id"] for r in read_tombstones(spark, store).collect()} == {
+        1, 2, 3,
+    }
+    # and the recovered store compacts cleanly
+    assert compact_epoch_store(spark, store) == 2
+    assert {r["vec_id"] for r in read_tombstones(spark, store).collect()} == {
+        1, 2, 3,
+    }
+
+
+def test_crashed_swap_after_install_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the base install (before the .old_* deletes) must
+    roll FORWARD: recover_swap finishes the deletes and the store
+    serves the folded base."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.streaming import stores
+    from spotify_etl_pipeline_spark.streaming.compaction import recover_swap
+
+    store = str(tmp_path / "rows")
+    for e, ids in ((0, [1, 2]), (1, [3])):
+        spark.createDataFrame(
+            [(i,) for i in ids], "vec_id long"
+        ).write.parquet(f"{store}/epoch={e}")
+
+    real_delete = stores.delete
+
+    def crash_on_cleanup(spark_, path):
+        if "/.old_epoch=" in path:
+            raise OSError("simulated crash during cleanup")
+        real_delete(spark_, path)
+
+    monkeypatch.setattr(stores, "delete", crash_on_cleanup)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_epoch_store(spark, store)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        stores.epoch_partitions(spark, store)
+
+    assert recover_swap(spark, store) == "completed"
+    assert _epochs(store) == {f"epoch={BASE_EPOCH}"}
+    assert stores.swap_artifacts(spark, store) == []
+    spark.catalog.refreshByPath(store)
+    assert {r["vec_id"] for r in spark.read.parquet(store).collect()} == {
+        1, 2, 3,
+    }
+    assert recover_swap(spark, store) == "clean"
+
+
+def test_tombstone_compaction_snapshots_code_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: a code epoch landing between the physical-delete
+    job's listing and the fold's file index must survive as a LIVE
+    partition and appear exactly once — the unsnapshotted whole-path
+    read could fold it into the base AND leave it live (duplicates)."""
+    import spotify_etl_pipeline_spark.streaming.compaction as comp
+
+    codes = str(tmp_path / "codes")
+    tombs = str(tmp_path / "tombs")
+    spark.createDataFrame(
+        [(1, 0, [0, 0]), (2, 1, [1, 1])],
+        "vec_id long, cell int, pq_codes array<int>",
+    ).write.parquet(f"{codes}/epoch=-1")
+    spark.createDataFrame([(2,)], "vec_id long").write.parquet(
+        f"{tombs}/epoch=0"
+    )
+
+    real = comp.compact_epoch_store
+    fired = []
+
+    def racing(spark_, path, fold=None, parts=None):
+        if not fired:  # first call folds the code store — inject here
+            fired.append(1)
+            spark.createDataFrame(
+                [(42, 0, [2, 2])],
+                "vec_id long, cell int, pq_codes array<int>",
+            ).write.parquet(f"{codes}/epoch=7")
+        return real(spark_, path, fold=fold, parts=parts)
+
+    monkeypatch.setattr(comp, "compact_epoch_store", racing)
+    comp.compact_index_with_tombstones(spark, codes, tombs)
+    monkeypatch.undo()
+
+    # the post-snapshot epoch is still a live partition, not folded
+    assert _epochs(codes) == {f"epoch={BASE_EPOCH}", "epoch=7"}
+    spark.catalog.refreshByPath(codes)
+    rows = spark.read.parquet(codes).groupBy("vec_id").count().collect()
+    counts = {r["vec_id"]: r["count"] for r in rows}
+    assert counts == {1: 1, 42: 1}  # 2 deleted; 42 exactly once
