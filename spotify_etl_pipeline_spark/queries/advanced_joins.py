@@ -110,7 +110,7 @@ def q8_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events WHERE event_type = 'purchase') b
       ON a.user_id = b.user_id AND a.ts >= b.ts
     """,
-    survey="J1,F6",
+    survey="J1,F6,X18",
     doc="As-of join: each click gets the latest purchase at-or-before it per "
     "user — sort-based union+window operator (operators/asof.py), one "
     "shuffle, O(n) vs the quadratic naive range join; oracle is DuckDB's "
@@ -290,7 +290,7 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS minutes_until
     FROM r WHERE rn = 1
     """,
-    survey="J1,F6",
+    survey="J1,F6,X18",
     doc="Forward as-of join WITH tolerance (the other half of the pandas "
     "merge_asof surface): each click gets the earliest purchase at-or-"
     "after it per user, but only within 1 hour — an over-tolerance match "

@@ -443,7 +443,7 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY support DESC, part_a ASC, part_b ASC
     LIMIT 20
     """,
-    survey="A4,J1,X1",
+    survey="A4,J1,X1,X27",
     doc="Market-basket co-occurrence (the support-counting core of "
     "frequent-itemset mining): top-20 part pairs appearing together in "
     "an order, via the a<b self-join on the distinct (order, part) "

@@ -42,7 +42,7 @@ BENCH_MOD = 29
     FROM csh JOIN bsh USING (shingle)
     GROUP BY csh.doc_id
     """,
-    survey="X2,X4",
+    survey="X2,X4,X20",
     doc="Benchmark decontamination (public GPT-3/C4 methodology): corpus "
     "documents sharing any 5-gram with the held-out benchmark set, with "
     "distinct-shared-shingle counts. The benchmark shingle set is small by "
@@ -391,7 +391,7 @@ def _bloom_oracle() -> str:
 @register(
     "bloom_decontaminate",
     oracle=_bloom_oracle(),
-    survey="X2,X4,X6",
+    survey="X2,X4,X6,X20,X25",
     doc="Bloom-filter benchmark decontamination: the exact pass "
     "(decontaminate_against_benchmark) broadcasts the benchmark's raw "
     "shingle strings, which stops being free when the eval union carries "
@@ -586,7 +586,7 @@ _EVAL_N = 30
           FROM fp)
     WHERE rk <= {_EVAL_N}
     """,
-    survey="X1,X4",
+    survey="X1,X4,X34",
     doc=f"Exact-N-per-stratum deterministic sampling — EVAL-SET CARVING: "
     f"exactly {_EVAL_N} documents per language (whole stratum when "
     "smaller), ranked by (content fingerprint, doc_id) — pseudo-random "

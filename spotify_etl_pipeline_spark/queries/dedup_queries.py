@@ -255,7 +255,7 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_resolve_clusters_logstar",
     oracle=_RESOLVE_ORACLE,
-    survey="X1,X2",
+    survey="X1,X2,X15",
     doc="Same dedup verdict computed with large-star/small-star "
     "contraction (Kiveris et al., SoCC 2014) instead of min-label "
     "propagation: O(log² n) rounds independent of graph diameter — the "
@@ -429,7 +429,7 @@ def _semdedup_oracle(source: str, c_expr: str = _SEMDEDUP_AUTO_C_SQL) -> str:
 @register(
     "dedup_semdedup_clusters",
     oracle=_semdedup_oracle("embeddings"),
-    survey="X2,X3",
+    survey="X2,X3,X19",
     doc="SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — "
     "pairwise cosine is computed ONLY within a k-means cell, collapsing "
     "the O(n²) brute force to O(Σ n_c²); the cell count grows with the "

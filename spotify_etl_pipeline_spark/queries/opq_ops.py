@@ -316,7 +316,7 @@ _ROTATION_MAT = ("h1u", "h1s", "h2u", "h2s", "e", "dists")
     """,
         _SPECTRUM_MAT,
     ),
-    survey="X12,X3",
+    survey="X12,X3,X31",
     doc=f"Top-{OPQ_COMPONENTS} eigenvectors of the embedding second-"
     "moment matrix by power iteration with PROJECTION DEFLATION — the "
     "spectral primitive OPQ/PCA rotation consumes — with every step "
@@ -364,7 +364,7 @@ def embedding_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
         _SPECTRUM_MAT + _ROTATION_MAT,
     ),
-    survey="X3,X12",
+    survey="X3,X12,X32",
     doc="OPQ — PCA-rotated product quantization (Ge et al. 2013, "
     "parametric form) with the ENTIRE chain value-hash-checked: the "
     "deflated exact power iteration supplies the top-2 components, "
@@ -495,7 +495,7 @@ def _drift_half_ctes(pfx: str, parity: int) -> str:
               for i in range(1, PI_ITERS + 1))
         + ("habase", "hbbase"),
     ),
-    survey="X12,X4",
+    survey="X12,X4,X31",
     doc="EMBEDDING DRIFT MONITOR — the production use of the exact "
     "spectrum primitive: the dominant second-moment eigenvector of each "
     "corpus half (vec_id parity standing in for yesterday/today, "
@@ -569,7 +569,7 @@ def _opq_resid_oracle() -> str:
 @register(
     "knn_opq_ivfadc_residual_topk",
     oracle=_opq_resid_oracle(),
-    survey="X3,X12",
+    survey="X3,X12,X32",
     doc="OPQ composed with residual IVFADC — the complete Faiss "
     "OPQMatrix->IndexIVFPQ production shape (Ge et al. 2013 + Jégou et "
     "al. 2011 §IV.A) under ONE full value-hash: the deflated exact "

@@ -241,7 +241,7 @@ def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
            {list_rolling_hash_sql("chunk")} AS chunk_hash
     FROM c
     """,
-    survey="X4,X1",
+    survey="X4,X1,X16",
     doc="RAG/training-prep chunking: 64-token windows every 48 tokens "
     "(16-token overlap) with per-chunk offsets and the shared rolling "
     "content hash. Narrow transform, zero shuffles, output bounded at "
@@ -438,7 +438,7 @@ from .oracle_sql_helpers import MD5_SID_SPARK as _SID  # noqa: E402
            MIN(chunk_hash) AS min_chunk_hash
     FROM emb GROUP BY 1
     """.format(chunk_hash=list_rolling_hash_sql("chunk")),
-    survey="X3,X4,X1",
+    survey="X3,X4,X1,X16",
     doc="RAG ingestion capstone — chunk → featurize → index, end to end: "
     "64/48 overlapping chunks (chunk_windows), a deterministic "
     f"{RAG_D}-dim hash-feature embedding per chunk (token → md5-bucket "

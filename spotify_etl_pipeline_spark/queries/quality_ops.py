@@ -309,7 +309,7 @@ CMS_EPOCHS, CMS_CANDS, CMS_TOPK = 5, 10, 20
           FROM est)
     WHERE rank <= {CMS_TOPK}
     """,
-    survey="X6,X8",
+    survey="X6,X8,X33",
     doc="CMS-backed heavy-hitter TOP-K SERVING (Cormode & Muthukrishnan "
     "2005 §4, the CM+candidate-set pattern): the corpus splits into "
     f"{CMS_EPOCHS} epochs (doc_id-keyed — the deterministic batch twin "

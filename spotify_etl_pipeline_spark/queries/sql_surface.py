@@ -326,7 +326,7 @@ FROM chain
 @register(
     "sql_recursive_order_chain",
     oracle=_RCTE_CHAIN_BODY.format(orders="orders"),
-    survey="SQL+",
+    survey="SQL+,X21",
     doc="Spark 4 recursive CTE (WITH RECURSIVE ... UNION ALL, the "
     "iterative linked-list walk): each customer's orders form a "
     "successor chain (LEAD over the date order); the recursive member "
@@ -399,7 +399,7 @@ WHERE c.c_nationkey = 1
 @register(
     "sql_lateral_topn_orders",
     oracle=_LATERAL_BODY.format(customer="customer", orders="orders"),
-    survey="SQL+",
+    survey="SQL+,X22",
     doc="Correlated LATERAL subquery with per-row ORDER BY ... LIMIT "
     "(top-3 priciest orders per nation-1 customer) — the SQL-standard "
     "top-n-per-group idiom, run verbatim on both engines. Catalyst "
@@ -426,7 +426,7 @@ def sql_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_quantity >= 30
     GROUP BY l_returnflag, l_linestatus
     """,
-    survey="SQL+",
+    survey="SQL+,X23",
     doc="Spark 4 SQL pipe syntax (SPIP: |> operators — FROM ... |> WHERE "
     "... |> AGGREGATE ... GROUP BY): the linear-dataflow SQL dialect, "
     "parsed to the identical Catalyst plan as the standard formulation "

@@ -119,7 +119,7 @@ def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pagerank_nation_trade",
     oracle=_pagerank_oracle(3),
-    survey="J1,A4,X1",
+    survey="J1,A4,X1,X9",
     doc="3-iteration damped PageRank (d=0.85, dangling mass redistributed) "
     "over the customer-nation -> supplier-nation edge list weighted by "
     "lineitem count. Each iteration is one equi-join + one keyed "
@@ -397,7 +397,7 @@ def quality_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
     FROM lineitem
     """,
-    survey="A2,X6",
+    survey="A2,X6,X11",
     doc="Bivariate statistics over the fact table: Pearson correlation, "
     "sample covariance, sample stddev — single-pass co-moment "
     "aggregates, partial-merge exact, one ungrouped reduction.",
@@ -424,7 +424,7 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS med2_cents
     FROM customer
     """,
-    survey="W1,X6",
+    survey="W1,X6,X11",
     doc="Frame-bounded rolling median (4-row trailing window per nation). "
     "Spark's median aggregate rejects window frames, so the frame state "
     "is held explicitly: collect_list over the 4-row frame, sort_array, "
@@ -713,7 +713,7 @@ def _logistic_oracle(iterations: int) -> str:
 @register(
     "logistic_quality_fit",
     oracle=_logistic_oracle(3),
-    survey="X4,A3",
+    survey="X4,A3,X12",
     doc="In-engine quality-classifier training (the fastText-style filter "
     "of curation pipelines): 3 full-batch gradient steps of logistic "
     "regression predicting lang='en' from char-count and space-fraction "
@@ -756,7 +756,7 @@ def logistic_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(r * r, 6) AS r2
     FROM s
     """,
-    survey="A2,X6",
+    survey="A2,X6,X12",
     doc="Closed-form simple OLS (slope = covar_pop/var_pop, intercept from "
     "the means, R^2 = corr^2) — a model fit as a single co-moment "
     "aggregation pass, no iteration at all.",
@@ -902,7 +902,7 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT nn FROM tot) AS n
     FROM cell
     """,
-    survey="A4,X4,W1",
+    survey="A4,X4,W1,X17",
     doc="Chi-square test of independence over the lang × source "
     "contingency table — the drift/imbalance gate a corpus ingest runs "
     "per batch. The grid is the CROSS of the two margin aggregates "
@@ -1093,7 +1093,7 @@ def community_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s[2] AS BIGINT) AS trend_cents
     FROM st
     """,
-    survey="X11,W1",
+    survey="X11,W1,X26",
     doc="Holt linear-trend smoothing (double exponential: level + trend "
     "state) folded per user over the (ts, event_id)-ordered value "
     "sequence — the trend-aware sibling of events_ema_value, i.e. the "

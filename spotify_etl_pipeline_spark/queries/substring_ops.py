@@ -496,7 +496,7 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS dup_permille
     FROM tt LEFT JOIN cnt USING (doc_id)
     """,
-    survey="X1,X4",
+    survey="X1,X4,X14",
     doc="Exact duplicated-span coverage (the substring-dedup statistic of "
     "Lee et al. 2022): fraction of each document's tokens covered by an "
     f"{SPAN_W}-token span that also occurs verbatim in another document. "
@@ -573,7 +573,7 @@ _DUCK_SEQ = "'_' || array_to_string(list_transform(range(1, length(w) + 1), i ->
     )
     SELECT pair, n_pairs, rnk FROM ranked WHERE rnk <= 10
     """,
-    survey="X4",
+    survey="X4,X14",
     doc="One full BPE training iteration (Sennrich et al. 2016): count "
     "adjacent symbol pairs over the frequency-weighted word vocabulary, "
     "take the argmax merge (deterministic tie-break), apply it "
@@ -697,7 +697,7 @@ def _bpe_pass_ctes(i: int) -> str:
         for i in range(1, BPE_TRAIN_K + 1)
     )}
     """,
-    survey="X4",
+    survey="X4,X14",
     doc=f"The full BPE training loop (Sennrich et al. 2016) for "
     f"k={BPE_TRAIN_K} merge iterations, emitting the learned MERGE TABLE "
     "(step, x, y, n_pairs) — the actual tokenizer-training artifact "
@@ -1091,7 +1091,7 @@ def packed_shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SUM(oov) * 1000) // COUNT(*) AS BIGINT) AS oov_permille
     FROM tagged GROUP BY source
     """,
-    survey="X4",
+    survey="X4,X14",
     doc=f"Tokenizer vocabulary coverage: build the top-{VOCAB_V} "
     "frequency vocabulary (TakeOrderedAndProject with deterministic "
     "tie-break — no global sort), broadcast it against the token stream, "

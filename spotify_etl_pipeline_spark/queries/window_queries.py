@@ -213,7 +213,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM du GROUP BY w
     """,
-    survey="X8,A5",
+    survey="X8,A5,X28",
     doc="Exact distinct users per tumbling hour, via dedup-then-count: "
     "DISTINCT (window, user) first — a keyed, partial-aggregatable "
     "shuffle — then a plain COUNT per window. This is the scale answer "
