@@ -678,3 +678,64 @@ def eval_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leak_free_split(
         docs, stratum="lang", n_per_stratum=_EVAL_N, n=DECONTAM_N
     )
+
+
+# Deterministic PII planting for the scrub entry: the synthetic corpus
+# is word-salad with no PII, so the entry derives redactable spans from
+# doc_id — in the COMMON Spark-SQL/DuckDB dialect subset, so BOTH
+# engines build the byte-identical input text (Spark via F.expr, DuckDB
+# verbatim in the oracle CTE).  Different moduli put each PII kind on a
+# different (overlapping) subset of docs, zero-hit docs included.
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||"
+    " CAST(doc_id AS STRING) || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' ||"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 2 THEN ' host 10.' ||"
+    " CAST(doc_id % 256 AS STRING) || '.0.1 up' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 3 THEN ' id 123-45-6789 ok' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 4 THEN"
+    " ' acct 4111111111111111 end' ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from ..operators.pii import pii_scrub_sql_duck
+
+    counts, clean = pii_scrub_sql_duck("t")
+    cols = ",\n           ".join(counts)
+    return f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {cols},
+           {clean} AS clean_text
+    FROM aug
+    """
+
+
+@register(
+    "corpus_pii_scrub",
+    oracle=_pii_oracle(),
+    survey="X41,X4,F1,F3",
+    doc="PII/pattern scrubbing (VERDICT r11 #4) — the redaction stage a "
+    "shipped corpus runs before tokenization: emails, ssn-shaped ids, "
+    "phone numbers, IPv4 addresses, and card-shaped digit runs, "
+    "redacted by a fixed-order regexp_replace chain with SEQUENTIAL "
+    "per-pattern audit counts (each pattern counts on the text AFTER "
+    "the previous replacements — what this stage actually redacted; an "
+    "ssn inside an email is the email's, not double-counted). Patterns "
+    "live in the Java-regex/RE2 common subset so the DuckDB twin runs "
+    "them byte-identically. Scale: ONE narrow projection — zero "
+    "exchanges/joins added to the corpus scan (plan-asserted, the "
+    "bpe_decode recipe); map-only at 100 TB with no skew surface.",
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import pii_scrub
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG_SQL).alias("text"))
+    return pii_scrub(aug, "text").select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_card",
+        "clean_text",
+    )

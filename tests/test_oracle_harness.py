@@ -89,18 +89,23 @@ def test_changed_this_round_rejects_unknown_name(monkeypatch):
 
 
 def test_survey_210_xids_all_greppable_in_catalog():
-    """VERDICT r11 #7: every SURVEY.md §2.10 extension id (X1..X40)
+    """VERDICT r11 #7: every extension id in SURVEY.md §2.10's table
     must appear in at least one catalog registration's survey= tag, so
     the audit is one grep instead of a document join.  X13 (Z-order
     layout) is the lone exemption: it is a table-maintenance op with no
     query/oracle form — its evidence is the pyarrow file-stats
-    skip-fraction test (SURVEY §2.10 row X13)."""
+    skip-fraction test (SURVEY §2.10 row X13).  The id list is parsed
+    from SURVEY.md itself so new rows are covered automatically."""
+    import re
+    from pathlib import Path
+
     from spotify_etl_pipeline_spark.queries.catalog import full_catalog
 
+    survey = (Path(__file__).resolve().parents[1] / "SURVEY.md").read_text()
+    xids = set(re.findall(r"^\| (X\d+) \|", survey, flags=re.M))
+    assert len(xids) >= 40, sorted(xids)
     tagged = set()
     for spec in full_catalog().values():
         tagged.update(t.strip() for t in spec.survey.split(","))
-    missing = [
-        f"X{i}" for i in range(1, 41) if i != 13 and f"X{i}" not in tagged
-    ]
+    missing = sorted(xids - tagged - {"X13"}, key=lambda x: int(x[1:]))
     assert not missing, f"SURVEY §2.10 ids with no survey= tag: {missing}"

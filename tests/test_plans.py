@@ -410,3 +410,23 @@ def test_bpe_decode_is_shuffle_free_map_stage(spark, sf_dir, tmp_path):
     for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
         assert op not in plan, (op, plan)
     assert "Scan parquet" in plan or "FileScan" in plan, plan
+
+
+def test_pii_scrub_is_shuffle_free_map_stage(spark, sf_dir):
+    """pii_scrub's 100 TB claim: redaction is ONE narrow projection —
+    chained regexp_replace + regexp_count adds ZERO exchanges, joins,
+    windows, aggregates, or generators to the corpus scan."""
+    from spotify_etl_pipeline_spark.operators.pii import pii_scrub
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    plan = executed_plan(pii_scrub(docs, "text"))
+    for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
+        assert op not in plan, (op, plan)
+    assert "Scan parquet" in plan or "FileScan" in plan, plan
+    # and the driver entry (augment + scrub) keeps the same shape
+    from spotify_etl_pipeline_spark.queries.catalog import queries
+
+    entry_plan = executed_plan(queries()["corpus_pii_scrub"](spark, sf_dir))
+    for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
+        assert op not in entry_plan, (op, entry_plan)
