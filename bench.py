@@ -162,6 +162,12 @@ HEADLINE = [
     "cms_topk_windowed",
     "bpe_decode_roundtrip",
     "packed_shard_manifest",
+    # round 12: the end-to-end corpus capstone (every curation stage
+    # composed: cuts → quality → mixture → split → encode → pack →
+    # manifest) — a regression in ANY stage's shuffle shape or a
+    # checkpoint-boundary defect that only shows up composed moves
+    # BENCH here; the per-stage budget lives in SCALE.md §Round-12
+    "llm_corpus_end_to_end",
 ]
 
 

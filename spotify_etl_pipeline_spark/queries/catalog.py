@@ -117,6 +117,7 @@ def _load_all() -> None:
         stats_ops,
         substring_ops,
         opq_ops,
+        endtoend,
     )
 
 

@@ -419,32 +419,35 @@ _QMIX_BUDGET = 15_000
 
 def _qmix_oracle() -> str:
     """Assembled capstone oracle: the intra-doc cut CTE prefix (shared
-    verbatim with the X30 entries, substring_ops._INTRA_CTES) + cleaned
+    verbatim with the X30 entries, substring_ops.intra_ctes) + cleaned
     corpus reassembly + the LM/ntile tier + the temperature stage —
     each fragment the same SQL its standalone entry hash-checks."""
-    from .substring_ops import _INTRA_CTES
+    from .substring_ops import cleaned_corpus_ctes, intra_ctes
 
-    return _INTRA_CTES + f""",
-    cov AS (
-      SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS idx
-      FROM ispans
-    ),
-    tok AS (
-      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx, toks FROM tt
-    ),
-    tok2 AS (SELECT doc_id, idx, toks[idx] AS tok FROM tok),
-    kept0 AS (SELECT tok2.* FROM tok2 ANTI JOIN cov USING (doc_id, idx)),
-    clean AS (
-      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
-      FROM kept0 GROUP BY doc_id
-    ),
-    cdocs AS (
-      SELECT tt.doc_id, d.lang, COALESCE(clean.clean_text, '') AS text
-      FROM tt JOIN documents d USING (doc_id)
-      LEFT JOIN clean USING (doc_id)
-    ),
+    return (
+        intra_ctes("documents")
+        + cleaned_corpus_ctes("ispans", "documents")
+        + lm_tier_surv_ctes("cdocs")
+        + temperature_mix_ctes("surv", _QMIX_BUDGET)
+        + """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+    FROM skept GROUP BY lang
+    """
+    )
+
+
+def lm_tier_surv_ctes(src: str) -> str:
+    """The char-bigram LM quality tier as reusable CTEs over ``src``
+    (doc_id, lang, text): fit the LM on ``src`` itself, score per doc,
+    ntile(3) per language, and end at ``surv`` — the survivors with the
+    tail third dropped.  The SQL twin of ``lm_score_milli`` +
+    ``assign_quality_buckets(bucket <= 2)``, shared by the quality-mix
+    capstone and the end-to-end chain so the formulas cannot drift."""
+    return f""",
     ld AS (
-      SELECT doc_id, lang, lower(text) AS t FROM cdocs WHERE length(text) >= 2
+      SELECT doc_id, lang, lower(text) AS t FROM {src} WHERE length(text) >= 2
     ),
     bg AS (
       SELECT doc_id,
@@ -470,13 +473,24 @@ def _qmix_oracle() -> str:
       FROM sc JOIN ld USING (doc_id)
     ),
     surv AS (
-      SELECT cdocs.doc_id, cdocs.lang, cdocs.text
-      FROM cdocs JOIN rk USING (doc_id) WHERE rk.b <= 2
-    ),
+      SELECT {src}.doc_id, {src}.lang, {src}.text
+      FROM {src} JOIN rk USING (doc_id) WHERE rk.b <= 2
+    )"""
+
+
+def temperature_mix_ctes(src: str, budget: int) -> str:
+    """The α=0.5 temperature-mixture stage as reusable CTEs over
+    ``src`` (doc_id, lang, text): √T-share integer thresholds against a
+    ``budget``-token total, ending at ``skept`` — the kept rows with
+    ``doc_id`` carried through so a downstream stage (the end-to-end
+    capstone) can join the kept corpus back, while the quality-mix
+    capstone aggregates (lang, nt) exactly as before.  The SQL twin of
+    ``temperature_mixture_sample`` (thresholds_mode='plan')."""
+    return f""",
     stk AS (
-      SELECT lang, {fingerprint_sql()} AS h,
+      SELECT doc_id, lang, {fingerprint_sql()} AS h,
              len(string_split(text, ' ')) AS nt
-      FROM surv
+      FROM {src}
     ),
     stot AS (SELECT lang, SUM(nt) AS T FROM stk GROUP BY lang),
     sw_ AS (
@@ -489,18 +503,14 @@ def _qmix_oracle() -> str:
     sfr AS (
       SELECT lang,
              LEAST(CAST(10000 AS BIGINT),
-                   (CAST(10000 AS BIGINT) * {_QMIX_BUDGET} * wq)
+                   (CAST(10000 AS BIGINT) * {budget} * wq)
                      // (swq * T)) AS f
       FROM sw_ CROSS JOIN ssw
     ),
     skept AS (
-      SELECT stk.lang, nt FROM stk JOIN sfr USING (lang) WHERE h % 10000 < f
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
-           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
-    FROM skept GROUP BY lang
-    """
+      SELECT stk.doc_id, stk.lang, nt
+      FROM stk JOIN sfr USING (lang) WHERE h % 10000 < f
+    )"""
 
 
 @register(
@@ -608,18 +618,22 @@ def eval_set_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_n_sample(docs, stratum="lang", n_per_stratum=_EVAL_N)
 
 
-def _leak_free_oracle() -> str:
-    """Composed oracle: the eval-carve CTE (verbatim the
-    ``eval_set_stratified_sample`` formulation) feeding the Bloom
-    membership CTEs (verbatim the ``bloom_decontaminate`` construction,
-    probe side = the non-eval corpus) — the two already-hash-checked
-    fragments chained the direction the capstone runs them."""
+def leak_free_split_sql(src: str, n_per_stratum: int, n: int) -> str:
+    """The leak-free split as a COMPLETE, self-contained ``WITH ...
+    SELECT`` statement over ``src`` (doc_id, lang, text) — the eval-
+    carve CTE (verbatim the ``eval_set_stratified_sample`` formulation)
+    feeding the Bloom membership CTEs (verbatim the
+    ``bloom_decontaminate`` construction, probe side = the non-eval
+    corpus), the two already-hash-checked fragments chained the
+    direction the capstone runs them.  Usable directly as an oracle
+    (``src='documents'``) or as a nested-subquery stage of the
+    end-to-end chain."""
     from ..operators.bloom import BLOOM_K, bloom_position_sql_duck
 
     pos_list = ", ".join(bloom_position_sql_duck("shingle"))
     return f"""
     WITH fp AS (
-      SELECT lang, doc_id, text, {fingerprint_sql()} AS f FROM documents
+      SELECT lang, doc_id, text, {fingerprint_sql()} AS f FROM {src}
     ),
     ev AS (
       SELECT doc_id FROM (
@@ -628,15 +642,15 @@ def _leak_free_oracle() -> str:
                                   ORDER BY f % 10000 ASC, f ASC,
                                            doc_id ASC) AS rk
         FROM fp)
-      WHERE rk <= {_EVAL_N}
+      WHERE rk <= {n_per_stratum}
     ),
-    evdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN ev USING (doc_id)),
+    evdocs AS (SELECT d.doc_id, d.text FROM {src} d JOIN ev USING (doc_id)),
     bsh AS (SELECT DISTINCT shingle
-            FROM ({shingle_select_sql(DECONTAM_N, "evdocs")})),
+            FROM ({shingle_select_sql(n, "evdocs")})),
     bits AS (SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bsh),
-    train0 AS (SELECT d.doc_id, d.text FROM documents d
+    train0 AS (SELECT d.doc_id, d.text FROM {src} d
                ANTI JOIN ev USING (doc_id)),
-    csh AS ({shingle_select_sql(DECONTAM_N, "train0")}),
+    csh AS ({shingle_select_sql(n, "train0")}),
     cpos AS (SELECT doc_id, shingle, unnest([{pos_list}]) AS pos FROM csh),
     contaminated AS (
       SELECT DISTINCT doc_id FROM (
@@ -648,10 +662,14 @@ def _leak_free_oracle() -> str:
            CASE WHEN ev.doc_id IS NOT NULL THEN 'eval'
                 WHEN c.doc_id IS NOT NULL THEN 'cut'
                 ELSE 'train' END AS split
-    FROM documents d
+    FROM {src} d
     LEFT JOIN ev ON d.doc_id = ev.doc_id
     LEFT JOIN contaminated c ON d.doc_id = c.doc_id
     """
+
+
+def _leak_free_oracle() -> str:
+    return leak_free_split_sql("documents", _EVAL_N, DECONTAM_N)
 
 
 @register(

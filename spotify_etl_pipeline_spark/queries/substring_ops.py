@@ -56,13 +56,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_MIN_LEN = 10
 
 
-#: Shared CTE chain deriving the maximal cross-doc duplicated spans
-#: (doc_id, span_start, span_len) at L=SPAN_MIN_LEN over `documents` —
-#: one definition so the span-extent entry and the cut-apply entry cannot
-#: drift (the _semdedup_oracle convention). Ends with the `spans` CTE;
-#: callers append their own final SELECT (and extra CTEs after it).
-_SPAN_CTES = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+def span_ctes(src: str = "documents") -> str:
+    """Shared CTE chain deriving the maximal cross-doc duplicated spans
+    (doc_id, span_start, span_len) at L=SPAN_MIN_LEN over ``src`` —
+    one definition so the span-extent entry, the cut-apply entry, and
+    the end-to-end capstone cannot drift (the _semdedup_oracle
+    convention). Ends with the `spans` CTE; callers append their own
+    final SELECT (and extra CTEs after it)."""
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
     tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
     g AS (
       SELECT doc_id, unnest(range(1, n_tokens - {SPAN_MIN_LEN} + 2)) AS p,
@@ -101,6 +103,9 @@ _SPAN_CTES = f"""
       FROM isl GROUP BY doc_id, island
     )
 """
+
+
+_SPAN_CTES = span_ctes()
 
 
 @register(
@@ -175,12 +180,14 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: production corpora run the same operator at the cross-doc L.
 INTRA_L = 4
 
-#: Shared CTE chain for the intra-doc tier: maximal WITHIN-document
-#: duplicated spans at L=INTRA_L with the keep-first witness exemption
-#: (p > mnp — the earliest occurrence per (doc, gram) survives a cut).
-#: Ends with `ispans`; callers append their final SELECT / extra CTEs.
-_INTRA_CTES = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+def intra_ctes(src: str = "documents") -> str:
+    """Shared CTE chain for the intra-doc tier over ``src``: maximal
+    WITHIN-document duplicated spans at L=INTRA_L with the keep-first
+    witness exemption (p > mnp — the earliest occurrence per (doc,
+    gram) survives a cut). Ends with `ispans`; callers append their
+    final SELECT / extra CTEs."""
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
     tt AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
     g AS (
       SELECT doc_id, unnest(range(1, n_tokens - {INTRA_L} + 2)) AS p,
@@ -219,6 +226,38 @@ _INTRA_CTES = f"""
       FROM iisl GROUP BY doc_id, island
     )
 """
+
+
+_INTRA_CTES = intra_ctes()
+
+
+def cleaned_corpus_ctes(spans: str, src: str) -> str:
+    """The cut-APPLY tail as reusable CTEs: removes every token covered
+    by a span from ``{spans}`` and reassembles the cleaned corpus as
+    ``cdocs`` (doc_id, lang, text) — the fragment the quality-mix
+    capstone hash-checks, parameterized so the end-to-end chain applies
+    it after BOTH the intra-doc and the cross-doc span derivations.
+    Expects the caller's chain to already define ``tt`` (doc_id, toks)
+    over the same corpus and ``{src}`` to carry (doc_id, lang)."""
+    return f""",
+    cov AS (
+      SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS idx
+      FROM {spans}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx, toks FROM tt
+    ),
+    tok2 AS (SELECT doc_id, idx, toks[idx] AS tok FROM tok),
+    kept0 AS (SELECT tok2.* FROM tok2 ANTI JOIN cov USING (doc_id, idx)),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+      FROM kept0 GROUP BY doc_id
+    ),
+    cdocs AS (
+      SELECT tt.doc_id, d.lang, COALESCE(clean.clean_text, '') AS text
+      FROM tt JOIN {src} d USING (doc_id)
+      LEFT JOIN clean USING (doc_id)
+    )"""
 
 
 @register(
@@ -793,14 +832,17 @@ def _bpe_vocab_cte(i: int) -> str:
     )"""
 
 
-#: Shared oracle prefix for the token-ID tier: trains the k-merge chain,
-#: builds the symbol→id table, encodes the distinct-word vocabulary, and
-#: ends at ``wenc`` (word → (n_sym, ordered id string)) plus ``docw``
-#: (doc_id, pos, word).  ``bpe_encode_ids`` appends the per-doc assembly
-#: select; ``packed_token_batches`` appends the packing CTEs on top.
-_BPE_IDS_PREFIX = f"""
+def bpe_ids_prefix(src: str = "documents") -> str:
+    """Shared oracle prefix for the token-ID tier over ``src``: trains
+    the k-merge chain, builds the symbol→id table, encodes the
+    distinct-word vocabulary, and ends at ``wenc`` (word → (n_sym,
+    ordered id string)) plus ``docw`` (doc_id, pos, word).
+    ``bpe_encode_ids`` appends the per-doc assembly select;
+    ``packed_token_batches`` appends the packing CTEs on top; the
+    end-to-end capstone instantiates it over the curated train split."""
+    return f"""
     WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      SELECT unnest(string_split(text, ' ')) AS w FROM {src}
     ),
     wc AS (
       SELECT w, COUNT(*) AS n FROM words
@@ -819,7 +861,7 @@ _BPE_IDS_PREFIX = f"""
     ),
     docw0 AS (
       SELECT doc_id, unnest(range(1, len(s) + 1)) AS pos, s
-      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM {src})
     ),
     docw AS (
       SELECT doc_id, pos, s[pos] AS w FROM docw0
@@ -845,6 +887,9 @@ _BPE_IDS_PREFIX = f"""
              string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp) AS wids
       FROM vids GROUP BY w
     )"""
+
+
+_BPE_IDS_PREFIX = bpe_ids_prefix()
 
 
 @register(
@@ -948,12 +993,15 @@ PACK_BUDGET = 128
 PACK_SHARDS = 4
 
 
-#: Shared oracle chain for the packed-batch tier: _BPE_IDS_PREFIX +
-#: per-doc id assembly + placement + token positions, ending at the
-#: ``packed`` CTE (one row per (lang, shard, seq_id) — identical to
-#: pack_token_ids' output).  ``packed_token_batches`` selects it
-#: verbatim; ``packed_shard_manifest`` aggregates it per shard.
-_PACKED_CTES = _BPE_IDS_PREFIX + f""",
+def packed_ctes(src: str = "documents", n_shards: int = PACK_SHARDS) -> str:
+    """Shared oracle chain for the packed-batch tier over ``src``:
+    :func:`bpe_ids_prefix` + per-doc id assembly + placement + token
+    positions, ending at the ``packed`` CTE (one row per (lang, shard,
+    seq_id) — identical to pack_token_ids' output).
+    ``packed_token_batches`` selects it verbatim; ``packed_shard_
+    manifest`` aggregates it per shard; the end-to-end capstone
+    instantiates it over the curated train split."""
+    return bpe_ids_prefix(src) + f""",
     docids AS (
       SELECT d.doc_id,
              CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
@@ -963,8 +1011,8 @@ _PACKED_CTES = _BPE_IDS_PREFIX + f""",
     ),
     grp AS (
       SELECT docids.doc_id, docids.n_tokens, docids.token_ids,
-             documents.lang, docids.doc_id % {PACK_SHARDS} AS shard
-      FROM docids JOIN documents ON documents.doc_id = docids.doc_id
+             {src}.lang, docids.doc_id % {n_shards} AS shard
+      FROM docids JOIN {src} ON {src}.doc_id = docids.doc_id
     ),
     placed AS (
       SELECT lang, shard, doc_id, token_ids,
@@ -992,6 +1040,9 @@ _PACKED_CTES = _BPE_IDS_PREFIX + f""",
       FROM toks
       GROUP BY lang, shard, gpos // {PACK_BUDGET}
     )"""
+
+
+_PACKED_CTES = packed_ctes()
 
 
 @register(
