@@ -67,6 +67,40 @@ def logistic_fit(
     return w
 
 
+def logistic_apply(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    threshold: float = 0.0,
+) -> DataFrame:
+    """APPLY a fitted logistic weight vector ``[bias, w_1, ..., w_k]``
+    (the :func:`logistic_fit` artifact) to score rows — the inference
+    half of the quality-classifier loop, as ONE narrow projection.
+
+    The weights are baked into the plan as literals (the d fitted
+    scalars ARE the broadcast — no join, no shuffle; the bpe_decode
+    map-literal recipe), so scoring adds zero exchanges to the input
+    scan: a map-only stage at 100 TB.  The score is the LINEAR logit
+    ``z = w0 + Σ w_j·x_j`` and the keep decision ``passed = z >=
+    threshold`` — equivalent to ``sigmoid(z) >= sigmoid(threshold)``
+    by monotonicity, but exp-free: mul/add are correctly-rounded IEEE
+    ops (bit-identical on any engine given identical weights), while
+    ``exp`` is libm-dependent, so the linear form is what makes the
+    scored corpus hash-checkable and the filter boundary deterministic.
+    """
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights must be [bias] + one per feature: got {len(weights)} "
+            f"weights for {len(feature_cols)} features"
+        )
+    z = F.lit(float(weights[0]))
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(float(weights[j + 1])) * F.col(c)
+    return df.withColumn("z", z).withColumn(
+        "passed", F.col("z") >= F.lit(float(threshold))
+    )
+
+
 def power_iteration_top_component(
     vectors: DataFrame,
     n_iter: int = 3,

@@ -660,35 +660,44 @@ def events_ema_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- in-engine model fits ----------------------------------------------------
-def _logistic_oracle(iterations: int) -> str:
+def _logistic_fit_ctes(iterations: int) -> str:
     """Unrolled batch-GD logistic regression in SQL, term-for-term with
-    operators/ml.py (zero init, lr=0.5, mean gradient, left-assoc z)."""
+    operators/ml.py (zero init, lr=0.5, mean gradient, left-assoc z) —
+    the CTE chain ending at ``wi{iterations}``, shared by the fit entry
+    and the apply entry so fit-and-apply sit under one hash.
+
+    Every CTE is ``AS MATERIALIZED``: each wi/g level is referenced 3-7
+    times by the next, and DuckDB's default inlining re-expands the
+    whole upstream chain per reference — measured ~120 s at sf0.01 for
+    3 unrolled steps of a 500-row fit (vs sub-second materialized).
+    Same fix as the end-to-end capstone oracle (endtoend._e2e_oracle)."""
     parts = [
         """
-    WITH feats AS (
-      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    WITH feats AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
              n_chars / 1000.0 AS x1,
              (length(text) - length(replace(text, ' ', ''))) / length(text) AS x2
       FROM documents
     ),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats),
-    wi0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats),
+    wi0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)
     """
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f"""
-    , p{i} AS (
+    , p{i} AS MATERIALIZED (
       SELECT y, x1, x2,
              1.0 / (1.0 + EXP(-((SELECT w0 FROM wi{i - 1})
                     + (SELECT w1 FROM wi{i - 1}) * x1
                     + (SELECT w2 FROM wi{i - 1}) * x2))) AS p
       FROM feats
-    ), g{i} AS (
+    ), g{i} AS MATERIALIZED (
       SELECT SUM(p - y) AS g0, SUM((p - y) * x1) AS g1,
              SUM((p - y) * x2) AS g2
       FROM p{i}
-    ), wi{i} AS (
+    ), wi{i} AS MATERIALIZED (
       SELECT (SELECT w0 FROM wi{i - 1})
                - 0.5 * (SELECT g0 FROM g{i}) / (SELECT n FROM nn) AS w0,
              (SELECT w1 FROM wi{i - 1})
@@ -698,8 +707,13 @@ def _logistic_oracle(iterations: int) -> str:
     )
     """
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _logistic_oracle(iterations: int) -> str:
+    return (
+        _logistic_fit_ctes(iterations)
+        + f"""
     SELECT 'bias' AS feature, ROUND(w0, 6) AS weight FROM wi{iterations}
     UNION ALL
     SELECT 'x_chars_k' AS feature, ROUND(w1, 6) AS weight FROM wi{iterations}
@@ -707,7 +721,34 @@ def _logistic_oracle(iterations: int) -> str:
     SELECT 'x_space_frac' AS feature, ROUND(w2, 6) AS weight FROM wi{iterations}
     """
     )
-    return "".join(parts)
+
+
+def _logistic_apply_oracle(iterations: int) -> str:
+    """Fit-and-APPLY under one hash: rederive the unrolled GD weights,
+    quantize them to the 6dp stored-artifact form (exactly what the fit
+    entry emits), then score every document with the exp-FREE linear
+    logit z = w0 + w1·x1 + w2·x2 and threshold at z >= 0 ⟺ p >= 0.5.
+    Scoring uses only correctly-rounded IEEE mul/add on identical
+    doubles (left-assoc, same as the Spark projection), so the per-doc
+    score is bit-identical cross-engine — unlike sigmoid(p), whose
+    ``exp`` is not correctly rounded and differs across libms."""
+    return (
+        _logistic_fit_ctes(iterations)
+        + f"""
+    , wr AS MATERIALIZED (
+      SELECT ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2
+      FROM wi{iterations}
+    )
+    SELECT doc_id,
+           ROUND((SELECT w0 FROM wr)
+                 + (SELECT w1 FROM wr) * x1
+                 + (SELECT w2 FROM wr) * x2, 6) AS score,
+           ((SELECT w0 FROM wr)
+            + (SELECT w1 FROM wr) * x1
+            + (SELECT w2 FROM wr) * x2) >= 0.0 AS passed
+    FROM feats
+    """
+    )
 
 
 @register(
@@ -739,6 +780,60 @@ def logistic_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature string, weight double",
     )
     return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
+@register(
+    "quality_score_apply",
+    oracle=_logistic_apply_oracle(3),
+    survey="X12,X4,P2",
+    doc="The APPLY half of the quality-classifier loop (VERDICT r11 "
+    "#5), closing fit→apply the way encode→decode closed the "
+    "tokenizer: rederive logistic_quality_fit's 3-step GD weights, "
+    "quantize to the 6dp stored-artifact form, bake them into the "
+    "plan as literals (operators/ml.py::logistic_apply — the d "
+    "scalars ARE the broadcast), and score every document with the "
+    "exp-free linear logit, thresholding at z >= 0 ⟺ p >= 0.5. "
+    "Fit and apply sit under ONE value hash — per-doc score AND keep "
+    "decision — because the logit uses only correctly-rounded IEEE "
+    "mul/add on identical rounded weights (sigmoid's exp is libm-"
+    "dependent and would not hash). Scoring adds zero exchanges/joins "
+    "to the corpus scan (plan-asserted): map-only at 100 TB. On the "
+    "fixture the 3-step fit never clears p=0.5 (class prior ~25%, "
+    "weakly-separating features), so passed is uniformly False there — "
+    "the hash payload is the per-doc score; both filter branches are "
+    "unit-tested with synthetic weights (tests/test_ml.py).",
+)
+def quality_score_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import logistic_apply, logistic_fit
+
+    feats = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, ' ', '')")))
+            / F.length("text")
+        ).alias("x2"),
+    )
+    w = logistic_fit(feats, ["x1", "x2"], "y", iterations=3, lr=0.5)
+    # quantize through the SAME engine path the fit entry's output
+    # takes (F.round on a 1-row frame), not Python round(): the stored
+    # artifact must be the exact doubles the oracle's ROUND produces
+    wr = (
+        spark.createDataFrame([tuple(w)], "w0 double, w1 double, w2 double")
+        .select(
+            F.round("w0", 6).alias("w0"),
+            F.round("w1", 6).alias("w1"),
+            F.round("w2", 6).alias("w2"),
+        )
+        .collect()[0]
+    )
+    scored = logistic_apply(
+        feats, ["x1", "x2"], [wr["w0"], wr["w1"], wr["w2"]], threshold=0.0
+    )
+    return scored.select(
+        "doc_id", F.round("z", 6).alias("score"), "passed"
+    )
 
 
 @register(

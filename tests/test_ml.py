@@ -170,3 +170,36 @@ def test_accum_int_none_raises_descriptive(spark):
     with _pytest.raises(ArithmeticError, match="q_scale"):
         _accum_int(None, "power_iteration_top_component")
     assert _accum_int(7, "x") == 7
+
+
+def test_logistic_apply_scores_and_filters_both_branches(spark):
+    """The fit→apply closure's inference half: literal-baked weights
+    score rows with the exp-free logit and the threshold splits the
+    corpus — both branches exercised with synthetic weights (the
+    fixture's 3-step fit never clears p=0.5, so the driver entry's
+    passed column is uniformly False there by honest construction)."""
+    import pytest as _pytest
+
+    from spotify_etl_pipeline_spark.operators.ml import logistic_apply
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.0), (2, -1.0, 0.0), (3, 0.5, 2.0)],
+        ["id", "x1", "x2"],
+    )
+    # z = 0.1 + 1.0*x1 - 0.5*x2 -> ids: 1 -> 1.1, 2 -> -0.9, 3 -> -0.4
+    out = {
+        r["id"]: (r["z"], r["passed"])
+        for r in logistic_apply(df, ["x1", "x2"], [0.1, 1.0, -0.5]).collect()
+    }
+    assert out[1] == (_pytest.approx(1.1), True)
+    assert out[2] == (_pytest.approx(-0.9), False)
+    assert out[3] == (_pytest.approx(-0.4), False)
+    # threshold shifts the boundary, not the scores
+    kept = (
+        logistic_apply(df, ["x1", "x2"], [0.1, 1.0, -0.5], threshold=-0.5)
+        .filter("passed")
+        .count()
+    )
+    assert kept == 2
+    with _pytest.raises(ValueError, match="one per feature"):
+        logistic_apply(df, ["x1", "x2"], [0.1, 1.0])

@@ -430,3 +430,26 @@ def test_pii_scrub_is_shuffle_free_map_stage(spark, sf_dir):
     entry_plan = executed_plan(queries()["corpus_pii_scrub"](spark, sf_dir))
     for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
         assert op not in entry_plan, (op, entry_plan)
+
+
+def test_logistic_apply_is_shuffle_free_map_stage(spark, sf_dir):
+    """logistic_apply's 100 TB claim: the fitted weights are plan
+    LITERALS (the d scalars ARE the broadcast), so scoring + threshold
+    adds ZERO exchanges, joins, windows, aggregates, or generators to
+    the corpus scan — inference is a map-only stage."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_pipeline_spark.operators.ml import logistic_apply
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.length("text") / F.lit(100.0)).alias("x2"),
+    )
+    scored = logistic_apply(feats, ["x1", "x2"], [0.1, -0.2, 0.3])
+    plan = executed_plan(scored)
+    for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
+        assert op not in plan, (op, plan)
+    assert "Scan parquet" in plan or "FileScan" in plan, plan
