@@ -133,18 +133,18 @@ def _load_all() -> None:
 #: driver check is ever more than ~2 rounds old, with no per-round editing
 #: beyond this head list.
 #:
-#: Round 11 head — EMPTY, per VERDICT r10 #1 (every slot burns the
-#: evidence tail: 4 r6 entries + 41 r7 entries = 45 stale).  Nothing
-#: already-verified changed semantics this round — the r11 diff adds
-#: NEW surface only (windowed CMS serving entry, BPE decode, shard
-#: manifest) plus guard-path fixes that alter no verified query's
-#: output (broadcast hint on a 1-row attach, tombstone-store-empty
-#: guard, compaction swap ordering).  The three NEW r11 entries
-#: (cms_topk_windowed, bpe_decode_roundtrip, packed_shard_manifest)
-#: sort ahead automatically as never-checked: 3 new + 45 stale = 48
-#: slots, inside the ~50-slot sweep, so CORRECTNESS_r11 leaves no
-#: driver entry with evidence older than r8 — the rotation's promised
-#: steady state.
+#: Round 12 head — EMPTY again (VERDICT r11 #2: keep burning the
+#: evidence tail).  Nothing already-verified changed SEMANTICS this
+#: round: the r12 diff adds NEW surface (corpus_pii_scrub,
+#: llm_corpus_end_to_end, quality_score_apply) plus two result-
+#: preserving oracle-text changes re-verified green by driver_sim at
+#: sf0.01 AND sf0.1 this round — corpus_curation_quality_mix's shared
+#: mixture fragment now carries doc_id through an intermediate CTE
+#: (final SELECT unchanged), and logistic_quality_fit's unrolled-GD
+#: CTEs are AS MATERIALIZED (same values, ~120 s → 0.03 s in DuckDB).
+#: The three NEW entries sort ahead automatically as never-checked:
+#: 3 new + 44 stale-r8 = 47 slots, inside the ~50-slot sweep, so
+#: CORRECTNESS_r12 leaves no driver entry with evidence older than r9.
 _CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 

@@ -155,6 +155,7 @@ def curate_encode_pack(
     eval_n: int = E2E_EVAL_N,
     n_shards: int = E2E_SHARDS,
     approx: bool = False,
+    on_stage=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the full curation → tokenize → pack chain over a (doc_id,
     lang, text) corpus; returns ``(packed, split, train)`` so callers
@@ -171,8 +172,15 @@ def curate_encode_pack(
 
     ``approx=True`` swaps the quality tier's per-lang ntile for
     broadcast percentile_approx cutoffs — the 100 TB arm, same dial as
-    ``corpus_curation_quality_mix``.
+    ``corpus_curation_quality_mix``.  ``on_stage(name)``, if given, is
+    called right after each eager stage boundary materializes — the
+    hook tools/bench_e2e.py uses to attribute wall time per stage.
     """
+
+    def _mark(name: str) -> None:
+        if on_stage is not None:
+            on_stage(name)
+
     from ..operators.curation import (
         leak_free_split,
         temperature_mixture_sample,
@@ -194,6 +202,7 @@ def curate_encode_pack(
         .join(langs, "doc_id")
         .localCheckpoint(eager=True)
     )
+    _mark("intradoc_cut")
     # stage 2: cross-doc exact-substring cut (Lee et al., L=SPAN_MIN_LEN)
     d2 = (
         substring_cut_corpus(d1, min_len=SPAN_MIN_LEN)
@@ -201,6 +210,7 @@ def curate_encode_pack(
         .join(langs, "doc_id")
         .localCheckpoint(eager=True)
     )
+    _mark("crossdoc_cut")
     # stage 3: LM quality tiers on the CLEANED text, tail third dropped
     keep_ids = (
         assign_quality_buckets(
@@ -210,6 +220,7 @@ def curate_encode_pack(
         .select("doc_id")
     )
     sv = d2.join(keep_ids, "doc_id").localCheckpoint(eager=True)
+    _mark("quality_tier")
     # stage 4: α=0.5 temperature mixture to the total token budget
     kd = (
         temperature_mixture_sample(
@@ -218,6 +229,7 @@ def curate_encode_pack(
         .select("doc_id", "lang", "text")
         .localCheckpoint(eager=True)
     )
+    _mark("temperature_mix")
     # stage 5: leak-free split — eval carve + Bloom scrub of train
     split = leak_free_split(
         kd, stratum="lang", n_per_stratum=eval_n, n=DECONTAM_N
@@ -229,8 +241,25 @@ def curate_encode_pack(
         )
         .localCheckpoint(eager=True)
     )
+    _mark("leak_free_split")
+    if train.limit(1).count() == 0:
+        # loud refusal, not a silent empty training set (the compaction
+        # / mixture-overflow guard convention): name the stage that
+        # emptied the corpus.  All frames here are checkpointed, so the
+        # diagnostic counts cost four cheap scans in the failure path.
+        raise ValueError(
+            "curate_encode_pack: train split is EMPTY — stage doc "
+            f"counts: post-intradoc-cut {d1.count()}, "
+            f"post-crossdoc-cut {d2.count()}, quality survivors "
+            f"{sv.count()}, mixture kept {kd.count()}, split rows "
+            f"{split.count()}. A fully-duplicated corpus (e.g. a "
+            "verbatim-replicated scale tile) is cut to nothing by the "
+            "cross-doc substring stage; a too-small mixture budget or "
+            "an eval_n >= stratum size can also starve the split."
+        )
     # stages 6-7: BPE encode the train split, pack to fixed budget
     merges = bpe_train_merges(train, n_merges=BPE_TRAIN_K)
+    _mark("bpe_train")
     enc = bpe_encode_ids(train, merges=merges)
     packed = pack_token_ids(
         enc, train, budget=PACK_BUDGET, n_shards=n_shards

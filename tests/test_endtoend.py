@@ -141,3 +141,17 @@ def test_approx_tier_arm_stays_close(spark, sf_dir):
         assert abs(ap[lang] - t) <= max(0.35 * t, 200), (
             f"{lang}: exact {t} vs approx {ap[lang]}"
         )
+
+
+def test_fully_duplicated_corpus_refuses_loudly(spark, sf_dir):
+    """A verbatim-replicated corpus is cut to nothing by the cross-doc
+    substring stage; the chain must refuse with a stage-localizing
+    error, never silently emit an empty training set."""
+    docs = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    dup = docs.unionAll(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).unionAll(docs.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    with pytest.raises(ValueError, match="train split is EMPTY"):
+        curate_encode_pack(dup)
