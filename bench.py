@@ -168,6 +168,15 @@ HEADLINE = [
     # checkpoint-boundary defect that only shows up composed moves
     # BENCH here; the per-stage budget lives in SCALE.md §Round-12
     "llm_corpus_end_to_end",
+    # round-12 second batch: the PII scrub (the pure narrow
+    # sequential-regexp family — its cost is the regex chain itself, so
+    # an accidental shuffle or a pathological pattern shows up here) and
+    # the classifier apply half (broadcast d-scalar scoring projection —
+    # pairs with the catalog's logistic_quality_fit to record
+    # fit-vs-apply cost, the same closure the BPE encode/decode pair
+    # records for tokenization)
+    "corpus_pii_scrub",
+    "quality_score_apply",
 ]
 
 
