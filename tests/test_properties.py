@@ -669,3 +669,88 @@ def test_source_overlap_sampled_rate1_equals_bruteforce(spark, docs):
             ).collect()
         }
         assert got == want, fam
+
+
+# --- PII scrub: terminal + conservation on adversarial token soup -----------
+# Fragments chosen to probe the pattern boundaries: real PII instances,
+# near-misses (17-digit runs, double-@, 3-octet "IPs", short digit
+# groups), and plain words — concatenated in random order with random
+# separators so matches land adjacent to each other and to lookalikes.
+_pii_frags = st.lists(
+    st.sampled_from([
+        "alice.b+c@ex-1.org", "x@y.io", "123-45-6789", "+1-555-0042",
+        "+12-123-9999", "10.2.0.1", "255.255.255.255", "4111111111111111",
+        "1234567890123", "12345678901234567",  # 17 digits: must NOT match
+        "a@@b.cc", "1.2.3", "123-456", "999-99-9999x", "word", "scan12",
+    ]),
+    min_size=1, max_size=12,
+)
+_pii_seps = st.sampled_from([" ", "  ", " , ", "."])
+
+
+@given(frags=_pii_frags, sep=_pii_seps)
+@settings(**_SETTINGS)
+def test_pii_scrub_terminal_and_conserving(spark, frags, sep):
+    """Scrubbing is TERMINAL (a second pass finds nothing and changes
+    nothing — replacement tokens carry no digits or '@', so they can
+    never seed a new match across a boundary) and CONSERVING (each
+    audit count equals the number of its tokens in the output — the
+    counts describe exactly the redactions performed)."""
+    from spotify_etl_pipeline_spark.operators.pii import (
+        DEFAULT_PII_PATTERNS,
+        pii_scrub,
+    )
+
+    text = sep.join(frags)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    first = pii_scrub(df, "text").collect()[0].asDict()
+    for name, _, token in DEFAULT_PII_PATTERNS:
+        assert first[f"n_{name}"] == first["clean_text"].count(token), name
+    again = (
+        pii_scrub(
+            spark.createDataFrame(
+                [(1, first["clean_text"])], "doc_id long, text string"
+            ),
+            "text",
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert again["clean_text"] == first["clean_text"]
+    for name, _, _ in DEFAULT_PII_PATTERNS:
+        assert again[f"n_{name}"] == 0, name
+
+
+# --- logistic apply: equals the closed-form logit on arbitrary inputs --------
+_la_rows = st.lists(
+    st.tuples(
+        st.floats(-5, 5, allow_nan=False, width=32),
+        st.floats(-5, 5, allow_nan=False, width=32),
+    ),
+    min_size=1, max_size=20,
+)
+_la_weights = st.tuples(
+    st.floats(-2, 2, allow_nan=False, width=32),
+    st.floats(-2, 2, allow_nan=False, width=32),
+    st.floats(-2, 2, allow_nan=False, width=32),
+)
+
+
+@given(rows=_la_rows, w=_la_weights)
+@settings(**_SETTINGS)
+def test_logistic_apply_equals_bruteforce(spark, rows, w):
+    """The plan-literal scorer reproduces z = w0 + w1*x1 + w2*x2 and
+    passed = z >= 0 bit-exactly (plain IEEE mul/add, no exp)."""
+    from spotify_etl_pipeline_spark.operators.ml import logistic_apply
+
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(rows)],
+        "id long, x1 double, x2 double",
+    )
+    got = {
+        r["id"]: (r["z"], r["passed"])
+        for r in logistic_apply(df, ["x1", "x2"], list(w)).collect()
+    }
+    for i, (a, b) in enumerate(rows):
+        z = float(w[0]) + float(w[1]) * float(a) + float(w[2]) * float(b)
+        assert got[i] == (z, z >= 0.0), i
