@@ -9,6 +9,12 @@ Usage::
 
     python tools/gen_e2e_scale.py 100           # build the tile first
     python tools/bench_e2e.py /tmp/sparkgraft_scale/e2e_sf10
+    python tools/bench_e2e.py /tmp/sparkgraft_scale/e2e_sf10 4000000
+    # ^ optional 2nd arg: mixture token budget (default the catalog's
+    # E2E_BUDGET=16k).  A production-scale budget un-bounds the tail —
+    # encode/pack/manifest then process corpus-scale token mass instead
+    # of a fixed 16k sample, which is the arm that verifies the tail
+    # re-inherits the standalone entries' scaling when composed.
 """
 import json
 import os
@@ -18,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraft_scale/e2e_sf10"
+BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else None
 
 
 def main() -> None:
@@ -50,7 +57,8 @@ def main() -> None:
         last = now
 
     t_all = time.time()
-    packed, split, train = curate_encode_pack(docs, on_stage=on_stage)
+    kw = {} if BUDGET is None else {"budget": BUDGET}
+    packed, split, train = curate_encode_pack(docs, on_stage=on_stage, **kw)
     t0 = time.time()
     man = packed_shard_manifest(packed)
     audit = split.groupBy("lang").agg(
@@ -61,6 +69,7 @@ def main() -> None:
     total = round(time.time() - t_all, 2)
 
     stats = {
+        "budget": BUDGET or "default",
         "n_docs": n_docs,
         "train_docs": train.count(),
         "split_rows": split.count(),
