@@ -116,6 +116,78 @@ def quality_score(df: DataFrame) -> DataFrame:
     )
 
 
+def gopher_gates(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_wlen_milli: int = 3_000,
+    max_wlen_milli: int = 10_000,
+    min_stop: int = 2,
+    min_alpha_milli: int = 800,
+    max_symbol_milli: int = 100,
+) -> DataFrame:
+    """Gopher-style heuristic quality gates (Rae et al. 2021 §A1.1, the
+    public rule battery most curation stacks run BEFORE any model-based
+    scorer): per-document word count, mean word length, stopword
+    presence, alphabetic-word fraction, and symbol-to-word ratio, each
+    emitted as the measured statistic PLUS a boolean gate, with
+    ``pass_all`` the conjunction.  Unlike :func:`quality_score` (one
+    composite number) this keeps the per-rule audit — which rule killed
+    a document is the quantity curation debugging needs.
+
+    Defaults are the paper's production dials (50-100k words, mean word
+    length 3-10 chars, ≥2 stopwords, ≥80% alphabetic words, ≤10%
+    symbol ratio); callers tune per corpus.  The paper's line-shaped
+    rules (bullet/ellipsis line fractions) are omitted: they need a
+    line structure the operator would have to invent for single-line
+    text.  Symbol ratio counts ``#`` and ``…`` characters by
+    length-difference — exact on any engine, no regex.
+
+    All statistics are INTEGER arithmetic end to end (the
+    :func:`quality_score` half-ulp lesson): milli-scaled via
+    ``(1000*x) div n``, so the DuckDB twin (``//``) compares exactly.
+    One narrow projection — no shuffle, no UDF, free rider on any
+    corpus scan at 100 TB.
+    """
+    stop_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    stats = df.selectExpr(
+        "*",
+        "size(split(text, ' ')) AS n_words",
+        "length(replace(text, ' ', '')) AS _n_chars_in_words",
+        f"size(filter(split(text, ' '), t -> t IN ({stop_list}))) AS n_stop",
+        "size(filter(split(text, ' '), t -> t rlike '^[a-zA-Z]+$'))"
+        " AS _n_alpha",
+        "length(text) - length(replace(text, '#', ''))"
+        " + length(text) - length(replace(text, '…', '')) AS _n_symbols",
+    ).selectExpr(
+        "*",
+        "CAST((1000 * _n_chars_in_words) div greatest(n_words, 1)"
+        " AS BIGINT) AS wlen_milli",
+        "CAST((1000 * _n_alpha) div greatest(n_words, 1) AS BIGINT)"
+        " AS alpha_milli",
+        "CAST((1000 * _n_symbols) div greatest(n_words, 1) AS BIGINT)"
+        " AS symbol_milli",
+    )
+    gated = stats.select(
+        *[c for c in stats.columns if not c.startswith("_")],
+        (F.col("n_words").between(min_words, max_words)).alias("pass_words"),
+        (F.col("wlen_milli").between(min_wlen_milli, max_wlen_milli)).alias(
+            "pass_wlen"
+        ),
+        (F.col("n_stop") >= min_stop).alias("pass_stop"),
+        (F.col("alpha_milli") >= min_alpha_milli).alias("pass_alpha"),
+        (F.col("symbol_milli") <= max_symbol_milli).alias("pass_symbol"),
+    )
+    return gated.withColumn(
+        "pass_all",
+        F.col("pass_words")
+        & F.col("pass_wlen")
+        & F.col("pass_stop")
+        & F.col("pass_alpha")
+        & F.col("pass_symbol"),
+    )
+
+
 def bpe_ish_token_count(df: DataFrame, max_piece: int = 4) -> DataFrame:
     """Subword-unit count: each word contributes ceil(len/max_piece) pieces —
     a deterministic BPE-style stand-in (SURVEY.md X4 'token counting')."""

@@ -136,15 +136,16 @@ def _load_all() -> None:
 #: Round 12 head — EMPTY again (VERDICT r11 #2: keep burning the
 #: evidence tail).  Nothing already-verified changed SEMANTICS this
 #: round: the r12 diff adds NEW surface (corpus_pii_scrub,
-#: llm_corpus_end_to_end, quality_score_apply) plus two result-
-#: preserving oracle-text changes re-verified green by driver_sim at
-#: sf0.01 AND sf0.1 this round — corpus_curation_quality_mix's shared
-#: mixture fragment now carries doc_id through an intermediate CTE
-#: (final SELECT unchanged), and logistic_quality_fit's unrolled-GD
-#: CTEs are AS MATERIALIZED (same values, ~120 s → 0.03 s in DuckDB).
-#: The three NEW entries sort ahead automatically as never-checked:
-#: 3 new + 44 stale-r8 = 47 slots, inside the ~50-slot sweep, so
-#: CORRECTNESS_r12 leaves no driver entry with evidence older than r9.
+#: llm_corpus_end_to_end, quality_score_apply, quality_gopher_gates)
+#: plus two result-preserving oracle-text changes re-verified green by
+#: driver_sim at sf0.01 AND sf0.1 this round —
+#: corpus_curation_quality_mix's shared mixture fragment now carries
+#: doc_id through an intermediate CTE (final SELECT unchanged), and
+#: logistic_quality_fit's unrolled-GD CTEs are AS MATERIALIZED (same
+#: values, ~120 s → 0.03 s in DuckDB).  The four NEW entries sort
+#: ahead automatically as never-checked: 4 new + 44 stale-r8 = 48
+#: slots, inside the ~50-slot sweep, so CORRECTNESS_r12 leaves no
+#: driver entry with evidence older than r9.
 _CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 

@@ -413,3 +413,72 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("diversity_permille"),
     )
+
+
+@register(
+    "quality_gopher_gates",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS nc,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_EN}))) AS n_stop,
+             len(list_filter(string_split(text, ' '),
+                             t -> regexp_full_match(t, '[a-zA-Z]+')))
+               AS na,
+             length(text) - length(replace(text, '#', ''))
+               + length(text) - length(replace(text, '…', '')) AS ns
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_stop AS BIGINT) AS n_stop,
+             CAST((1000 * nc) // greatest(n_words, 1) AS BIGINT)
+               AS wlen_milli,
+             CAST((1000 * na) // greatest(n_words, 1) AS BIGINT)
+               AS alpha_milli,
+             CAST((1000 * ns) // greatest(n_words, 1) AS BIGINT)
+               AS symbol_milli
+      FROM s
+    )
+    SELECT doc_id, n_words, wlen_milli, n_stop, alpha_milli, symbol_milli,
+           n_words BETWEEN 25 AND 100000 AS pass_words,
+           wlen_milli BETWEEN 3000 AND 10000 AS pass_wlen,
+           n_stop >= 2 AS pass_stop,
+           alpha_milli >= 800 AS pass_alpha,
+           symbol_milli <= 100 AS pass_symbol,
+           (n_words BETWEEN 25 AND 100000) AND
+           (wlen_milli BETWEEN 3000 AND 10000) AND
+           n_stop >= 2 AND alpha_milli >= 800 AND symbol_milli <= 100
+             AS pass_all
+    FROM m
+    """,
+    survey="X43,X4,X10,F2",
+    doc="Gopher-style heuristic gate battery (Rae et al. 2021 §A1.1): "
+    "word count, mean word length, stopword presence, alphabetic-word "
+    "fraction, symbol ratio — each as the measured statistic PLUS its "
+    "boolean gate with a per-rule audit (WHICH rule killed a document "
+    "is the debugging quantity; quality_score's composite cannot say). "
+    "min_words dialed 50→25 for the fixture's 10-99-word documents so "
+    "both gate branches are populated where the driver hashes; the "
+    "remaining dials are the paper's. Integer milli-scaled arithmetic "
+    "end to end (the quality_score half-ulp lesson). ONE narrow "
+    "projection — map-only at 100 TB, a free rider on any corpus scan.",
+)
+def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = T.gopher_gates(_docs(spark, sf_dir), min_words=25)
+    return g.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "wlen_milli",
+        F.col("n_stop").cast("long").alias("n_stop"),
+        "alpha_milli",
+        "symbol_milli",
+        "pass_words",
+        "pass_wlen",
+        "pass_stop",
+        "pass_alpha",
+        "pass_symbol",
+        "pass_all",
+    )

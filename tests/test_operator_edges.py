@@ -217,3 +217,42 @@ def test_asof_negative_tolerance_raises(spark):
             right_values=["v"],
             tolerance=-1,
         )
+
+
+# --- gopher_gates rule boundaries -------------------------------------------
+def _gates_one(spark, text: str, **kw) -> dict:
+    from spotify_etl_pipeline_spark.operators.text import gopher_gates
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return gopher_gates(df, **kw).collect()[0].asDict()
+
+
+def test_gopher_gates_boundaries(spark):
+    # exactly min_words all-stopword words: words+stop pass, wlen fails
+    # (mean length 3000 needs >= 3.0 chars; 'a of to' averages under)
+    r = _gates_one(spark, " ".join(["a", "of", "to"] * 17), min_words=51)
+    assert r["n_words"] == 51 and r["pass_words"]
+    assert r["n_stop"] == 51 and r["pass_stop"]
+    assert r["wlen_milli"] < 3000 and not r["pass_wlen"]
+    assert not r["pass_all"]
+
+
+def test_gopher_gates_symbol_and_alpha(spark):
+    r = _gates_one(
+        spark,
+        "the data of #### pipeline to scan12 …… table row agg",
+        min_words=5,
+    )
+    # 11 words, 6 symbol chars -> (1000*6) div 11 = 545 > 100
+    assert r["n_words"] == 11
+    assert r["symbol_milli"] == 545 and not r["pass_symbol"]
+    # '####', '……', 'scan12' are non-alphabetic: 8/11 alpha = 727 < 800
+    assert r["alpha_milli"] == 727 and not r["pass_alpha"]
+    assert r["pass_stop"] and not r["pass_all"]
+
+
+def test_gopher_gates_clean_doc_passes_all(spark):
+    words = ["the", "of", "table", "partition", "shuffle", "broadcast"] * 10
+    r = _gates_one(spark, " ".join(words), min_words=50)
+    assert r["pass_words"] and r["pass_wlen"] and r["pass_stop"]
+    assert r["pass_alpha"] and r["pass_symbol"] and r["pass_all"]

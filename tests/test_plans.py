@@ -453,3 +453,24 @@ def test_logistic_apply_is_shuffle_free_map_stage(spark, sf_dir):
     for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
         assert op not in plan, (op, plan)
     assert "Scan parquet" in plan or "FileScan" in plan, plan
+
+
+def test_gopher_gates_is_shuffle_free_map_stage(spark, sf_dir):
+    """gopher_gates' 100 TB claim: the whole rule battery (five
+    statistics + five gates + the conjunction) is ONE narrow
+    projection — ZERO exchanges, joins, windows, aggregates, or
+    generators added to the corpus scan."""
+    from spotify_etl_pipeline_spark.operators.text import gopher_gates
+    from spotify_etl_pipeline_spark.queries.catalog import queries
+    from spotify_etl_pipeline_spark.schemas import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    plan = executed_plan(gopher_gates(docs))
+    for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
+        assert op not in plan, (op, plan)
+    assert "Scan parquet" in plan or "FileScan" in plan, plan
+    entry_plan = executed_plan(
+        queries()["quality_gopher_gates"](spark, sf_dir)
+    )
+    for op in ("Exchange", "Join", "Generate", "Window", "Aggregate"):
+        assert op not in entry_plan, (op, entry_plan)
