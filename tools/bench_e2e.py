@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraft_scale/e2e_sf10"
 BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else None
+# 3rd arg 'approx' switches the quality tier to the broadcast
+# percentile_approx-cutoff arm (the 100 TB dial) in place of the
+# per-lang ntile window — the composed measurement of that dial.
+APPROX = len(sys.argv) > 3 and sys.argv[3] == "approx"
 
 
 def main() -> None:
@@ -58,6 +62,8 @@ def main() -> None:
 
     t_all = time.time()
     kw = {} if BUDGET is None else {"budget": BUDGET}
+    if APPROX:
+        kw["approx"] = True
     packed, split, train = curate_encode_pack(docs, on_stage=on_stage, **kw)
     t0 = time.time()
     man = packed_shard_manifest(packed)
@@ -70,6 +76,7 @@ def main() -> None:
 
     stats = {
         "budget": BUDGET or "default",
+        "approx": APPROX,
         "n_docs": n_docs,
         "train_docs": train.count(),
         "split_rows": split.count(),
