@@ -155,7 +155,12 @@ def gopher_gates(
         "size(split(text, ' ')) AS n_words",
         "length(replace(text, ' ', '')) AS _n_chars_in_words",
         f"size(filter(split(text, ' '), t -> t IN ({stop_list}))) AS n_stop",
-        "size(filter(split(text, ' '), t -> t rlike '^[a-zA-Z]+$'))"
+        # \A..\z, not ^..$: Java's $ matches BEFORE a trailing line
+        # terminator, so a token like 'word\n' would count alphabetic
+        # here while DuckDB's regexp_full_match refuses it — a
+        # cross-engine hash divergence on any corpus with embedded
+        # newlines (the BPE tier's trainable-word filter idiom)
+        "size(filter(split(text, ' '), t -> t rlike '\\\\A[a-zA-Z]+\\\\z'))"
         " AS _n_alpha",
         "length(text) - length(replace(text, '#', ''))"
         " + length(text) - length(replace(text, '…', '')) AS _n_symbols",

@@ -171,6 +171,15 @@ def read_merged_sketch(
     if since_epoch is not None:
         store = _windowed_store(spark, out_path, int(since_epoch))
     else:
+        # the whole-path read has no listing of its own, so it must
+        # run the mid-swap guard explicitly: after a crashed
+        # compact_cms_store some epochs are dot-prefixed (invisible to
+        # Spark) and a plain read would silently UNDERCOUNT — the one
+        # failure a CMS must never produce (code-review r12; the
+        # windowed arm gets the same guard via epoch_partitions)
+        from .stores import epoch_partitions
+
+        epoch_partitions(spark, out_path)
         store = spark.read.parquet(out_path)
     if "hash_fn" in store.columns:
         if expect_hash_fn is not None:
@@ -288,6 +297,12 @@ def serve_cms_topk(
             spark, f"{out_path}/cands", int(since_epoch)
         )
     else:
+        # same whole-path mid-swap guard as read_merged_sketch: a
+        # partially-visible cands store would silently narrow the
+        # probe set
+        from .stores import epoch_partitions
+
+        epoch_partitions(spark, f"{out_path}/cands")
         cands = spark.read.parquet(f"{out_path}/cands")
     cands = cands.select("k").distinct()
     return count_min_topk(merged, cands, "k", k=k, d=d, w=w, hash_fn=hash_fn)

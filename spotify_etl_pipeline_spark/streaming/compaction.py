@@ -131,10 +131,11 @@ def compact_epoch_store(
     # (stores.epoch_partitions) REFUSES to serve or re-swap the store
     # (ADVICE r11: the pre-marker guards saw a crashed-swap store as
     # "no epochs yet" and silently served an empty tombstone set).
-    # recover_swap() rolls an interrupted swap forward or back; the
-    # base partition renames FIRST, so "marker present and base_dir
-    # exists" can only mean the install completed (mid-loop, any old
-    # base is already renamed away and the new base not yet installed).
+    # recover_swap() rolls an interrupted swap forward or back,
+    # classifying on .compact_tmp presence (the install IS the
+    # tmp→base rename, so a surviving tmp means it never happened);
+    # the base partition still renames FIRST so a mid-loop crash never
+    # leaves two base-shaped dirs.
     marker = os.path.join(path, stores.SWAP_MARKER)
     stores.touch(spark, marker)
     for d in sorted(parts, key=lambda n: n != base_dir):
@@ -163,13 +164,14 @@ def recover_swap(spark: SparkSession, path: str) -> str:
     if not arts:
         return "clean"
     olds = [n for n in arts if n.startswith(".old_epoch=")]
-    if stores.is_dir(spark, os.path.join(path, f"epoch={BASE_EPOCH}")):
-        # base-first rename ordering makes this unambiguous: a live
-        # base alongside swap artifacts means the install happened
-        for n in olds:
-            stores.delete(spark, os.path.join(path, n))
-        action = "completed"
-    else:
+    # classify on the TEMP dir, not the base: the install is the
+    # tmp→base rename, so ".compact_tmp still present" ⟺ the install
+    # never happened — whereas "a base exists" is ambiguous on a
+    # previously-compacted store whose ORIGINAL epoch=-1 base is still
+    # in place after a crash between the marker touch and the first
+    # rename (the base-first rename ordering only disambiguates once
+    # the loop has begun)
+    if stores.is_dir(spark, os.path.join(path, ".compact_tmp")):
         for n in olds:
             stores.rename(
                 spark,
@@ -178,6 +180,18 @@ def recover_swap(spark: SparkSession, path: str) -> str:
             )
         stores.delete(spark, os.path.join(path, ".compact_tmp"))
         action = "rolled_back"
+    elif stores.is_dir(spark, os.path.join(path, f"epoch={BASE_EPOCH}")):
+        for n in olds:
+            stores.delete(spark, os.path.join(path, n))
+        action = "completed"
+    else:
+        # no tmp (so the install should have happened) and no base:
+        # not a state this swap can produce — refuse to guess
+        raise ValueError(
+            f"store {path} has swap artifacts {arts} but neither a "
+            ".compact_tmp nor an installed base — manual inspection "
+            "required"
+        )
     stores.delete(spark, os.path.join(path, stores.SWAP_MARKER))
     spark.catalog.refreshByPath(path)
     return action

@@ -87,6 +87,13 @@ def read_streamed_codes(spark: SparkSession, out_path: str) -> DataFrame:
     # drop any stale file-listing cache a writer session holds (see
     # cms_stream.read_merged_sketch — the shared store-reader rule)
     spark.catalog.refreshByPath(out_path)
+    # whole-path mid-swap guard: the codes store IS a compaction
+    # target (compact_index_with_tombstones), and a crashed swap
+    # leaves some epochs dot-prefixed — a plain read would serve an
+    # index silently missing vectors (code-review r12)
+    from .stores import epoch_partitions
+
+    epoch_partitions(spark, out_path)
     df = spark.read.parquet(out_path)
     return df.select([c for c in df.columns if c != "epoch"])
 

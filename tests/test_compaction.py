@@ -620,6 +620,111 @@ def test_crashed_swap_after_install_rolls_forward(
     assert recover_swap(spark, store) == "clean"
 
 
+def test_crash_before_any_rename_on_compacted_store_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the marker touch but BEFORE the first rename, on a
+    store that was ALREADY compacted (so an ORIGINAL epoch=-1 base is
+    still in place), must roll BACK — the old classifier keyed on "a
+    base exists" and reported this state 'completed', abandoning the
+    fold while leaking .compact_tmp.  The tmp-presence classifier gets
+    it right: the install IS the tmp→base rename, so a surviving tmp
+    means it never happened."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.streaming import stores
+    from spotify_etl_pipeline_spark.streaming.compaction import recover_swap
+
+    store = str(tmp_path / "rows")
+    for e, ids in ((0, [1, 2]), (1, [3])):
+        spark.createDataFrame(
+            [(i,) for i in ids], "vec_id long"
+        ).write.parquet(f"{store}/epoch={e}")
+    assert compact_epoch_store(spark, store) == 2  # pre-existing base
+
+    spark.createDataFrame([(4,)], "vec_id long").write.parquet(
+        f"{store}/epoch=2"
+    )
+
+    real_rename = stores.rename
+
+    def crash_on_first_rename(spark_, src, dst):
+        raise OSError("simulated crash before any rename")
+
+    monkeypatch.setattr(stores, "rename", crash_on_first_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_epoch_store(spark, store)
+    monkeypatch.undo()
+
+    # marker present, NO .old_* dirs, original base still in place
+    assert stores.swap_artifacts(spark, store) == [stores.SWAP_MARKER]
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        stores.epoch_partitions(spark, store)
+
+    assert recover_swap(spark, store) == "rolled_back"
+    assert _epochs(store) == {f"epoch={BASE_EPOCH}", "epoch=2"}
+    assert stores.swap_artifacts(spark, store) == []
+    spark.catalog.refreshByPath(store)
+    assert {r["vec_id"] for r in spark.read.parquet(store).collect()} == {
+        1, 2, 3, 4,
+    }
+    # the abandoned fold is gone and a clean re-compaction succeeds
+    assert compact_epoch_store(spark, store) == 2
+    assert {r["vec_id"] for r in spark.read.parquet(store).collect()} == {
+        1, 2, 3, 4,
+    }
+
+
+def test_whole_path_reads_refuse_mid_swap_store(
+    spark, tmp_path, monkeypatch
+):
+    """Whole-path serves (read_merged_sketch all-history arm,
+    read_streamed_codes) have no listing of their own, so a crashed
+    swap — some epochs dot-prefixed, invisible to Spark — would make
+    them silently UNDERCOUNT / serve a partial index (code-review
+    r12).  Both must refuse the mid-swap store loudly instead."""
+    import pytest
+
+    from spotify_etl_pipeline_spark.streaming import stores
+    from spotify_etl_pipeline_spark.streaming.cms_stream import (
+        read_merged_sketch,
+    )
+    from spotify_etl_pipeline_spark.streaming.pq_index_stream import (
+        read_streamed_codes,
+    )
+
+    store = str(tmp_path / "sketch")
+    for e in (0, 1):
+        spark.createDataFrame(
+            [(0, 0, 10 + e, "xxhash64")],
+            "row int, bucket int, n long, hash_fn string",
+        ).write.parquet(f"{store}/epoch={e}")
+
+    real_rename = stores.rename
+
+    def crash_on_install(spark_, src, dst):
+        if src.endswith(".compact_tmp"):
+            raise OSError("simulated crash before base install")
+        real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(stores, "rename", crash_on_install)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_epoch_store(spark, store)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        read_merged_sketch(spark, store)
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        read_streamed_codes(spark, store)
+
+    from spotify_etl_pipeline_spark.streaming.compaction import recover_swap
+
+    assert recover_swap(spark, store) == "rolled_back"
+    assert {
+        r["n"] for r in read_merged_sketch(spark, store).collect()
+    } == {21}  # 10 + 11 summed cell-wise: the FULL store, nothing lost
+
+
 def test_tombstone_compaction_snapshots_code_partitions(
     spark, tmp_path, monkeypatch
 ):

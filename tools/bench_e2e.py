@@ -66,11 +66,14 @@ def main() -> None:
         kw["approx"] = True
     packed, split, train = curate_encode_pack(docs, on_stage=on_stage, **kw)
     t0 = time.time()
+    # mirror the driver entry's full tail: manifest JOIN per-lang split
+    # audit (an unmaterialized audit frame would make this stage time
+    # measure less than the entry's composition — code-review r12)
     man = packed_shard_manifest(packed)
     audit = split.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")
     )  # cheap; split is checkpointed
-    man.write.format("noop").mode("overwrite").save()
+    man.join(audit, "lang").write.format("noop").mode("overwrite").save()
     times["encode_pack_manifest"] = round(time.time() - t0, 2)
     total = round(time.time() - t_all, 2)
 

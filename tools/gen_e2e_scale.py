@@ -6,12 +6,25 @@ window becomes cross-doc duplicated, the substring stage cuts all long
 documents to '', and curate_encode_pack (correctly) refuses on the
 empty train split — tested in tests/test_endtoend.py.  This generator
 builds the organic-ish variant: N replicas with doc_id offsets where
-every 9th token of replica r > 0 gets an ``r{r}`` suffix, so NO
-10-token window survives verbatim across replicas (9 < SPAN_MIN_LEN =
-10) while each replica keeps the source tile's organic within-replica
-duplicates — the cut stage does real, non-annihilating work.  Suffixed
-tokens stay [a-z]+, so the BPE vocabulary grows ~N×: the encoder pays
-its per-word-TYPE cost honestly.
+every 9th token of replica r > 0 gets an alphabetic ``r``-derived
+suffix, so NO 10-token window survives verbatim across replicas
+(9 < SPAN_MIN_LEN = 10) while the cut stage does real,
+non-annihilating work.
+
+Honest accounting of what the tile exercises (code-review r12):
+
+- **Cross-doc duplicate mass**: replica 0 keeps ALL of the source
+  tile's organic duplicate spans; in replica r > 0 the per-doc-position
+  suffixing preserves a shared span only when the two copies' offsets
+  are congruent mod 9 (~1/9 of pairs).  Total pairwise duplicate mass
+  is therefore ≈ source × (1 + (N-1)/9), growing ~N/9 — real,
+  non-annihilating cut work, but NOT the full N× a verbatim tile
+  would (and could not, see above) provide.
+- **BPE vocabulary**: suffixes are strictly [a-z] (base-26 letters of
+  r), so every suffixed token passes the BPE tier's ``\\A[a-z]+\\z``
+  trainable-word filter and the vocabulary honestly grows ~N× in word
+  TYPES.  (An earlier revision used digit suffixes, which the filter
+  silently dropped — the tail then under-measured.)
 
 Usage::
 
@@ -33,28 +46,29 @@ def generate(n_replicas: int, out_name: str) -> str:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
     stride = con.execute(f"SELECT max(doc_id) + 1 FROM '{SRC}'").fetchone()[0]
+    # text is defined ONCE in the inner query; n_chars derives from it
+    # (a duplicated transform expression desynchronizes the two on any
+    # future edit — code-review r12)
     con.execute(
         f"""
         COPY (
-          SELECT (doc_id + r.r * {stride})::BIGINT AS doc_id,
-                 CASE WHEN r.r = 0 THEN text
-                      ELSE array_to_string(
-                        list_transform(string_split(text, ' '),
-                          (x, i) -> CASE WHEN i % 9 = 0
-                                    THEN x || 'r' || r.r::VARCHAR
-                                    ELSE x END),
-                        ' ')
-                 END AS text,
-                 lang, source,
-                 length(CASE WHEN r.r = 0 THEN text
+          SELECT doc_id, text, lang, source,
+                 length(text)::BIGINT AS n_chars
+          FROM (
+            SELECT (doc_id + r.r * {stride})::BIGINT AS doc_id,
+                   CASE WHEN r.r = 0 THEN text
                         ELSE array_to_string(
                           list_transform(string_split(text, ' '),
                             (x, i) -> CASE WHEN i % 9 = 0
-                                      THEN x || 'r' || r.r::VARCHAR
+                                      THEN x || 'r'
+                                           || chr((97 + (r.r % 26))::INTEGER)
+                                           || chr((97 + ((r.r // 26) % 26))::INTEGER)
                                       ELSE x END),
                           ' ')
-                 END)::BIGINT AS n_chars
-          FROM '{SRC}', range({n_replicas}) AS r(r)
+                   END AS text,
+                   lang, source
+            FROM '{SRC}', range({n_replicas}) AS r(r)
+          )
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
