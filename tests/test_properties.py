@@ -754,3 +754,52 @@ def test_logistic_apply_equals_bruteforce(spark, rows, w):
     for i, (a, b) in enumerate(rows):
         z = float(w[0]) + float(w[1]) * float(a) + float(w[2]) * float(b)
         assert got[i] == (z, z >= 0.0), i
+
+
+# --- gopher gates: equals brute force on arbitrary token soups ---------------
+_gg_frags = st.lists(
+    st.sampled_from([
+        "the", "of", "to", "scan", "partition", "a", "x", "yz",
+        "scan12", "####", "…", "verylongtokenindeed", "Mixed",
+    ]),
+    min_size=1, max_size=40,
+)
+
+
+@given(frags=_gg_frags)
+@settings(**_SETTINGS)
+def test_gopher_gates_equals_bruteforce(spark, frags):
+    """Every statistic and gate must equal the straightforward Python
+    reference — pinning the integer milli-scale div arithmetic and the
+    \\A..\\z alpha anchoring on arbitrary inputs."""
+    from spotify_etl_pipeline_spark.operators.text import (
+        LANG_PROFILES,
+        gopher_gates,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_gates(df, min_words=5).collect()[0].asDict()
+
+    words = text.split(" ")
+    n = len(words)
+    nc = len(text.replace(" ", ""))
+    n_stop = sum(w in LANG_PROFILES["en"] for w in words)
+    n_alpha = sum(w.isascii() and w.isalpha() for w in words)
+    ns = text.count("#") + text.count("…")
+    assert r["n_words"] == n
+    assert r["wlen_milli"] == (1000 * nc) // n
+    assert r["n_stop"] == n_stop
+    assert r["alpha_milli"] == (1000 * n_alpha) // n
+    assert r["symbol_milli"] == (1000 * ns) // n
+    assert r["pass_words"] == (5 <= n <= 100_000)
+    assert r["pass_wlen"] == (3_000 <= r["wlen_milli"] <= 10_000)
+    assert r["pass_stop"] == (n_stop >= 2)
+    assert r["pass_alpha"] == (r["alpha_milli"] >= 800)
+    assert r["pass_symbol"] == (r["symbol_milli"] <= 100)
+    assert r["pass_all"] == all(
+        r[k] for k in (
+            "pass_words", "pass_wlen", "pass_stop", "pass_alpha",
+            "pass_symbol",
+        )
+    )
