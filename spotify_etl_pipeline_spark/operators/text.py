@@ -591,41 +591,71 @@ def _apply_cut(df: DataFrame, spans: DataFrame, L: int) -> DataFrame:
     """Remove every token covered by ``spans`` from ``df`` (doc_id,
     text); returns (doc_id, n_tokens, n_cut, clean_text).  The shared
     apply kernel of :func:`substring_cut_corpus` and
-    :func:`substring_cut_fixpoint`."""
-    covered = spans.select(
-        "doc_id",
-        F.explode(
-            F.expr("sequence(span_start, span_start + span_len - 1)")
-        ).alias("idx"),
+    :func:`substring_cut_fixpoint`.
+
+    ``spans`` must be merged-maximal coverage runs — DISJOINT and
+    in-bounds per document (:func:`_coverage_spans` output, which is
+    what both callers supply): ``n_cut`` sums span lengths and the
+    stitcher below assumes non-overlapping sorted runs.
+
+    Plan (r12 rewrite, guide §2.4/§8): the span list is a doc-level
+    DECISION table — tiny next to the token stream — so the cut is
+    applied as ONE narrow array expression after a doc-scale join:
+    spans collapse to a per-doc list (span-scale groupBy), join back on
+    doc_id, and ``clean_text`` is stitched from the KEPT gaps between
+    sorted spans with ``slice``/``array_join`` — a single pass over the
+    span list that re-slices the token array in place.  The previous
+    form exploded every covered index, posexploded the whole corpus to
+    (doc_id, idx, tok) rows, anti-joined on (doc_id, idx), and
+    re-assembled with a corpus-wide collect_list groupBy — TWO
+    token-scale shuffles whose every decision was already determined
+    doc-locally.  Both shuffles are gone; the heavy token payload now
+    never crosses an exchange (the §8 rule: move heavy bytes zero
+    times when the decision data is small).
+    """
+    span_lists = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )
     tt = df.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tokens")
     )
-    toks = tt.select(
-        "doc_id", F.posexplode("toks").alias("i0", "tok")
-    ).select("doc_id", (F.col("i0") + 1).alias("idx"), "tok")
-    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(array_sort(collect_list(struct(idx, tok))),"
-                " s -> s.tok)"
-            ),
-        ).alias("clean_text"),
+    # spans are disjoint and in-bounds, so cut tokens = sum of span lens
+    n_cut = F.coalesce(
+        F.expr(
+            "aggregate(_spans, CAST(0 AS BIGINT), (a, sp) -> a + sp.span_len)"
+        ),
+        F.lit(0).cast("long"),
     )
-    return (
-        tt.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
-        .join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_cut"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
+    # stitch the kept gaps: fold the sorted span list carrying (next
+    # uncut position, kept pieces); close with the tail gap.  slice()
+    # re-slices the token array without per-token rows.
+    clean = F.expr(
+        """
+        aggregate(
+          array_sort(coalesce(_spans, array())),
+          named_struct('cur', 1,
+                       'pieces', CAST(array() AS array<string>)),
+          (acc, sp) -> named_struct(
+            'cur', CAST(sp.span_start + sp.span_len AS INT),
+            'pieces', IF(sp.span_start > acc.cur,
+                         array_append(acc.pieces,
+                           array_join(slice(toks, acc.cur,
+                             CAST(sp.span_start AS INT) - acc.cur), ' ')),
+                         acc.pieces)),
+          acc -> array_join(
+            IF(acc.cur <= n_tokens,
+               array_append(acc.pieces,
+                 array_join(slice(toks, acc.cur,
+                                  n_tokens - acc.cur + 1), ' ')),
+               acc.pieces),
+            ' '))
+        """
+    )
+    return tt.join(span_lists, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        n_cut.alias("n_cut"),
+        clean.alias("clean_text"),
     )
 
 
