@@ -178,7 +178,14 @@ def _token_positions(
     doc placement (doc-level window) + narrow token explode.
     ``base_offsets`` — (group_col, shard, base) — shifts every global
     position, which is how a micro-batch continues its group's stream
-    where earlier epochs ended (missing groups start at 0)."""
+    where earlier epochs ended (missing groups start at 0).
+
+    r12: returns PLACED DOC rows — (group, shard, start_tok, tids) with
+    the ids still an array — rather than one row per token position;
+    :func:`_pack_positions` cuts each doc into per-sequence CHUNKS
+    (guide §2.3: the sequence assignment is decided by doc-level
+    arithmetic, so the shuffle only needs one row per (doc, sequence)
+    crossing, not per token — same bytes, ~budget× fewer rows)."""
     g = encoded.join(meta.select(id_col, group_col), id_col).select(
         group_col,
         F.pmod(F.col(id_col), F.lit(int(n_shards))).alias("shard"),
@@ -204,47 +211,102 @@ def _token_positions(
     return placed.select(
         group_col,
         "shard",
-        "start_tok",
-        F.posexplode(F.split("token_ids", " ")).alias("i", "tid"),
-    ).select(
-        group_col,
-        "shard",
-        (F.col("start_tok") + F.col("i")).alias("gpos"),
-        "tid",
-        F.when(F.col("i") == 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.split("token_ids", " ").alias("tids"),
     )
 
 
 def _pack_positions(
-    toks: DataFrame, budget: int, group_col: str, with_min_gpos: bool = False
+    placed: DataFrame,
+    budget: int,
+    group_col: str,
+    with_min_gpos: bool = False,
 ) -> DataFrame:
-    """Cut a (group, shard, gpos, tid, b) stream every ``budget`` tokens.
-    ``with_min_gpos`` adds the row's first global position — the merge
-    key the streaming store needs to stitch PARTIAL sequence rows from
-    different epochs back together in order."""
+    """Cut placed doc streams (:func:`_token_positions` output) every
+    ``budget`` tokens.  ``with_min_gpos`` adds the row's first global
+    position — the merge key the streaming store needs to stitch
+    PARTIAL sequence rows from different epochs back together in order.
+
+    Plan (r12 rewrite): a document occupies global positions
+    [start_tok, start_tok + n), so the sequences it touches are exactly
+    seq_id ∈ [start_tok div budget, (start_tok + n - 1) div budget] —
+    per-doc arithmetic.  Each doc explodes into one CHUNK row per
+    touched sequence (its slice of ids, its mask run, its first global
+    position); the final groupBy then concatenates whole chunk strings
+    in chunk_start order instead of collecting individual token
+    positions.  The sequence-assembly shuffle carries the same token
+    bytes but ~budget× fewer rows (previously one row per token
+    position — row-count-bound sort/agg cost, the dominant term), and
+    the exploded stream is chunk-scale, not token-scale.  The key
+    bound is unchanged: no reduce-side group ever exceeds ``budget``
+    positions across ≤budget chunk rows."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    b = int(budget)
+    chunks = (
+        placed.select(
+            group_col,
+            "shard",
+            "start_tok",
+            "tids",
+            F.size("tids").cast("long").alias("n_pos"),
+        )
+        .select(
+            group_col,
+            "shard",
+            "start_tok",
+            "tids",
+            "n_pos",
+            F.explode(
+                F.expr(
+                    f"sequence(start_tok div {b}, (start_tok + n_pos - 1) div {b})"
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            group_col,
+            "shard",
+            "seq_id",
+            F.greatest(F.lit(0).cast("long"), F.expr(f"seq_id * {b} - start_tok"))
+            .alias("lo"),
+            F.least(F.col("n_pos"), F.expr(f"(seq_id + 1) * {b} - start_tok"))
+            .alias("hi"),
+            "start_tok",
+            "tids",
+        )
+        .select(
+            group_col,
+            "shard",
+            "seq_id",
+            (F.col("start_tok") + F.col("lo")).alias("chunk_start"),
+            (F.col("hi") - F.col("lo")).alias("chunk_len"),
+            F.expr(
+                "array_join(slice(tids, CAST(lo + 1 AS INT),"
+                " CAST(hi - lo AS INT)), ' ')"
+            ).alias("chunk_ids"),
+            F.concat(
+                F.when(F.col("lo") == 0, F.lit("1")).otherwise(F.lit("0")),
+                F.expr("repeat('0', CAST(hi - lo - 1 AS INT))"),
+            ).alias("chunk_mask"),
+        )
+    )
     joined = lambda field, sep: F.array_join(  # noqa: E731
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct("gpos", F.col(field).alias("v")))
+                F.collect_list(F.struct("chunk_start", F.col(field).alias("v")))
             ),
             lambda x: x["v"],
         ),
         sep,
     )
     aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        joined("tid", " ").alias("token_ids"),
-        joined("b", "").alias("doc_mask"),
+        F.sum("chunk_len").cast("long").alias("n_tokens"),
+        joined("chunk_ids", " ").alias("token_ids"),
+        joined("chunk_mask", "").alias("doc_mask"),
     ]
     if with_min_gpos:
-        aggs.append(F.min("gpos").cast("long").alias("min_gpos"))
-    return (
-        toks.withColumn("seq_id", F.expr(f"gpos div {int(budget)}"))
-        .groupBy(group_col, "shard", "seq_id")
-        .agg(*aggs)
-    )
+        aggs.append(F.min("chunk_start").cast("long").alias("min_gpos"))
+    return chunks.groupBy(group_col, "shard", "seq_id").agg(*aggs)
 
 
 def seeded_shuffle(
