@@ -184,27 +184,29 @@ def pq_fit(
                     )
                 ),
             )
+            # update step: ONE groupBy(sub, cluster) with a per-dim AVG
+            # column per subspace dimension (sub_d small by construction
+            # — it is the codeword width).  r12: previously posexplode'd
+            # the subvectors to (sub, cluster, dim, x) rows and
+            # re-assembled per-dim means with a SECOND groupBy +
+            # array_sort — an extra exchange and a sub_d× wider shuffle
+            # per iteration for the same means (guide §2.3/§2.4); on a
+            # driver-loop fit the per-iteration stage count IS the wall
+            # time (the docstring's 14 s → 3 s lesson, same lever).
             got = {
-                (r["sub"], r["cluster"]): r
-                for r in assigned.select(
-                    "sub", "cluster", F.posexplode("v").alias("dim", "x")
-                )
-                .groupBy("sub", "cluster", "dim")
-                .agg(F.avg("x").alias("mu"))
-                .groupBy("sub", "cluster")
+                (r["sub"], r["cluster"]): [r[f"_m{i}"] for i in range(sub_d)]
+                for r in assigned.groupBy("sub", "cluster")
                 .agg(
-                    F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("pairs")
-                )
-                .select(
-                    "sub",
-                    "cluster",
-                    F.transform("pairs", lambda p: p["mu"]).alias("centroid"),
+                    *[
+                        F.avg(F.col("v")[i]).alias(f"_m{i}")
+                        for i in range(sub_d)
+                    ]
                 )
                 .collect()
             }
             merged = [
                 [
-                    list(got[(s, c)]["centroid"]) if (s, c) in got else books[s][c]
+                    list(got[(s, c)]) if (s, c) in got else books[s][c]
                     for c in range(k)
                 ]
                 for s in range(m)
