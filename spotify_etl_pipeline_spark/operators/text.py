@@ -1052,6 +1052,16 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 4) -> DataFrame:
     seqs = wc.select(F.expr(BPE_SEQ_SQL).alias("seq"), "n").localCheckpoint(
         eager=True
     )
+    # lineage-cut cadence: adjacent per-step projections collapse into
+    # one nested-replace expression (CollapseProject), the exact shape
+    # bpe_encode_tokens' chunked fold runs at depth 100 inside codegen —
+    # so the eager checkpoint only needs to fire every ~chunk steps, not
+    # every step (r12: the per-step checkpoint DOUBLED the loop's job
+    # count — 2 jobs/step — for a vocabulary-sized table whose recompute
+    # since the last cut is a handful of narrow replaces; on a driver
+    # loop the job count is the wall time, the pq_fit lesson).
+    ckpt_every = max(1, BPE_ENCODE_CHUNK // 4)
+    steps_since_ckpt = 0
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
         top = (
@@ -1078,7 +1088,12 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 4) -> DataFrame:
                 f"replace(seq, '{pat}', '{rep}')"
             ).alias("seq"),
             "n",
-        ).localCheckpoint(eager=True)
+        )
+        steps_since_ckpt += 1
+        if steps_since_ckpt >= ckpt_every and step < k:
+            # (never after the FINAL step: seqs is not read again)
+            seqs = seqs.localCheckpoint(eager=True)
+            steps_since_ckpt = 0
     return df.sparkSession.createDataFrame(
         merges, "step: bigint, x: string, y: string, n_pairs: bigint"
     )

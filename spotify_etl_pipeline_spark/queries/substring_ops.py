@@ -965,17 +965,19 @@ def bpe_decode_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train_merges(docs, n_merges=BPE_TRAIN_K)
     ids = bpe_encode_ids(docs, merges=merges)
     dec = bpe_decode_ids(ids, merges)
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).filter((F.length("w") >= 2) & F.col("w").rlike(r"\A[a-z]+\z"))
-    truth = words.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda x: x["w"],
-            ),
+    # ground truth = the trainable words concatenated in original order —
+    # a pure NARROW projection (filter over the split array preserves
+    # document order), r12: previously posexplode + collect_list groupBy,
+    # a token-scale shuffle for a doc-local concatenation (guide §2.4)
+    truth = docs.select(
+        "doc_id",
+        F.concat_ws(
             "",
-        ).alias("truth")
+            F.expr(
+                r"filter(split(text, ' '),"
+                r" w -> length(w) >= 2 AND w rlike '\\A[a-z]+\\z')"
+            ),
+        ).alias("truth"),
     )
     return dec.join(truth, "doc_id").select(
         "doc_id",
