@@ -146,6 +146,13 @@ def _load_all() -> None:
 #: ahead automatically as never-checked: 4 new + 44 stale-r8 = 48
 #: slots, inside the ~50-slot sweep, so CORRECTNESS_r12 leaves no
 #: driver entry with evidence older than r9.
+#:
+#: The round-12 OPTIMIZATION pass (OPTIMIZATION_r12.md) also changed no
+#: semantics: every rewrite (the substring-cut apply kernel, the packer's
+#: chunk shuffle, the PQ fit update, the BPE trainer's checkpoint
+#: cadence, the decode-roundtrip truth derivation) is result-identical
+#: and was re-verified by FULL driver_sim sweeps at sf0.01 AND sf0.1
+#: (195/195 green) on the final tree — the head stays empty.
 _CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
