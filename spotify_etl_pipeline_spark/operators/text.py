@@ -734,7 +734,14 @@ def substring_cut_fixpoint(
     )
     cur = df.select("doc_id", "text")
     for _ in range(int(max_passes)):
-        spans = exact_substring_spans(cur, min_len=L, keep=keep)
+        # the span list is consumed twice per pass (emptiness probe +
+        # the apply's span_lists groupBy) and is tiny (merged maximal
+        # runs); r12: materialize it once so the full gram/hash/verify
+        # discovery pipeline runs ONCE per pass, not twice (the
+        # stored-artifact rule applied to the loop's decision table)
+        spans = exact_substring_spans(
+            cur, min_len=L, keep=keep
+        ).localCheckpoint(eager=True)
         if spans.limit(1).count() == 0:
             break
         cur = (
