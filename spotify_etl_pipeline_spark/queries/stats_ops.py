@@ -171,6 +171,62 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_per_doc(_t(spark, sf_dir, "documents"))
 
 
+def _bigram_count_batches(batches):
+    """mapInArrow kernel: exact per-(doc, bigram) counts for batches of
+    (doc_id, t) rows.  Bigram counting is doc-local, so the weighted
+    (doc_id, bg, k) table comes out of the scan with ZERO shuffle and
+    the corpus-char-scale explode never exists (guide §4.2: hand whole
+    Arrow batches to vectorized native code).  Codepoint semantics
+    match the old ``substring(t, i, 2)`` expression — Spark string
+    functions and Python ``str`` both index codepoints — and lower()
+    stays on the JVM side so case mapping cannot drift.
+
+    Vectorization: one utf-32 decode of the batch's concatenated text,
+    each bigram packed into a 42-bit integer (2 × 21-bit codepoints —
+    the Unicode max is 0x10FFFF), batch row index in the high bits,
+    then ONE np.unique over the packed keys groups every (row, bigram)
+    pair.  The only Python-level loop builds the batch's DISTINCT
+    bigram strings (alphabet²-bounded), dictionary-decoded back through
+    an Arrow take."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column(0)
+        texts = batch.column(1).to_pylist()
+        n_docs = len(texts)
+        if n_docs == 0:
+            continue
+        lens = np.fromiter(
+            (len(t) for t in texts), dtype=np.int64, count=n_docs
+        )
+        codes = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        row = np.repeat(np.arange(n_docs, dtype=np.uint64), lens)
+        pair = (codes[:-1] << np.uint64(21)) | codes[1:]
+        # drop pairs crossing row boundaries (callers filter len >= 2,
+        # so every kept row contributes >= 1 pair and stays represented)
+        keys = ((row[:-1] << np.uint64(42)) | pair)[row[:-1] == row[1:]]
+        if keys.size == 0:
+            continue
+        uk, counts = np.unique(keys, return_counts=True)
+        pc = uk & np.uint64((1 << 42) - 1)
+        pc_u, inv = np.unique(pc, return_inverse=True)
+        bg = pa.array(
+            [chr(int(p) >> 21) + chr(int(p) & 0x1FFFFF) for p in pc_u],
+            type=pa.string(),
+        ).take(pa.array(inv.astype(np.int64)))
+        yield pa.record_batch(
+            [
+                ids.take(pa.array((uk >> np.uint64(42)).astype(np.int64))),
+                bg,
+                pa.array(counts.astype(np.int64)),
+            ],
+            names=["doc_id", "bg", "k"],
+        )
+
+
 def lm_score_per_doc(
     src: DataFrame, materialize_weighted: bool = False
 ) -> DataFrame:
@@ -179,46 +235,52 @@ def lm_score_per_doc(
     curation capstones) can run it over CLEANED text rather than the
     raw `documents` table.
 
-    r8 plan: the FIT aggregates the raw explode stream straight to the
-    alphabet²-row LM table (map-side partial agg — zero corpus-scale
-    shuffle), while the SCORING branch pre-aggregates to (doc_id, bg, k)
-    — per-doc distinct char-bigrams are alphabet-bounded however long
-    the document — so the broadcast-LM join and the per-doc
-    re-aggregation consume the compact weighted table instead of the
-    raw occurrence stream.  avg_logp becomes Σ k·ln(p) / Σ k — per-term
-    k·ln(p) is one IEEE multiply (bit-identical cross-engine) and the
-    DuckDB oracles aggregate the SAME distinct-(doc, bg) terms, so the
-    engines sum term-sets of identical values, exactly as order-robust
-    as the previous per-occurrence AVG under the 4-decimal round.
+    r13 plan (guide §4.2): the weighted (doc_id, bg, k) table is
+    computed doc-locally by ONE vectorized mapInArrow kernel over the
+    (doc_id, lowered-text) scan — the r8 char-scale explode and its
+    (doc_id, bg) exchange are gone; the FIT is a partial-agg groupBy(bg)
+    over the compact weighted rows (identical counts: Σ_doc k == corpus
+    count), and the SCORING branch joins the broadcast LM and
+    re-aggregates per doc exactly as before.  avg_logp stays
+    Σ k·ln(p) / Σ k with k, c, tc the same integers and ln/×/÷ evaluated
+    by the same JVM expressions — the engines sum term-sets of identical
+    values, exactly as order-robust under the 4-decimal round as r8.
     ``materialize_weighted`` checkpoints the weighted table — measured
     a LOSS at the sf10 tile (it is corpus-scale; SCALE.md §Round-8),
     off by default, kept for many-consumer compositions."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     docs = (
         src.filter(F.length("text") >= 2)
         .select("doc_id", F.lower(F.col("text")).alias("t"))
     )
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
-            )
-        ).alias("bg"),
+    bgc = docs.mapInArrow(
+        _bigram_count_batches,
+        StructType(
+            [
+                docs.schema["doc_id"],
+                StructField("bg", StringType(), False),
+                StructField("k", LongType(), False),
+            ]
+        ),
     )
-    bgc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
     if materialize_weighted:
         # measured a LOSS at the sf10 tile (286.5 s vs 197.8 s without,
         # SCALE.md §Round-8): the weighted table is corpus-scale, so
         # materializing it costs a full extra write/read while the
-        # recompute it saves is one narrow explode + a map-side partial
-        # agg. Kept as a dial for callers whose downstream re-reads bgc
-        # many MORE than twice.
+        # recompute it saves is one scan + the Arrow kernel. Kept as a
+        # dial for callers whose downstream re-reads bgc many MORE than
+        # twice.
         bgc = bgc.localCheckpoint(eager=True)
-    # the FIT never needs the (doc, bg) table: groupBy(bg) over the raw
-    # explode stream partial-aggregates map-side straight to alphabet²
-    # rows — zero corpus-scale shuffle; only the SCORING branch pays the
-    # one (doc_id, bg) shuffle. Same values (Σ_doc k == corpus count).
-    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # the FIT partial-aggregates the weighted rows map-side straight to
+    # alphabet² rows — same counts as the r8 raw-stream groupBy(bg)
+    # (Σ_doc k == corpus occurrence count), zero corpus-scale shuffle.
+    # (An eager localCheckpoint of the tiny LM table was measured and
+    # REVERTED in r13: the formatted plan prints the kernel subtree once
+    # per consumer, but execution already dedups it via exchange/
+    # subquery reuse, so the checkpoint only added a job — tile A/B
+    # 8.9 → 9.1 s, sf0.1 flat.)
+    lm = bgc.groupBy("bg").agg(F.sum("k").alias("c"))
     tot = lm.agg(F.sum("c").cast("double").alias("tc"))
     return (
         bgc.join(F.broadcast(lm), "bg")
