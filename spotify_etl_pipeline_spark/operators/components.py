@@ -67,8 +67,14 @@ def connected_components(
                     "_changed"
                 ),
             )
-        ).localCheckpoint()
-        changed = new.filter(F.col("_changed")).limit(1).count()
+        ).localCheckpoint(eager=False)
+        # ONE job per round (r13, guide §5): the full-scan count both
+        # MATERIALIZES the lazily-marked local checkpoint (every
+        # partition is computed, so lineage truncates exactly as the
+        # eager form did) and returns the convergence signal — the
+        # previous form paid an eager-checkpoint job PLUS a limit(1)
+        # probe job per round.
+        changed = new.filter(F.col("_changed")).count()
         comp = new.drop("_changed")
         if changed == 0:
             break
@@ -129,12 +135,16 @@ def connected_components_star(
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the _sig(e) full scan right below materializes it
+        .localCheckpoint(eager=False)
     )
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         # bit_xor: order-insensitive over the (distinct) edge set and
-        # cannot overflow under ANSI mode, unlike a hash SUM
+        # cannot overflow under ANSI mode, unlike a hash SUM.  This agg
+        # is a FULL scan, so calling it on a lazily-marked local
+        # checkpoint materializes every partition in the same job that
+        # computes the signature (the r13 one-job-per-round fusion).
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(x, y))"), F.lit(0)).alias("h"),
@@ -166,7 +176,9 @@ def connected_components_star(
             .select(F.col("y").alias("x"), F.col("m2").alias("y"))
         )
         part2 = mins2.select("x", F.col("m2").alias("y"))
-        new_e = part1.unionByName(part2).distinct().localCheckpoint()
+        # lazy checkpoint + the full-scan _sig agg = ONE job per round
+        # (materialization and signature fused; r12 ran them separately)
+        new_e = part1.unionByName(part2).distinct().localCheckpoint(eager=False)
         new_sig = _sig(new_e)
         # Signature equality is the cheap screen; confirm with an exact
         # set compare so a (count, bit_xor) collision between distinct

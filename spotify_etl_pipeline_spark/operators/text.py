@@ -718,10 +718,11 @@ def substring_cut_fixpoint(
     ``n_cut`` counts every token removed across all passes.
 
     Driver-loop pattern (cf. kmeans/pagerank/connected-components):
-    each pass derives the span list, checks emptiness with a bounded
-    ``limit(1).count()`` action, applies the cut, and eagerly
-    localCheckpoints the shrunken corpus so lineage stays flat across
-    passes (the graph-operator hygiene).  Organic corpora converge in
+    each pass derives the span list and materializes it while counting
+    it (one fused job: lazy localCheckpoint + full count — the
+    emptiness check), applies the cut, and eagerly localCheckpoints the
+    shrunken corpus so lineage stays flat across passes (the
+    graph-operator hygiene).  Organic corpora converge in
     1-2 passes — splicing needs a cut boundary to recreate ≥L exact
     tokens, vanishingly rare outside adversarial construction — so
     ``max_passes`` is a runaway guard, not a tuning knob; hitting it
@@ -738,11 +739,15 @@ def substring_cut_fixpoint(
         # the apply's span_lists groupBy) and is tiny (merged maximal
         # runs); r12: materialize it once so the full gram/hash/verify
         # discovery pipeline runs ONCE per pass, not twice (the
-        # stored-artifact rule applied to the loop's decision table)
+        # stored-artifact rule applied to the loop's decision table).
+        # r13 (guide §5): the checkpoint is LAZY and the emptiness probe
+        # is a full count — one job now materializes the span list AND
+        # decides convergence, where r12 ran an eager-checkpoint job
+        # plus a limit(1) probe job per pass.
         spans = exact_substring_spans(
             cur, min_len=L, keep=keep
-        ).localCheckpoint(eager=True)
-        if spans.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if spans.count() == 0:
             break
         cur = (
             _apply_cut(cur, spans, L)

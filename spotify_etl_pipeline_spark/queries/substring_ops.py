@@ -431,9 +431,9 @@ def _cut_final_select(last_clean: str) -> str:
     doc="Iterated substring cut to FIXPOINT: one cutting pass can splice "
     "previously-distant text into brand-new >=L duplicates across the "
     "cut boundary (substring_ops.py's one-pass caveat made executable); "
-    "this repeats spans->cut until no cross-doc span survives, with a "
-    "bounded limit(1).count() emptiness probe and an eager "
-    "localCheckpoint per pass (the graph-operator lineage hygiene). The "
+    "this repeats spans->cut until no cross-doc span survives, with ONE "
+    "fused materialize-and-count job per span list (lazy localCheckpoint "
+    "+ full-count emptiness probe; the graph-operator lineage hygiene). The "
     "oracle unrolls THREE passes of the same CTE chain — passes beyond "
     "convergence cut nothing, so the unroll length only needs to be >= "
     "the fixture's true pass count (1; the operator raises past its "
