@@ -859,12 +859,56 @@ def _overlap_sketch_oracle() -> str:
     "with measured max 4.8*sqrt across sf0.001/0.01/0.1).",
 )
 def source_overlap_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import source_overlap_sampled
+    from ..operators.dedup import shingle_sid
 
     docs = load_fixture(spark, sf_dir, "documents")
-    exact = source_overlap_matrix(spark, sf_dir)
+    # r13 (guide §5): the AUDIT composition reads the distinct
+    # (source, shingle) postings twice — the exact arm in full and the
+    # theta-sampled twin through the content-hash filter (filter on a
+    # pure shingle function commutes with the distinct, so
+    # filter(distinct(explode)) == the sampled arm's
+    # distinct(filter(explode))).  Materialize the postings ONCE and
+    # derive both arms from them: one shingle explode + distinct pass
+    # instead of two.  Standalone source_overlap_matrix /
+    # source_overlap_sampled keep their single-arm shapes — at 100 TB
+    # the sampled operator's filter-inside-the-scan is the point; only
+    # the audit pair, which must pay the exact arm anyway, shares.
+    sh = (
+        docs.select(
+            "source",
+            F.expr(
+                "element_at(transform(array(split(text, ' ')), ts -> "
+                "CASE WHEN size(ts) >= 5 THEN "
+                "transform(sequence(1, size(ts) - 4), "
+                "i -> concat_ws('_', slice(ts, i, 5))) "
+                "ELSE array() END), 1)"
+            ).alias("grams"),
+        )
+        .select("source", F.explode("grams").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _pairs(postings: DataFrame, out: str, scale: int) -> DataFrame:
+        a, b = postings.alias("a"), postings.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg((F.count(F.lit(1)) * scale).cast("long").alias(out))
+        )
+
+    exact = _pairs(sh, "n_shared", 1)
     # md5 pinned — the oracle audit arm (engine default is xxhash64)
-    est = source_overlap_sampled(docs, n=5, rate_denom=4, hash_fn="md5")
+    est = _pairs(
+        sh.filter(shingle_sid("shingle") % 4 == 0), "n_shared_est", 4
+    )
     return exact.join(est, ["source_a", "source_b"], "left").select(
         "source_a",
         "source_b",
